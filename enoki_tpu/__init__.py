@@ -1,0 +1,33 @@
+"""enoki-tpu: a TPU-native structured-vectorization + differentiation
+framework with the capabilities of mitsuba-renderer/enoki.
+
+The reference realizes "one generic program, many execution strategies"
+through C++ template metaprogramming (SIMD packets, dynamic packet loops,
+a PTX trace-JIT, an AD tape). On TPU the same capability set maps to:
+
+  wide arrays          -> jnp arrays (XLA vectorizes onto the 8x128 VPU)
+  recursive packets    -> XLA tiling / Pallas block specs
+  DynamicArray+vectorize -> jnp + vmap/jit
+  CUDA trace-JIT       -> jax tracing + XLA fusion (+ Pallas megakernels)
+  AD tape              -> jax.grad / custom_vjp
+  vectorized vcalls    -> lax.switch / sort-based partition dispatch
+  ENOKI_STRUCT         -> registered pytree dataclasses
+  (new) multi-device   -> jax.sharding Mesh + shard_map + psum
+
+Layout:
+  ops/      flat op set: router, horizontal ops, transcendentals, special fns
+  types/    Complex, Quaternion, Matrix, transforms, color, SH, Morton,
+            PCG32, integer division
+  struct/   pytree struct support, masks, vectorize, vectorized method calls
+  ad/       differentiation helpers (gradient/detach/safe_mul/graphviz)
+  runtime/  introspection: whos, log levels, HLO dumps, kernel cache stats
+  render/   the north-star workload: differentiable sphere/SDF renderer,
+            jnp reference path and Pallas megakernel
+  dist/     device-mesh sharding, distributed render/train steps
+"""
+
+__version__ = "0.1.0"
+
+from . import config  # noqa: F401
+from . import ops  # noqa: F401
+from .config import set_log_level, log_level  # noqa: F401

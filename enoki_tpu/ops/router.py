@@ -1,0 +1,546 @@
+"""Core op set: the TPU-native analog of the reference's op router.
+
+The reference routes every operation through ~150 free functions in
+``include/enoki/array_router.h`` which dispatch on type traits to a scalar
+fallback, a SIMD intrinsic, a dynamic packet loop, a CUDA trace append, or an
+AD tape append.  Under JAX there is exactly one backend -- traced jnp ops
+fused by XLA -- so this module is a *flat* functional API with enoki's
+semantics (masks, broadcast rules, gather/scatter conventions) expressed the
+TPU way: ``jnp.where`` for select, ``take``/``.at[]`` for gather/scatter,
+static shapes throughout.
+
+Reference parity map (file:line points at the reference behaviour replicated):
+  select            array_router.h:481
+  gather/scatter    array_router.h:1071,1113 (masked variants; index arrays)
+  scatter_add       array_router.h:1198 (atomic adds -> ``.at[].add``)
+  transform         array_router.h:1171 (read-modify-write scatter)
+  arange/linspace/full/zero  array_router.h:722-789
+  fmadd/fmsub/...   array_router.h (ENOKI_ROUTE_TERNARY fmadd_)
+  rcp/rsqrt         array_fallbacks.h:104,188 (Newton-refined HW approx)
+  popcnt/lzcnt/tzcnt array_fallbacks.h:227,259,290
+  ldexp/frexp       array_fallbacks.h:310,334
+  mulhi             array_fallbacks.h:393
+  allclose          array_router.h:1310
+  lerp/clamp        array_math.h:1352-1364
+  sign/copysign/mulsign  array_router.h (sign helpers)
+  isnan/isinf/isfinite + inf/nan constants
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Constructors (array_router.h:722-789)
+# ---------------------------------------------------------------------------
+
+
+def zeros(shape, dtype=jnp.float32):
+    """``zero<Array>(size)`` (array_router.h:789)."""
+    return jnp.zeros(shape, dtype)
+
+
+def full(shape, value, dtype=None):
+    """``full<Array>(value, size)`` (array_router.h:766)."""
+    return jnp.full(shape, value, dtype)
+
+
+def empty(shape, dtype=jnp.float32):
+    # XLA has no uninitialized memory; debug-mode NaN-fill of the reference
+    # (array_generic.h:95-103) is the *defined* behaviour here.
+    return jnp.full(shape, jnp.nan if jnp.issubdtype(dtype, jnp.floating) else 0, dtype)
+
+
+def arange(n, dtype=jnp.int32):
+    """``arange<Array>(n)`` (array_router.h:722)."""
+    return jnp.arange(n, dtype=dtype)
+
+
+def linspace(start, stop, num, dtype=jnp.float32):
+    """``linspace<Array>(min, max, size)`` (array_router.h:745).
+
+    Matches the reference: endpoints inclusive, step = (max-min)/(size-1).
+    """
+    return jnp.linspace(start, stop, num, dtype=dtype)
+
+
+def meshgrid(x, y):
+    """``meshgrid(x, y)`` (array_utils.h:24).
+
+    The reference returns a pair of flat arrays of length ``len(x)*len(y)``
+    where x varies fastest -- exactly numpy's 'xy' indexing, flattened.
+    Returns a (2, N) stacked array's components as a tuple ``(xs, ys)``.
+    """
+    xs, ys = jnp.meshgrid(x, y, indexing="xy")
+    return xs.reshape(-1), ys.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Select / masking (array_router.h:481)
+# ---------------------------------------------------------------------------
+
+
+def select(mask, a, b):
+    """``select(mask, a, b)``: lanewise mask ? a : b."""
+    return jnp.where(mask, a, b)
+
+
+def masked_assign(x, mask, value):
+    """Functional form of ``masked(x, m) = v`` (array_masked.h).
+
+    Returns the new array; JAX arrays are immutable so the proxy-assignment
+    of the reference becomes a pure update.
+    """
+    return jnp.where(mask, value, x)
+
+
+# ---------------------------------------------------------------------------
+# Fused arithmetic (router fmadd_/fmsub_ family)
+# ---------------------------------------------------------------------------
+
+
+def fmadd(a, b, c):
+    return a * b + c
+
+
+def fmsub(a, b, c):
+    return a * b - c
+
+
+def fnmadd(a, b, c):
+    return c - a * b
+
+
+def fnmsub(a, b, c):
+    return -(a * b) - c
+
+
+def fmaddsub(a, b, c):
+    """Even lanes a*b-c, odd lanes a*b+c (array_router.h fmaddsub_)."""
+    odd = (jnp.arange(jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b), jnp.shape(c))[-1]) % 2).astype(bool)
+    return jnp.where(odd, a * b + c, a * b - c)
+
+
+def fmsubadd(a, b, c):
+    odd = (jnp.arange(jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b), jnp.shape(c))[-1]) % 2).astype(bool)
+    return jnp.where(odd, a * b - c, a * b + c)
+
+
+# ---------------------------------------------------------------------------
+# Approximate reciprocal / rsqrt with Newton refinement
+# (array_fallbacks.h:104-188: uses HW rcp/rsqrt estimate + one NR step)
+# ---------------------------------------------------------------------------
+
+
+def rcp(x):
+    """Reciprocal. XLA emits the optimal divide; parity op for rcp<Approx>."""
+    return 1.0 / x
+
+
+def rsqrt(x):
+    """Reciprocal square root, lowered to the TPU's native rsqrt."""
+    return lax.rsqrt(x)
+
+
+# ---------------------------------------------------------------------------
+# Bit manipulation (array_fallbacks.h:227-310)
+# ---------------------------------------------------------------------------
+
+
+def popcnt(x):
+    return lax.population_count(jnp.asarray(x))
+
+
+def lzcnt(x):
+    return lax.clz(jnp.asarray(x))
+
+
+def tzcnt(x):
+    x = jnp.asarray(x)
+    nbits = jnp.iinfo(x.dtype).bits
+    # tzcnt(x) = nbits - lzcnt(x & -x) - 1 for x != 0; = nbits for x == 0
+    isolated = x & (-x).astype(x.dtype)
+    return jnp.where(x == 0, nbits, nbits - 1 - lax.clz(isolated))
+
+
+def log2i(x):
+    """Integer log2 (array_router.h log2i): position of the highest set bit."""
+    x = jnp.asarray(x)
+    nbits = jnp.iinfo(x.dtype).bits
+    return (nbits - 1) - lax.clz(x)
+
+
+def mulhi(a, b):
+    """High half of a full-width integer multiply (array_fallbacks.h:393).
+
+    TPU has no 64-bit ints; for 32-bit inputs we widen via 16-bit partial
+    products so the op stays in native 32-bit lanes.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b, a.dtype)
+    if a.dtype in (jnp.int64, jnp.uint64):
+        # Only reachable with x64 enabled; use numpy-style widening trick.
+        raise NotImplementedError("64-bit mulhi: use types.u64 module")
+    unsigned = jnp.issubdtype(a.dtype, jnp.unsignedinteger)
+    ua = a.astype(jnp.uint32)
+    ub = b.astype(jnp.uint32)
+    a_lo, a_hi = ua & 0xFFFF, ua >> 16
+    b_lo, b_hi = ub & 0xFFFF, ub >> 16
+    # 32-bit partial products of 16-bit halves never overflow.
+    ll = a_lo * b_lo
+    lh = a_lo * b_hi
+    hl = a_hi * b_lo
+    hh = a_hi * b_hi
+    mid = (ll >> 16) + (lh & 0xFFFF) + (hl & 0xFFFF)
+    hi = hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+    if unsigned:
+        return hi
+    # Signed correction: subtract (a<0 ? b : 0) and (b<0 ? a : 0).
+    hi = hi.astype(jnp.int32)
+    hi = hi - jnp.where(a < 0, b, 0).astype(jnp.int32) - jnp.where(b < 0, a, 0).astype(jnp.int32)
+    return hi
+
+
+def ror(x, k):
+    """Rotate right (used by PCG32, random.h:77)."""
+    x = jnp.asarray(x)
+    nbits = jnp.iinfo(x.dtype).bits
+    k = jnp.asarray(k, x.dtype) & (nbits - 1)
+    return (x >> k) | (x << ((nbits - k) & (nbits - 1)))
+
+
+def rol(x, k):
+    x = jnp.asarray(x)
+    nbits = jnp.iinfo(x.dtype).bits
+    k = jnp.asarray(k, x.dtype) & (nbits - 1)
+    return (x << k) | (x >> ((nbits - k) & (nbits - 1)))
+
+
+def reinterpret(x, dtype):
+    """Bit-level reinterpret cast (``reinterpret_array``, fwd.h:323 memcpy_cast)."""
+    return lax.bitcast_convert_type(x, dtype)
+
+
+# ---------------------------------------------------------------------------
+# ldexp / frexp (array_fallbacks.h:310,334)
+# ---------------------------------------------------------------------------
+
+
+def ldexp(x, e):
+    """x * 2^e via direct exponent-field arithmetic (finite x, moderate e).
+
+    Zero inputs stay zero (the exponent-add trick alone would corrupt them);
+    inf/NaN propagate unchanged -- same contract as the reference's
+    vectorized path (array_fallbacks.h:310, which also assumes normal x).
+    """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        ebits, mbits, itype = 11, 52, jnp.int64
+    else:
+        x = x.astype(jnp.float32)
+        ebits, mbits, itype = 8, 23, jnp.int32
+    e = jnp.asarray(e).astype(itype)
+    bits = lax.bitcast_convert_type(x, itype)
+    scaled = lax.bitcast_convert_type(bits + (e << mbits), x.dtype)
+    return jnp.where((x == 0) | ~jnp.isfinite(x), x, scaled)
+
+
+def frexp(x):
+    """Split into (mantissa, exponent).
+
+    Reference convention (array_fallbacks.h:334, used by log): mantissa in
+    [0.5, 1) represented as m in [1,2)/2 and e such that x = m * 2^e... The
+    reference returns the *hardware* getexp/getmant convention: mantissa in
+    [1, 2) and exponent e with x = mant * 2^e (vtestexp convention); its
+    scalar fallback matches std::frexp up to offset. We return
+    (mantissa in [0.5, 1), exponent) matching std::frexp so that
+    x == mantissa * 2**exponent.
+    """
+    x = jnp.asarray(x)
+    if x.dtype == jnp.float64:
+        ebits, mbits, itype, bias = 11, 52, jnp.int64, 1023
+    else:
+        x = x.astype(jnp.float32)
+        ebits, mbits, itype, bias = 8, 23, jnp.int32, 127
+    bits = lax.bitcast_convert_type(x, itype)
+    raw_exp = (bits >> mbits) & ((1 << ebits) - 1)
+    exp = raw_exp - (bias - 1)
+    mant_bits = (bits & ~(((1 << ebits) - 1) << mbits)) | ((bias - 1) << mbits)
+    mant = lax.bitcast_convert_type(mant_bits, x.dtype)
+    zero = x == 0
+    return jnp.where(zero, 0.0, mant), jnp.where(zero, 0, exp)
+
+
+# ---------------------------------------------------------------------------
+# Gather / scatter / transform (array_router.h:1071-1198, array_struct.h)
+# ---------------------------------------------------------------------------
+
+
+def gather(source, index, mask=None, fill=0):
+    """``gather<Array>(ptr, index, mask)`` (array_router.h:1071).
+
+    Masked-off lanes produce ``fill`` (the reference produces 0 via a masked
+    load, cuda.h:846). Out-of-range indices clamp (XLA semantics); masked
+    lanes are forced in-range first so the clamp can't hide a real OOB under
+    a valid mask.
+    """
+    source = jnp.asarray(source)
+    index = jnp.asarray(index)
+    if mask is not None:
+        index = jnp.where(mask, index, 0)
+    out = jnp.take(source, index, axis=0, mode="clip")
+    if mask is not None:
+        out = jnp.where(_bcast_mask(mask, out), out, fill)
+    return out
+
+
+def _bcast_mask(mask, like):
+    mask = jnp.asarray(mask)
+    while mask.ndim < jnp.ndim(like):
+        mask = mask[..., None]
+    return mask
+
+
+def scatter(target, value, index, mask=None):
+    """``scatter(ptr, value, index, mask)`` (array_router.h:1113).
+
+    Last-write-wins for duplicate indices is *not* guaranteed by the
+    reference (CUDA st.global race); XLA's scatter picks an arbitrary winner
+    for duplicates in unsorted mode, which matches that contract.
+    """
+    target = jnp.asarray(target)
+    index = jnp.asarray(index)
+    if mask is not None:
+        # Redirect masked-off lanes to a dropped out-of-range index.
+        index = jnp.where(mask, index, target.shape[0])
+        return target.at[index].set(value, mode="drop")
+    return target.at[index].set(value, mode="promise_in_bounds")
+
+
+def scatter_add(target, value, index, mask=None):
+    """``scatter_add`` (array_router.h:1198; cuda.h:893 atom.global.add).
+
+    Conflict-safe accumulation; ``.at[].add`` is XLA's deterministic
+    equivalent of the reference's atomics (and reproducible, unlike them).
+    """
+    target = jnp.asarray(target)
+    index = jnp.asarray(index)
+    if mask is not None:
+        index = jnp.where(mask, index, target.shape[0])
+        return target.at[index].add(value, mode="drop")
+    return target.at[index].add(value, mode="promise_in_bounds")
+
+
+def transform(target, index, func, *args, mask=None):
+    """Read-modify-write scatter (array_router.h:1171).
+
+    ``func`` maps (current_value, *args) -> new_value. Applied atomically in
+    the reference; here expressed as gather -> f -> scatter which is safe
+    because duplicate indices are resolved by XLA scatter determinism only
+    when func is an addition -- for general funcs the reference has the same
+    duplicate-index caveat.
+    """
+    current = gather(target, index, mask=mask)
+    updated = func(current, *args)
+    return scatter(target, updated, index, mask=mask)
+
+
+# ---------------------------------------------------------------------------
+# Range / comparison helpers
+# ---------------------------------------------------------------------------
+
+
+def clamp(x, lo, hi):
+    return jnp.clip(x, lo, hi)
+
+
+def lerp(a, b, t):
+    """fmadd(t, b, fnmadd(t, a, a)) -- exact at endpoints (array_math.h:1354)."""
+    return t * b + (a - t * a)
+
+
+def sign(x):
+    """Branchless sign: copysign(1, x) (reference sign semantics: sign(0)=1)."""
+    x = jnp.asarray(x)
+    one = jnp.ones((), x.dtype)
+    return jnp.where(x < 0, -one, one) if not jnp.issubdtype(x.dtype, jnp.floating) else _copysign(one, x)
+
+
+_SAME_WIDTH_INT = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}
+
+
+def _copysign(a, b):
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    a, b = a.astype(dt), b.astype(dt)
+    itype = _SAME_WIDTH_INT[jnp.dtype(dt).itemsize]
+    ab = lax.bitcast_convert_type(a, itype)
+    bb = lax.bitcast_convert_type(b, itype)
+    nb = jnp.iinfo(itype).bits
+    smask = jnp.ones((), itype) << (nb - 1)
+    out = (ab & ~smask) | (bb & smask)
+    return lax.bitcast_convert_type(out, dt)
+
+
+def copysign(a, b):
+    return _copysign(a, b)
+
+
+def mulsign(a, b):
+    """a * sign(b) via sign-bit XOR (array_router.h mulsign)."""
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    a, b = a.astype(dt), b.astype(dt)
+    itype = _SAME_WIDTH_INT[jnp.dtype(dt).itemsize]
+    nb = jnp.iinfo(itype).bits
+    smask = jnp.ones((), itype) << (nb - 1)
+    ab = lax.bitcast_convert_type(a, itype)
+    bb = lax.bitcast_convert_type(b, itype)
+    return lax.bitcast_convert_type(ab ^ (bb & smask), dt)
+
+
+def abs_(x):
+    return jnp.abs(x)
+
+
+def sqr(x):
+    return x * x
+
+
+def isnan(x):
+    return jnp.isnan(x)
+
+
+def isinf(x):
+    return jnp.isinf(x)
+
+
+def isfinite(x):
+    return jnp.isfinite(x)
+
+
+def allclose(a, b, rtol=None, atol=None, equal_nan=False):
+    """``allclose`` with the reference's dtype-dependent defaults
+    (array_router.h:1310: rtol = 5*eps^(1/2)-ish; we mirror its published
+    defaults: 1e-5/1e-8 for f64, 1e-3/1e-5 for f32 -- numpy-compatible)."""
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    dt = jnp.promote_types(a.dtype, b.dtype)
+    if rtol is None:
+        rtol = 1e-5 if dt == jnp.float64 else 1e-3
+    if atol is None:
+        atol = 1e-8 if dt == jnp.float64 else 1e-5
+    return bool(jnp.allclose(a, b, rtol=rtol, atol=atol, equal_nan=equal_nan))
+
+
+# ---------------------------------------------------------------------------
+# Safe math (array_math.h:1397-1430): clamp the domain so neither the value
+# NOR the derivative can produce inf/NaN. The reference clamps values only
+# (its AD tape then multiplies the inf derivative by a zero weight under
+# safe_mul, autodiff.cpp:1191); under jax.grad the equivalent discipline is
+# a custom_jvp that zeroes the tangent at the domain boundary.
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_jvp
+def safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+@safe_sqrt.defjvp
+def _safe_sqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = safe_sqrt(x)
+    d = jnp.where(x > 0, 0.5 / jnp.where(x > 0, y, 1.0), 0.0)
+    return y, d * t
+
+
+@jax.custom_jvp
+def safe_rsqrt(x):
+    return lax.rsqrt(jnp.maximum(x, jnp.finfo(jnp.result_type(x, 1.0)).tiny))
+
+
+@safe_rsqrt.defjvp
+def _safe_rsqrt_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    y = safe_rsqrt(x)
+    d = jnp.where(x > 0, -0.5 * y * y * y, 0.0)
+    return y, d * t
+
+
+@jax.custom_jvp
+def safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_asin.defjvp
+def _safe_asin_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    inside = jnp.abs(x) < 1.0
+    d = jnp.where(inside, lax.rsqrt(jnp.maximum(1.0 - x * x, 1e-30)), 0.0)
+    return safe_asin(x), d * t
+
+
+@jax.custom_jvp
+def safe_acos(x):
+    return jnp.arccos(jnp.clip(x, -1.0, 1.0))
+
+
+@safe_acos.defjvp
+def _safe_acos_jvp(primals, tangents):
+    (x,), (t,) = primals, tangents
+    inside = jnp.abs(x) < 1.0
+    d = jnp.where(inside, -lax.rsqrt(jnp.maximum(1.0 - x * x, 1e-30)), 0.0)
+    return safe_acos(x), d * t
+
+
+# ---------------------------------------------------------------------------
+# Misc
+# ---------------------------------------------------------------------------
+
+
+def tile(x, count):
+    """``tile(x, n)`` -- repeat the whole array n times (array_router.h)."""
+    return jnp.tile(x, count)
+
+
+def repeat(x, count):
+    """``repeat(x, n)`` -- repeat each element n times."""
+    return jnp.repeat(x, count)
+
+
+def reverse(x):
+    return x[..., ::-1] if jnp.ndim(x) else x
+
+
+def head(x, n):
+    return x[:n]
+
+
+def tail(x, n):
+    return x[-n:]
+
+
+def concat(*arrays):
+    return jnp.concatenate([jnp.asarray(a) for a in arrays], axis=0)
+
+
+def next_float(x):
+    """Next representable float toward +inf (array_router.h next_float)."""
+    return jnp.nextafter(x, jnp.inf)
+
+
+def prev_float(x):
+    return jnp.nextafter(x, -jnp.inf)
+
+
+def deg_to_rad(x):
+    return x * (jnp.pi / 180.0)
+
+
+def rad_to_deg(x):
+    return x * (180.0 / jnp.pi)

@@ -1,0 +1,196 @@
+"""Vectorized PCG32 random number generator.
+
+Bit-exact reimplementation of the reference's vectorized PCG32
+(include/enoki/random.h:40-331; the PCG scheme is by Melissa O'Neill,
+pcg-random.org). State is a pytree of two emulated-u64 arrays, so a
+generator with N lanes produces N independent streams -- seeded exactly like
+the reference: ``initseq = arange(N) + PCG32_DEFAULT_STREAM``
+(random.h:52).
+
+TPU-native twist: there are no 64-bit integer lanes, so state lives as
+(hi, lo) uint32 pairs (see types/u64.py); every op lowers to native 32-bit
+VPU code and works inside jit/vmap/Pallas. Because JAX is functional, the
+mutating API of the reference becomes ``value, gen = gen.next_uint32()``.
+
+Parity checked in tests/test_random.py against a numpy uint64
+implementation of the reference algorithm (state update random.h:73,
+output permutation random.h:74-76, float bit-tricks random.h:118,136,
+advance random.h:265-285, bounded sampling random.h:165-216).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import u64 as U
+
+PCG32_DEFAULT_STATE = 0x853C49E6748FEA9B
+PCG32_DEFAULT_STREAM = 0xDA3E39CB94B95BDB
+PCG32_MULT = 0x5851F42D4C957F2D
+
+_MULT = None  # materialized lazily per shape
+
+
+class PCG32(NamedTuple):
+    """Functional PCG32: all methods return (result, new_generator)."""
+
+    state: U.U64
+    inc: U.U64
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def create(size: Optional[int] = None, initstate: int = PCG32_DEFAULT_STATE,
+               initseq=None) -> "PCG32":
+        """Matches PCG32(initstate, initseq) (random.h:51-54): per-lane
+        streams via initseq = arange(size) + DEFAULT_STREAM."""
+        shape = () if size is None else (size,)
+        if initseq is None:
+            if size is None:
+                seq = U.from_py(PCG32_DEFAULT_STREAM)
+            else:
+                lane = jnp.arange(size, dtype=jnp.uint32)
+                base = U.from_py(PCG32_DEFAULT_STREAM, (size,))
+                seq = U.add(base, U.U64(jnp.zeros_like(lane), lane))
+        elif isinstance(initseq, int):
+            seq = U.from_py(initseq, shape)
+        else:
+            seq = initseq
+        if isinstance(initstate, int):
+            st = U.from_py(initstate, shape)
+        else:
+            st = initstate
+        return PCG32._seed(st, seq)
+
+    @staticmethod
+    def _seed(initstate: U.U64, initseq: U.U64) -> "PCG32":
+        """seed() (random.h:62-68): state=0; inc=(initseq<<1)|1; round;
+        state+=initstate; round."""
+        inc = U.or_(U.shl(initseq, 1), U.from_py(1, initseq.lo.shape))
+        gen = PCG32(U.zeros(initseq.lo.shape), inc)
+        _, gen = gen.next_uint32()
+        gen = PCG32(U.add(gen.state, initstate), gen.inc)
+        _, gen = gen.next_uint32()
+        return gen
+
+    @property
+    def shape(self):
+        return self.state.lo.shape
+
+    # -- core output function ---------------------------------------------
+
+    def _step(self) -> Tuple[jnp.ndarray, U.U64]:
+        """One LCG step + XSH-RR output permutation (random.h:71-77)."""
+        oldstate = self.state
+        mult = U.from_py(PCG32_MULT, self.shape)
+        new_state = U.add(U.mul(oldstate, mult), self.inc)
+        # xorshifted = uint32(((oldstate >> 18) ^ oldstate) >> 27)
+        xs = U.shr(U.xor(U.shr(oldstate, 18), oldstate), 27).lo
+        rot = U.shr(oldstate, 59).lo
+        out = (xs >> rot) | (xs << ((32 - rot) & 31))
+        out = jnp.where(rot == 0, xs, out)
+        return out, new_state
+
+    def next_uint32(self, mask=None) -> Tuple[jnp.ndarray, "PCG32"]:
+        """random.h:71 (masked variant :80: inactive lanes do not advance)."""
+        out, new_state = self._step()
+        if mask is not None:
+            new_state = U.where(mask, new_state, self.state)
+        return out, PCG32(new_state, self.inc)
+
+    def next_uint64(self, mask=None) -> Tuple[U.U64, "PCG32"]:
+        """random.h:89: low word drawn first."""
+        lo, gen = self.next_uint32(mask)
+        hi, gen = gen.next_uint32(mask)
+        return U.U64(hi, lo), gen
+
+    def next_float32(self, mask=None) -> Tuple[jnp.ndarray, "PCG32"]:
+        """[0,1) via the (x >> 9) | 0x3f800000 bit trick (random.h:118)."""
+        bits, gen = self.next_uint32(mask)
+        f = lax.bitcast_convert_type((bits >> 9) | jnp.uint32(0x3F800000),
+                                     jnp.float32)
+        return f - 1.0, gen
+
+    def next_float64(self, mask=None):
+        """[0,1) with 32 mantissa bits (random.h:133-138). Only meaningful
+        under jax_enable_x64; provided for parity."""
+        bits, gen = self.next_uint32(mask)
+        hi = (bits.astype(jnp.uint64) << 20) | jnp.uint64(0x3FF0000000000000)
+        f = lax.bitcast_convert_type(hi, jnp.float64)
+        return f - 1.0, gen
+
+    def next_uint32_bounded(self, bound: int, mask=None):
+        """Unbiased bounded sampling (random.h:165-216).
+
+        The reference loops until all lanes clear the rejection threshold;
+        we run a lax.while_loop with per-lane masks -- the same algorithm,
+        trace-safe. ``bound`` must be a static python int.
+        """
+        threshold = ((~bound + 1) & 0xFFFFFFFF) % bound
+
+        def cond(carry):
+            _, _, active = carry
+            return jnp.any(active)
+
+        def body(carry):
+            result, gen, active = carry
+            draw, gen2 = gen.next_uint32(mask=active if mask is None
+                                         else active & mask)
+            result = jnp.where(active, draw, result)
+            active = active & (draw < threshold)
+            return result, gen2, active
+
+        active0 = jnp.ones(self.shape, bool) if mask is None else jnp.asarray(mask)
+        result0 = jnp.zeros(self.shape, jnp.uint32)
+        result, gen, _ = lax.while_loop(cond, body, (result0, self, active0))
+        return result % jnp.uint32(bound), gen
+
+    def advance(self, delta: int) -> "PCG32":
+        """Jump-ahead/back, Brown's fast-exponentiation method
+        (random.h:265-285). ``delta`` may be negative (goes the long way)."""
+        delta &= (1 << 64) - 1
+        cur_mult = U.from_py(PCG32_MULT, self.shape)
+        cur_plus = self.inc
+        acc_mult = U.from_py(1, self.shape)
+        acc_plus = U.from_py(0, self.shape)
+        # static 64-iteration unroll driven by the python int's bits
+        state = self.state
+        for bit in range(64):
+            if delta == 0:
+                break
+            if delta & 1:
+                acc_mult = U.mul(acc_mult, cur_mult)
+                acc_plus = U.add(U.mul(acc_plus, cur_mult), cur_plus)
+            one = U.from_py(1, self.shape)
+            cur_plus = U.mul(U.add(cur_mult, one), cur_plus)
+            cur_mult = U.mul(cur_mult, cur_mult)
+            delta >>= 1
+        return PCG32(U.add(U.mul(acc_mult, state), acc_plus), self.inc)
+
+    def shuffle(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, "PCG32"]:
+        """Fisher-Yates shuffle (random.h:318, Knuth TAoCP 3.4.2).
+
+        The reference shuffles a host container with a *scalar* generator;
+        here we shuffle a device array using lane 0's stream. Static-length
+        unroll (n-1 bounded draws).
+        """
+        n = x.shape[0]
+        gen = self
+        for i in range(n - 1, 0, -1):
+            j, gen = gen.next_uint32_bounded(i + 1)
+            j0 = jnp.reshape(j, (-1,))[0].astype(jnp.int32)
+            xi, xj = x[i], x[j0]
+            x = x.at[i].set(xj).at[j0].set(xi)
+        return x, gen
+
+
+def uniform(gen: PCG32, shape=None, dtype=jnp.float32):
+    """Convenience: draw a [0,1) array (one draw per lane)."""
+    del shape
+    if dtype == jnp.float64:
+        return gen.next_float64()
+    return gen.next_float32()

@@ -1,0 +1,144 @@
+"""Router op tests -- mirrors reference tests/basic.cpp, memory.cpp coverage."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from enoki_tpu import ops
+
+
+def test_constructors():
+    assert np.array_equal(ops.zeros(4), np.zeros(4, np.float32))
+    assert np.array_equal(ops.full(3, 7.0), np.full(3, 7.0, np.float32))
+    assert np.array_equal(ops.arange(5), np.arange(5))
+    lin = ops.linspace(-1.2, 1.2, 5)
+    assert np.allclose(lin, np.linspace(-1.2, 1.2, 5))
+    # endpoints exact (reference linspace semantics)
+    assert lin[0] == np.float32(-1.2) and lin[-1] == np.float32(1.2)
+
+
+def test_meshgrid_matches_reference_layout():
+    # array_utils.h:24: x varies fastest
+    x = jnp.array([1.0, 2.0, 3.0])
+    y = jnp.array([10.0, 20.0])
+    xs, ys = ops.meshgrid(x, y)
+    assert np.array_equal(xs, [1, 2, 3, 1, 2, 3])
+    assert np.array_equal(ys, [10, 10, 10, 20, 20, 20])
+
+
+def test_select_and_masked_assign():
+    m = jnp.array([True, False, True])
+    a = jnp.array([1.0, 2.0, 3.0])
+    b = jnp.array([9.0, 9.0, 9.0])
+    assert np.array_equal(ops.select(m, a, b), [1, 9, 3])
+    assert np.array_equal(ops.masked_assign(a, m, 0.0), [0, 2, 0])
+
+
+def test_fused_ops():
+    a, b, c = jnp.float32(2), jnp.float32(3), jnp.float32(4)
+    assert ops.fmadd(a, b, c) == 10
+    assert ops.fmsub(a, b, c) == 2
+    assert ops.fnmadd(a, b, c) == -2
+    assert ops.fnmsub(a, b, c) == -10
+
+
+def test_bit_ops():
+    x = jnp.array([0, 1, 2, 255, 2**31 - 1], jnp.uint32)
+    assert np.array_equal(ops.popcnt(x), [0, 1, 1, 8, 31])
+    assert np.array_equal(ops.lzcnt(x), [32, 31, 30, 24, 1])
+    assert np.array_equal(ops.tzcnt(x), [32, 0, 1, 0, 0])
+    assert ops.log2i(jnp.uint32(8)) == 3
+
+
+def test_mulhi():
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 2**32, 1000, dtype=np.uint32)
+    b = rng.integers(0, 2**32, 1000, dtype=np.uint32)
+    want = ((a.astype(np.uint64) * b.astype(np.uint64)) >> 32).astype(np.uint32)
+    got = ops.mulhi(jnp.asarray(a), jnp.asarray(b))
+    assert np.array_equal(got, want)
+    # signed
+    sa = rng.integers(-2**31, 2**31, 1000, dtype=np.int64).astype(np.int32)
+    sb = rng.integers(-2**31, 2**31, 1000, dtype=np.int64).astype(np.int32)
+    want_s = ((sa.astype(np.int64) * sb.astype(np.int64)) >> 32).astype(np.int32)
+    got_s = ops.mulhi(jnp.asarray(sa), jnp.asarray(sb))
+    assert np.array_equal(got_s, want_s)
+
+
+def test_rotate():
+    x = jnp.array([0x80000001], jnp.uint32)
+    assert np.asarray(ops.ror(x, 1))[0] == np.uint32(0xC0000000)
+    assert np.asarray(ops.rol(x, 1))[0] == np.uint32(0x00000003)
+
+
+def test_ldexp_frexp():
+    x = jnp.array([1.5, -3.25, 1024.0, 0.0], jnp.float32)
+    y = ops.ldexp(x, jnp.array([2, -1, 3, 5]))
+    assert np.array_equal(y, [6.0, -1.625, 8192.0, 0.0])
+    m, e = ops.frexp(jnp.array([8.0, 0.5, -5.0, 0.0], jnp.float32))
+    want_m, want_e = np.frexp(np.array([8.0, 0.5, -5.0, 0.0], np.float32))
+    assert np.allclose(m, want_m) and np.array_equal(e, want_e)
+
+
+def test_gather_scatter():
+    src = jnp.array([10.0, 20.0, 30.0, 40.0])
+    idx = jnp.array([3, 0, 1])
+    assert np.array_equal(ops.gather(src, idx), [40, 10, 20])
+    m = jnp.array([True, False, True])
+    assert np.array_equal(ops.gather(src, idx, mask=m), [40, 0, 20])
+
+    tgt = jnp.zeros(4)
+    out = ops.scatter(tgt, jnp.array([1.0, 2.0, 3.0]), idx)
+    assert np.array_equal(out, [2, 3, 0, 1])
+    out = ops.scatter(tgt, jnp.array([1.0, 2.0, 3.0]), idx, mask=m)
+    assert np.array_equal(out, [0, 3, 0, 1])
+
+
+def test_scatter_add_conflicts():
+    # histogram-style conflict test (tests/histogram.cpp:54)
+    tgt = jnp.zeros(4)
+    idx = jnp.array([1, 1, 1, 2])
+    out = ops.scatter_add(tgt, jnp.ones(4), idx)
+    assert np.array_equal(out, [0, 3, 1, 0])
+    m = jnp.array([True, True, False, True])
+    out = ops.scatter_add(tgt, jnp.ones(4), idx, mask=m)
+    assert np.array_equal(out, [0, 2, 1, 0])
+
+
+def test_transform():
+    # read-modify-write scatter (array_router.h:1171)
+    tgt = jnp.array([1.0, 2.0, 3.0])
+    out = ops.transform(tgt, jnp.array([0, 2]), lambda v: v * 10.0)
+    assert np.array_equal(out, [10, 2, 30])
+
+
+def test_sign_copysign_mulsign():
+    x = jnp.array([-2.0, 3.0, -0.0, 0.0])
+    assert np.array_equal(ops.sign(x), [-1, 1, -1, 1])
+    assert np.array_equal(ops.copysign(jnp.full(4, 5.0), x), [-5, 5, -5, 5])
+    assert np.array_equal(ops.mulsign(jnp.array([1.0, 2.0, 3.0, 4.0]), x),
+                          [-1, 2, -3, 4])
+
+
+def test_safe_math():
+    assert ops.safe_sqrt(jnp.float32(-1.0)) == 0.0
+    assert ops.safe_asin(jnp.float32(2.0)) == pytest.approx(np.pi / 2)
+    assert ops.safe_acos(jnp.float32(-2.0)) == pytest.approx(np.pi)
+    import jax
+    # gradient of safe_sqrt at 0 must be finite (mask discipline, SURVEY §7)
+    g = jax.grad(lambda v: ops.safe_sqrt(v))(jnp.float32(0.0))
+    assert np.isfinite(g)
+
+
+def test_lerp_clamp_misc():
+    assert ops.lerp(jnp.float32(1.0), jnp.float32(3.0), jnp.float32(0.5)) == 2.0
+    assert ops.lerp(jnp.float32(1.0), jnp.float32(3.0), jnp.float32(1.0)) == 3.0
+    assert ops.clamp(jnp.float32(5.0), 0.0, 2.0) == 2.0
+    assert np.array_equal(ops.reverse(jnp.array([1, 2, 3])), [3, 2, 1])
+    assert np.array_equal(ops.tile(jnp.array([1, 2]), 2), [1, 2, 1, 2])
+    assert np.array_equal(ops.repeat(jnp.array([1, 2]), 2), [1, 1, 2, 2])
+
+
+def test_allclose():
+    assert ops.allclose(jnp.array([1.0, 2.0]), jnp.array([1.0, 2.0 + 1e-6]))
+    assert not ops.allclose(jnp.array([1.0]), jnp.array([1.1]))

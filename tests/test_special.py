@@ -1,0 +1,205 @@
+"""Special function tests vs scipy -- mirrors reference tests/special.cpp."""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.special as sp
+
+from enoki_tpu.ops import special as S
+
+POLY = "poly"
+
+
+def _sweep(lo, hi, n=20000, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(lo, hi, n).astype(np.float32)
+
+
+def test_erf_poly():
+    x = _sweep(-6, 6)
+    got = np.asarray(S.erf(jnp.asarray(x), POLY), np.float64)
+    want = sp.erf(x.astype(np.float64))
+    assert np.abs(got - want).max() < 2e-7
+
+
+def test_erfc_poly():
+    # domain capped at 9: erfc(9.3) already underflows f32 normals
+    x = _sweep(-4, 9)
+    got = np.asarray(S.erfc(jnp.asarray(x), POLY), np.float64)
+    want = sp.erfc(x.astype(np.float64))
+    keep = want > 1e-37  # representable as f32 normals
+    rel = (np.abs(got - want) / want)[keep]
+    assert rel.max() < 5e-5  # f32 exp(-x^2) limits relative accuracy
+
+
+def test_erfinv_poly():
+    x = _sweep(-0.999, 0.999)
+    got = np.asarray(S.erfinv(jnp.asarray(x), POLY), np.float64)
+    want = sp.erfinv(x.astype(np.float64))
+    assert np.abs(got - want).max() < 5e-6
+    # roundtrip (histogram.cpp relies on this for normal sampling)
+    rt = np.asarray(S.erf(S.erfinv(jnp.asarray(x), POLY), POLY))
+    assert np.abs(rt - x).max() < 1e-5
+
+
+def test_erfinv_native():
+    x = _sweep(-0.999, 0.999)
+    got = np.asarray(S.erfinv(jnp.asarray(x)), np.float64)
+    want = sp.erfinv(x.astype(np.float64))
+    assert np.abs(got - want).max() < 5e-6
+
+
+def test_i0e():
+    x = _sweep(-50, 50)
+    got = np.asarray(S.i0e(jnp.asarray(x), POLY), np.float64)
+    want = sp.i0e(x.astype(np.float64))
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-5
+
+
+def test_dawson():
+    x = _sweep(-20, 20)
+    got = np.asarray(S.dawson(jnp.asarray(x)), np.float64)
+    want = sp.dawsn(x.astype(np.float64))
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+    assert rel.max() < 2e-6  # our fit: 8.4e-7 + f32 rounding
+
+
+def test_erfi():
+    x = _sweep(-3, 3)
+    got = np.asarray(S.erfi(jnp.asarray(x)), np.float64)
+    want = sp.erfi(x.astype(np.float64))
+    rel = np.abs(got - want) / np.maximum(np.abs(want), 1e-30)
+    assert rel.max() < 1e-4
+
+
+def test_lgamma():
+    x = _sweep(0.01, 30)
+    got = np.asarray(S.lgamma(jnp.asarray(x), POLY), np.float64)
+    want = sp.gammaln(x.astype(np.float64))
+    assert np.abs(got - want).max() < 1e-3  # Lanczos g=5 f32 class
+    # negative non-integers via reflection
+    xn = _sweep(-4.9, -0.1, seed=1)
+    xn = xn[np.abs(xn - np.round(xn)) > 0.05]
+    got = np.asarray(S.lgamma(jnp.asarray(xn), POLY), np.float64)
+    want = sp.gammaln(xn.astype(np.float64))
+    assert np.abs(got - want).max() < 2e-3
+
+
+def test_tgamma_sign_correct():
+    x = np.array([-2.5, -1.5, -0.5, 0.5, 1.5, 4.0], np.float32)
+    got = np.asarray(S.tgamma(jnp.asarray(x)), np.float64)
+    want = sp.gamma(x.astype(np.float64))
+    assert np.allclose(got, want, rtol=1e-4)
+
+
+def test_carlson_rf():
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0.0, 5, 2000)
+    y = rng.uniform(0.01, 5, 2000)
+    z = rng.uniform(0.01, 5, 2000)
+    got = np.asarray(S.carlson_rf(jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(y, jnp.float32),
+                                  jnp.asarray(z, jnp.float32)), np.float64)
+    want = sp.elliprf(x, y, z)
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-4
+
+
+def test_carlson_rd():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.0, 5, 2000)
+    y = rng.uniform(0.01, 5, 2000)
+    z = rng.uniform(0.01, 5, 2000)
+    got = np.asarray(S.carlson_rd(jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(y, jnp.float32),
+                                  jnp.asarray(z, jnp.float32)), np.float64)
+    want = sp.elliprd(x, y, z)
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-4
+
+
+def test_carlson_rc():
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.0, 5, 2000)
+    y = rng.uniform(0.01, 5, 2000)
+    got = np.asarray(S.carlson_rc(jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(y, jnp.float32)), np.float64)
+    want = sp.elliprc(x, y)
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-4
+
+
+def test_carlson_rj():
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.0, 5, 2000)
+    y = rng.uniform(0.01, 5, 2000)
+    z = rng.uniform(0.01, 5, 2000)
+    r = rng.uniform(0.01, 5, 2000)
+    got = np.asarray(S.carlson_rj(jnp.asarray(x, jnp.float32),
+                                  jnp.asarray(y, jnp.float32),
+                                  jnp.asarray(z, jnp.float32),
+                                  jnp.asarray(r, jnp.float32)), np.float64)
+    want = sp.elliprj(x, y, z, r)
+    rel = np.abs(got - want) / np.abs(want)
+    assert rel.max() < 1e-3
+
+
+def test_ellint_1():
+    # k convention: reference squares k internally (special.h:562-564);
+    # scipy's ellipkinc takes m = k^2.
+    rng = np.random.default_rng(6)
+    phi = rng.uniform(-0.49 * np.pi, 0.49 * np.pi, 2000)
+    k = rng.uniform(0.0, 0.95, 2000)
+    got = np.asarray(S.ellint_1(jnp.asarray(phi, jnp.float32),
+                                jnp.asarray(k, jnp.float32)), np.float64)
+    want = sp.ellipkinc(phi, k * k)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_comp_ellint_1_2():
+    k = np.linspace(0, 0.95, 100)
+    got1 = np.asarray(S.comp_ellint_1(jnp.asarray(k, jnp.float32)), np.float64)
+    want1 = sp.ellipkm1(1 - k * k)
+    assert np.abs(got1 - want1).max() < 1e-4
+    got2 = np.asarray(S.comp_ellint_2(jnp.asarray(k, jnp.float32)), np.float64)
+    want2 = sp.ellipe(k * k)
+    assert np.abs(got2 - want2).max() < 1e-4
+
+
+def test_ellint_2():
+    rng = np.random.default_rng(7)
+    phi = rng.uniform(-0.49 * np.pi, 0.49 * np.pi, 2000)
+    k = rng.uniform(0.0, 0.95, 2000)
+    got = np.asarray(S.ellint_2(jnp.asarray(phi, jnp.float32),
+                                jnp.asarray(k, jnp.float32)), np.float64)
+    want = sp.ellipeinc(phi, k * k)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_ellint_1_beyond_quadrant():
+    # periodic continuation (special.h:585-588)
+    phi = np.array([2.0, 3.0, -2.5], np.float64)
+    k = np.array([0.5, 0.3, 0.7], np.float64)
+    got = np.asarray(S.ellint_1(jnp.asarray(phi, jnp.float32),
+                                jnp.asarray(k, jnp.float32)), np.float64)
+    want = sp.ellipkinc(phi, k * k)
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_ellint_3():
+    # reference convention: characteristic enters as (1 + nu sin^2)
+    # (special.h:665); scipy ellip... uses (1 - n sin^2) -> nu = -n.
+    rng = np.random.default_rng(8)
+    phi = rng.uniform(-0.4 * np.pi, 0.4 * np.pi, 500)
+    k = rng.uniform(0.0, 0.9, 500)
+    n = rng.uniform(-0.5, 0.5, 500)
+    from scipy.integrate import quad
+    want = np.array([
+        quad(lambda t, kk=kk, nn=nn: 1.0 / ((1 - nn * np.sin(t) ** 2)
+             * np.sqrt(1 - kk * kk * np.sin(t) ** 2)), 0, p)[0]
+        for p, kk, nn in zip(phi[:50], k[:50], n[:50])
+    ])
+    got = np.asarray(S.ellint_3(jnp.asarray(phi[:50], jnp.float32),
+                                jnp.asarray(k[:50], jnp.float32),
+                                jnp.asarray(-n[:50], jnp.float32)), np.float64)
+    assert np.abs(got - want).max() < 1e-3
