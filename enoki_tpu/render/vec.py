@@ -1,0 +1,92 @@
+"""SoA 2/3-vectors for the render pipeline.
+
+The reference's ``Vector3fX = Array<FloatX, 3>`` is a nested SoA vector:
+three wide arrays (tests/sphere.cpp:36-39). The TPU-native equivalent is a
+pytree struct of per-component arrays -- each component is a full VPU-wide
+array, every vector op is straight-line elementwise code, and nothing
+fights the (8,128) tile layout the way a trailing axis of 3 would.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Vec2:
+    x: jnp.ndarray
+    y: jnp.ndarray
+
+    def __add__(self, o):
+        return Vec2(self.x + o.x, self.y + o.y)
+
+    def __sub__(self, o):
+        return Vec2(self.x - o.x, self.y - o.y)
+
+    def __mul__(self, s):
+        return Vec2(self.x * s, self.y * s)
+
+    __rmul__ = __mul__
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Vec3:
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    @staticmethod
+    def of(x, y, z) -> "Vec3":
+        x = jnp.asarray(x, jnp.result_type(x, 1.0))
+        return Vec3(x, jnp.asarray(y, x.dtype), jnp.asarray(z, x.dtype))
+
+    @staticmethod
+    def splat(x, y, z, like=None) -> "Vec3":
+        """Constant vector broadcast against ``like``'s lanes."""
+        dt = like.x.dtype if like is not None else jnp.float32
+        return Vec3(jnp.asarray(x, dt), jnp.asarray(y, dt), jnp.asarray(z, dt))
+
+    def __add__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x + o.x, self.y + o.y, self.z + o.z)
+        return Vec3(self.x + o, self.y + o, self.z + o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, Vec3):
+            return Vec3(self.x - o.x, self.y - o.y, self.z - o.z)
+        return Vec3(self.x - o, self.y - o, self.z - o)
+
+    def __mul__(self, s):
+        if isinstance(s, Vec3):
+            return Vec3(self.x * s.x, self.y * s.y, self.z * s.z)
+        return Vec3(self.x * s, self.y * s, self.z * s)
+
+    __rmul__ = __mul__
+
+    def __neg__(self):
+        return Vec3(-self.x, -self.y, -self.z)
+
+
+def dot3(a: Vec3, b: Vec3):
+    return a.x * b.x + a.y * b.y + a.z * b.z
+
+
+def cross3(a: Vec3, b: Vec3) -> Vec3:
+    return Vec3(a.y * b.z - a.z * b.y,
+                a.z * b.x - a.x * b.z,
+                a.x * b.y - a.y * b.x)
+
+
+def norm3(a: Vec3):
+    return jnp.sqrt(dot3(a, a))
+
+
+def normalize3(a: Vec3) -> Vec3:
+    return a * jax.lax.rsqrt(dot3(a, a))

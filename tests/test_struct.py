@@ -1,0 +1,168 @@
+"""Struct layer tests -- mirrors reference tests/custom.cpp (ENOKI_STRUCT),
+tests/call.cpp (vectorized vcalls), masked idioms."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from enoki_tpu.struct import (
+    enoki_struct, width, zeros_like, select_struct, gather_struct,
+    scatter_struct, slice_struct, concat_structs, detach, masked,
+    dispatch_masked, dispatch_partition, dispatch_switch, InstanceRegistry,
+    vectorize, vectorize_wrapper,
+)
+
+
+@enoki_struct
+class Pt:
+    x: jnp.ndarray
+    y: jnp.ndarray
+
+
+def test_struct_basics():
+    p = Pt(jnp.arange(4.0), jnp.arange(4.0) * 10)
+    assert width(p) == 4
+    z = zeros_like(p)
+    assert np.all(np.asarray(z.x) == 0)
+    s = slice_struct(p, 2)
+    assert float(s.x) == 2 and float(s.y) == 20
+    # pytree: jit/vmap work
+    moved = jax.jit(lambda q: Pt(q.x + 1, q.y + 1))(p)
+    assert np.array_equal(moved.x, [1, 2, 3, 4])
+
+
+def test_struct_gather_scatter():
+    p = Pt(jnp.arange(4.0), jnp.arange(4.0) * 10)
+    g = gather_struct(p, jnp.array([2, 0]))
+    assert np.array_equal(g.x, [2, 0]) and np.array_equal(g.y, [20, 0])
+    dst = zeros_like(p)
+    out = scatter_struct(dst, g, jnp.array([1, 3]))
+    assert np.array_equal(out.x, [0, 2, 0, 0])
+    m = jnp.array([True, False])
+    out = scatter_struct(dst, g, jnp.array([1, 3]), mask=m)
+    assert np.array_equal(out.x, [0, 2, 0, 0])
+    assert np.array_equal(out.y, [0, 20, 0, 0])
+
+
+def test_select_and_concat():
+    a = Pt(jnp.zeros(3), jnp.zeros(3))
+    b = Pt(jnp.ones(3), jnp.ones(3))
+    m = jnp.array([True, False, True])
+    s = select_struct(m, b, a)
+    assert np.array_equal(s.x, [1, 0, 1])
+    c = concat_structs(a, b)
+    assert width(c) == 6
+
+
+def test_masked_idioms():
+    x = jnp.array([1.0, 2.0, 3.0])
+    m = jnp.array([True, False, True])
+    assert np.array_equal(masked(x, m).assign(9.0), [9, 2, 9])
+    assert np.array_equal(masked(x, m).add(1.0), [2, 2, 4])
+    assert np.array_equal(masked(x, m).mul(2.0), [2, 2, 6])
+
+
+def test_detach_stops_gradient():
+    def f(x):
+        return jnp.sum(detach(x * 2.0) * x)
+
+    g = jax.grad(f)(jnp.ones(3))
+    assert np.array_equal(g, [2, 2, 2])  # only the second factor contributes
+
+
+def test_vectorize():
+    def f(a, b):
+        return a * b + 1.0
+
+    out = vectorize(f, jnp.arange(4.0), jnp.arange(4.0))
+    assert np.array_equal(out, [1, 2, 5, 10])
+    # incompatible sizes raise (dynamic.h:1042 semantics)
+    import pytest
+    with pytest.raises(ValueError):
+        vectorize(f, jnp.arange(4.0), jnp.arange(5.0))
+    # size-1 broadcast allowed
+    out = vectorize(f, jnp.arange(4.0), jnp.ones(1))
+    assert np.array_equal(out, [1, 2, 3, 4])
+
+
+def test_vectorize_wrapper():
+    def per_lane(a, b):
+        return a + b
+
+    wide = vectorize_wrapper(per_lane)
+    assert np.array_equal(wide(jnp.arange(3.0), jnp.arange(3.0)), [0, 2, 4])
+
+
+# --- vectorized method calls (tests/call.cpp analog) ---
+
+
+def _f_double(mask, x):
+    return x * 2.0
+
+
+def _f_square(mask, x):
+    return x * x
+
+
+def _f_neg(mask, x):
+    return -x
+
+
+def test_dispatch_masked():
+    ids = jnp.array([0, 1, 2, 0, 1], jnp.int32)
+    x = jnp.array([1.0, 2.0, 3.0, 4.0, 5.0])
+    out = dispatch_masked([_f_double, _f_square, _f_neg], ids, x)
+    assert np.array_equal(out, [2, 4, -3, 8, 25])
+
+
+def test_dispatch_partition_matches_masked():
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 3, 257), jnp.int32)
+    x = jnp.asarray(rng.normal(size=257).astype(np.float32))
+    a = dispatch_masked([_f_double, _f_square, _f_neg], ids, x)
+    b = dispatch_partition([_f_double, _f_square, _f_neg], ids, x)
+    assert np.allclose(a, b)
+
+
+def test_dispatch_switch():
+    x = jnp.array([1.0, 2.0])
+    out = dispatch_switch([lambda v: v * 2, lambda v: v * v], jnp.int32(1), x)
+    assert np.array_equal(out, [1, 4])
+
+
+def test_instance_registry():
+    class Shape:
+        def __init__(self, scale):
+            self.scale = scale
+
+        def eval(self, mask, x):
+            return x * self.scale
+
+    reg = InstanceRegistry()
+    reg.register(Shape(2.0))
+    reg.register(Shape(-1.0))
+    ids = jnp.array([0, 1, 0], jnp.int32)
+    x = jnp.array([1.0, 2.0, 3.0])
+    out = reg.dispatch("eval", ids, x)
+    assert np.array_equal(out, [2, -2, 6])
+    out = reg.dispatch("eval", ids, x, strategy="partition")
+    assert np.array_equal(out, [2, -2, 6])
+    # gather-based getter (ENOKI_CALL_SUPPORT_GETTER)
+    scales = reg.getter("scale", ids)
+    assert np.array_equal(scales, [2, -1, 2])
+
+
+def test_dispatch_inside_jit_and_grad():
+    funcs = [_f_double, _f_square]
+    ids = jnp.array([0, 1, 1, 0], jnp.int32)
+
+    @jax.jit
+    def run(x):
+        return jnp.sum(dispatch_masked(funcs, ids, x))
+
+    x = jnp.array([1.0, 2.0, 3.0, 4.0])
+    assert float(run(x)) == 2 + 4 + 9 + 8
+    g = jax.grad(run)(x)
+    assert np.array_equal(g, [2, 4, 6, 2])
