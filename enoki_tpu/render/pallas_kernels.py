@@ -1,0 +1,304 @@
+"""Fused Pallas render megakernels (fwd + custom-VJP bwd).
+
+BASELINE.json config 4: "fused single-megakernel render (CUDA-JIT parity)
+as one Pallas fwd+bwd kernel". The reference's trace-JIT assembles every
+live op into one grid-stride PTX kernel (src/cuda/jit.cu:983-1227); here
+the whole render -- pixel-coordinate generation, ray setup, intersect /
+march, shade -- is one ``pl.pallas_call`` over VMEM pixel tiles, and the
+backward pass is a second kernel that *recomputes* the forward per tile
+and runs an in-kernel ``jax.vjp`` (recompute-over-store: the render is
+arithmetic-dense and residual traffic would be pure HBM waste).
+
+Scene parameters travel as a flat f32 vector in SMEM (the analog of the
+reference's kernel launch params, jit.cu:1117); parameter gradients
+accumulate in an SMEM output across the sequential TPU grid -- no atomics
+needed because the Pallas TPU grid is a sequential loop on the core.
+
+The SDF variant backward uses the implicit-function trick of
+render/sdf.py::march_implicit -- the march loop is never reversed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .vec import Vec2, Vec3, dot3
+from .sphere import SphereScene, combined
+from .sdf import SDFScene, sdf
+
+# Flat parameter-vector layout (padded to 16 for SMEM friendliness):
+# [cx, cy, cz, radius, ambient, gain, lx, ly, lz, 0...]
+N_PARAMS = 16
+
+
+def scene_to_vec(scene) -> jnp.ndarray:
+    v = jnp.stack([scene.center.x, scene.center.y, scene.center.z,
+                   scene.radius, scene.ambient, scene.gain,
+                   scene.light.x, scene.light.y, scene.light.z])
+    return jnp.concatenate([v.astype(jnp.float32),
+                            jnp.zeros(N_PARAMS - 9, jnp.float32)])
+
+
+def vec_to_scene(v, cls=SphereScene):
+    return cls(center=Vec3(v[0], v[1], v[2]), radius=v[3], ambient=v[4],
+               gain=v[5], light=Vec3(v[6], v[7], v[8]))
+
+
+def _tile_pixels(tile_r: int, tile_c: int, n: int, extent: float):
+    """Pixel coordinates of the current grid tile. Matches
+    linspace(-extent, extent, n) + meshgrid 'xy' reshaped to (n, n):
+    x varies along columns, y along rows (tests/sphere.cpp:130-131)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    step = 2.0 * extent / (n - 1)
+    rows = lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 0) + i * tile_r
+    cols = lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 1) + j * tile_c
+    py = rows.astype(jnp.float32) * step - extent
+    px = cols.astype(jnp.float32) * step - extent
+    return px, py
+
+
+def _read_params(params_ref) -> jnp.ndarray:
+    return jnp.stack([params_ref[0, k] for k in range(9)])
+
+
+# ---------------------------------------------------------------------------
+# Closed-form sphere megakernel
+# ---------------------------------------------------------------------------
+
+
+def _sphere_fwd_kernel(params_ref, out_ref, *, n, extent):
+    tr, tc = out_ref.shape
+    px, py = _tile_pixels(tr, tc, n, extent)
+    scene = vec_to_scene(_read_params(params_ref))
+    out_ref[:, :] = combined(Vec2(px, py), scene)
+
+
+def _sphere_bwd_kernel(params_ref, g_ref, dp_ref, *, n, extent):
+    tr, tc = g_ref.shape
+    px, py = _tile_pixels(tr, tc, n, extent)
+
+    def f(pvec):
+        return combined(Vec2(px, py), vec_to_scene(pvec))
+
+    _, vjp_fn = jax.vjp(f, _read_params(params_ref))
+    (dp,) = vjp_fn(g_ref[:, :])
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for k in range(N_PARAMS):
+            dp_ref[0, k] = 0.0
+
+    for k in range(9):
+        dp_ref[0, k] += dp[k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def render_sphere_pallas(params: jnp.ndarray, n: int = 1024,
+                         extent: float = 1.2, tile: int = 256):
+    """Fused sphere render as one Pallas kernel -> (n, n) image.
+
+    ``params`` is the flat scene vector (scene_to_vec). Differentiable via
+    the paired bwd megakernel.
+    """
+    return _sphere_fwd(params, n, extent, tile)
+
+
+def _sphere_fwd_call(params, n, extent, tile):
+    assert n % tile == 0, "image size must be divisible by the tile size"
+    grid = (n // tile, n // tile)
+    return pl.pallas_call(
+        functools.partial(_sphere_fwd_kernel, n=n, extent=extent),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+    )(params.reshape(1, N_PARAMS))
+
+
+def _sphere_fwd(params, n, extent, tile):
+    return _sphere_fwd_call(params, n, extent, tile)
+
+
+def _sphere_vjp_fwd(params, n, extent, tile):
+    return _sphere_fwd_call(params, n, extent, tile), params
+
+
+def _sphere_vjp_bwd(n, extent, tile, params, g):
+    grid = (n // tile, n // tile)
+    dp = pl.pallas_call(
+        functools.partial(_sphere_bwd_kernel, n=n, extent=extent),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N_PARAMS), jnp.float32),
+    )(params.reshape(1, N_PARAMS), g)
+    return (dp.reshape(N_PARAMS),)
+
+
+render_sphere_pallas.defvjp(_sphere_vjp_fwd, _sphere_vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# SDF march megakernel (march loop INSIDE the kernel; implicit-diff bwd)
+# ---------------------------------------------------------------------------
+
+
+def _march_tile(px, py, scene: SDFScene, n_steps: int,
+                eps: float = 1e-4, t_max: float = 10.0):
+    """Sphere-trace a pixel tile; all state lives in registers/VMEM."""
+    oz = jnp.full_like(px, -1.0)
+    t = jnp.zeros_like(px)
+    # Masks ride as f32 0/1 vectors: Mosaic cannot legalize scf.for with
+    # vector-of-bool loop carries (and a full static unroll blows the VMEM
+    # stack at large tiles), so the carry is (t, active, hit) in f32.
+    active = jnp.ones_like(px)
+    hit = jnp.zeros_like(px)
+
+    def body(_, st):
+        t, active, hit = st
+        p = Vec3(px, py, oz + t)
+        d = sdf(p, scene)
+        converged = (d < eps).astype(px.dtype)
+        hit = jnp.maximum(hit, active * converged)
+        t_new = t + d
+        alive = active * (1.0 - converged) * (t_new <= t_max).astype(px.dtype)
+        t = jnp.where(alive > 0, t_new, t)
+        return t, alive, hit
+
+    t, _, hit = lax.fori_loop(0, n_steps, body, (t, active, hit))
+    return t, hit > 0
+
+
+def _sdf_shade_tile(px, py, t, hit, pvec):
+    """Shade at fixed (t, hit) -- differentiable in pvec and t."""
+    scene = vec_to_scene(pvec, SDFScene)
+    p = Vec3(px, py, -1.0 + t)
+
+    # analytic SDF normal via the sum-grad trick (elementwise in lanes)
+    def s_sum(px_, py_, pz_):
+        return jnp.sum(sdf(Vec3(px_, py_, pz_), scene))
+
+    gx, gy, gz = jax.grad(s_sum, argnums=(0, 1, 2))(p.x, p.y, p.z)
+    inv = lax.rsqrt(gx * gx + gy * gy + gz * gz + 1e-12)
+    lambert = jnp.maximum((gx * scene.light.x + gy * scene.light.y +
+                           gz * scene.light.z) * inv, 0.0)
+    img = scene.ambient + lambert * scene.gain
+    return jnp.where(hit, img, scene.ambient + jnp.zeros_like(img))
+
+
+def _sdf_fwd_kernel(params_ref, out_ref, *, n, extent, n_steps):
+    tr, tc = out_ref.shape
+    px, py = _tile_pixels(tr, tc, n, extent)
+    pvec = _read_params(params_ref)
+    scene = vec_to_scene(pvec, SDFScene)
+    t, hit = _march_tile(px, py, scene, n_steps)
+    out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
+
+
+def _sdf_bwd_kernel(params_ref, g_ref, dp_ref, *, n, extent, n_steps):
+    tr, tc = g_ref.shape
+    px, py = _tile_pixels(tr, tc, n, extent)
+    pvec = _read_params(params_ref)
+    scene = vec_to_scene(pvec, SDFScene)
+
+    # recompute the march (cheap, no residual traffic)
+    t, hit = _march_tile(px, py, scene, n_steps)
+    g = g_ref[:, :]
+
+    # direct term: d shade / d pvec and cotangent w.r.t. t
+    def f_shade(pv, tv):
+        return _sdf_shade_tile(px, py, tv, hit, pv)
+
+    _, vjp_fn = jax.vjp(f_shade, pvec, t)
+    dp_direct, t_bar = vjp_fn(g)
+
+    # implicit term: t* solves sdf(ray(t*), theta) = eps
+    def f_sdf_at(pv, tv):
+        return jnp.sum(sdf(Vec3(px, py, -1.0 + tv),
+                           vec_to_scene(pv, SDFScene)))
+
+    df_dt = jax.grad(f_sdf_at, argnums=1)(pvec, t)
+    df_dt = jnp.where(jnp.abs(df_dt) > 1e-6, df_dt, 1.0)
+    w = jnp.where(hit, -t_bar / df_dt, 0.0)
+    dp_indirect = jax.grad(
+        lambda pv: jnp.sum(sdf(Vec3(px, py, -1.0 + t),
+                               vec_to_scene(pv, SDFScene)) * w))(pvec)
+
+    dp = dp_direct + dp_indirect
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for k in range(N_PARAMS):
+            dp_ref[0, k] = 0.0
+
+    for k in range(9):
+        dp_ref[0, k] += dp[k]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
+                      n_steps: int = 64, extent: float = 1.2,
+                      tile: int = 256):
+    """Fused SDF ray-march megakernel -> (n, n) image (config 4)."""
+    return _sdf_fwd_call(params, n, n_steps, extent, tile)
+
+
+def _sdf_fwd_call(params, n, n_steps, extent, tile):
+    assert n % tile == 0, "image size must be divisible by the tile size"
+    grid = (n // tile, n // tile)
+    return pl.pallas_call(
+        functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
+                          n_steps=n_steps),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+    )(params.reshape(1, N_PARAMS))
+
+
+def _sdf_vjp_fwd(params, n, n_steps, extent, tile):
+    return _sdf_fwd_call(params, n, n_steps, extent, tile), params
+
+
+def _sdf_vjp_bwd(n, n_steps, extent, tile, params, g):
+    grid = (n // tile, n // tile)
+    dp = pl.pallas_call(
+        functools.partial(_sdf_bwd_kernel, n=n, extent=extent,
+                          n_steps=n_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, N_PARAMS), jnp.float32),
+    )(params.reshape(1, N_PARAMS), g)
+    return (dp.reshape(N_PARAMS),)
+
+
+render_sdf_pallas.defvjp(_sdf_vjp_fwd, _sdf_vjp_bwd)

@@ -88,6 +88,50 @@ def march(ray: Ray, scene: SDFScene, n_steps: int = 64,
     return t, hit
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def march_implicit(ray: Ray, scene: SDFScene, n_steps: int = 64,
+                   eps: float = 1e-4, t_max: float = 10.0):
+    """March with an implicit-function-theorem backward.
+
+    Forward: identical sphere-trace to ``march`` (no AD bookkeeping).
+    Backward: at a converged hit, t* satisfies sdf(o + t* d, theta) = eps,
+    so dt*/dtheta = -(d sdf/d theta) / (d sdf/d t) at the hit point -- one
+    closed-form VJP instead of reversing a 64-step scan. O(1) memory and
+    O(1) compute in the step count; this is the TPU-first replacement for
+    the reference's tape through the whole loop (the tape's graph
+    simplification, autodiff.cpp:990, collapses long chains for the same
+    reason -- here the collapse is analytic).
+    Miss lanes get zero derivative (their t is frozen, not a root).
+    """
+    return march(ray, scene, n_steps, eps, t_max)
+
+
+def _march_impl_fwd(ray, scene, n_steps, eps, t_max):
+    t, hit = march(ray, scene, n_steps, eps, t_max)
+    return (t, hit), (ray, scene, t, hit)
+
+
+def _march_impl_bwd(n_steps, eps, t_max, res, cot):
+    ray, scene, t, hit = res
+    t_bar, _ = cot  # hit mask has no cotangent
+
+    def f_t(tv, ray_, scene_):
+        return sdf(ray_.at(tv), scene_)
+
+    # d sdf / dt at the hit (scalar per lane)
+    df_dt = jax.vmap(jax.grad(f_t), in_axes=(0, 0, None))(t, ray, scene) \
+        if t.ndim == 1 else jax.grad(f_t)(t, ray, scene)
+    df_dt = jnp.where(jnp.abs(df_dt) > 1e-6, df_dt, 1.0)
+    # dt/dtheta^T t_bar = -(t_bar / df_dt) * d sdf/d theta
+    w = jnp.where(hit, -t_bar / df_dt, 0.0)
+    _, vjp_fn = jax.vjp(lambda r, s: f_t(t, r, s), ray, scene)
+    d_ray, d_scene = vjp_fn(w)
+    return d_ray, d_scene
+
+
+march_implicit.defvjp(_march_impl_fwd, _march_impl_bwd)
+
+
 def normal_at(p: Vec3, scene: SDFScene) -> Vec3:
     """Analytic SDF normal: grad_p sdf(p) via AD (not finite differences)."""
 
@@ -130,4 +174,37 @@ def render_sdf_grads(scene: SDFScene, n: int = 256, n_steps: int = 64):
     """Image + grads w.r.t. ALL scene params through the march loop."""
     img = render_sdf(scene, n, n_steps)
     grads = jax.grad(sdf_loss)(scene, n, n_steps)
+    return img, grads
+
+
+# ---------------------------------------------------------------------------
+# Implicit-differentiation pipeline (the fast bwd path)
+# ---------------------------------------------------------------------------
+
+
+def shade_implicit(ray: Ray, scene: SDFScene, n_steps: int = 64):
+    """Same image as ``shade`` but the march differentiates implicitly."""
+    t, hit = march_implicit(ray, scene, n_steps)
+    p = ray.at(t)
+    n = normal_at(p, scene)
+    lambert = jnp.maximum(dot3(n, scene.light), 0.0)
+    img = scene.ambient + lambert * scene.gain
+    return jnp.where(hit, img, scene.ambient * jnp.ones_like(img))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def render_sdf_implicit(scene: SDFScene, n: int = 512, n_steps: int = 64):
+    rays = make_rays(pixel_grid(n))
+    return shade_implicit(rays, scene, n_steps)
+
+
+def sdf_loss_implicit(scene: SDFScene, n: int = 256, n_steps: int = 64):
+    return jnp.mean(render_sdf_implicit(scene, n, n_steps))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def render_sdf_grads_implicit(scene: SDFScene, n: int = 256,
+                              n_steps: int = 64):
+    img = render_sdf_implicit(scene, n, n_steps)
+    grads = jax.grad(sdf_loss_implicit)(scene, n, n_steps)
     return img, grads
