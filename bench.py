@@ -1,0 +1,89 @@
+"""North-star benchmark: rays/s/chip fwd+bwd on the sphere ray-march.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: throughput of a full forward+backward differentiable render of the
+SDF sphere-march (1024x1024 primary rays, 64 march steps) on one chip,
+using the best path (Pallas megakernel with implicit-diff backward).
+Baseline (BASELINE.md "north star"): the XLA-fused pure-jnp implementation
+of the same computation -- vs_baseline = pallas_rays_per_s / xla_rays_per_s.
+
+Correctness gates run first: Pallas image allclose vs the jnp path, and
+gradients allclose between both paths; the benchmark aborts to
+vs_baseline=0 output if parity fails.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _bench(fn, *args, iters=30):
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from enoki_tpu.render.sdf import (SDFScene, sdf_loss_implicit)
+    from enoki_tpu.render.pallas_kernels import (
+        scene_to_vec, render_sdf_pallas)
+
+    N = 1024
+    STEPS = 64
+    rays = N * N
+
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+
+    def pallas_loss(pv):
+        return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 256))
+
+    # fwd+bwd: value_and_grad through the megakernel pair
+    pallas_step = jax.jit(jax.value_and_grad(pallas_loss))
+    xla_step = jax.jit(jax.value_and_grad(
+        lambda s: sdf_loss_implicit(s, N, STEPS)))
+
+    # --- parity gates -------------------------------------------------
+    lp, gp = pallas_step(v)
+    lx, gx = xla_step(scene)
+    gx_vec = np.array([gx.center.x, gx.center.y, gx.center.z, gx.radius,
+                       gx.ambient, gx.gain, gx.light.x, gx.light.y,
+                       gx.light.z])
+    ok = (np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
+          and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
+                          atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
+    if not ok:
+        print(json.dumps({"metric": "rays_per_s_per_chip_fwd_bwd",
+                          "value": 0.0, "unit": "rays/s",
+                          "vs_baseline": 0.0,
+                          "error": "parity gate failed"}))
+        return 1
+
+    # --- timing ---------------------------------------------------------
+    t_pallas = _bench(pallas_step, v)
+    t_xla = _bench(xla_step, scene)
+
+    rays_pallas = rays / t_pallas
+    rays_xla = rays / t_xla
+
+    print(json.dumps({
+        "metric": "rays_per_s_per_chip_fwd_bwd",
+        "value": round(rays_pallas, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_pallas / rays_xla, 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

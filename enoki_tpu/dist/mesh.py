@@ -1,0 +1,51 @@
+"""Device-mesh construction helpers.
+
+The reference is single-device (SURVEY §2.3: no NCCL/MPI anywhere); the
+distributed layer is a new first-class subsystem. Design: a 2-D logical
+mesh ('dp', 'sp') over however many devices exist -- 'dp' shards image
+rows (data parallel over ray bundles), 'sp' shards image columns (the
+"sequence"/span axis of a frame). Scene parameters are replicated; their
+gradients are reduced over both axes.
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh`` and
+the same code spans hosts -- the mesh uses the global device list, XLA
+routes 'dp'/'sp' collectives over ICI within a slice and DCN across
+slices.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _factor2(n: int) -> Tuple[int, int]:
+    """Most-square factorization n = a*b, a >= b."""
+    b = int(math.isqrt(n))
+    while n % b:
+        b -= 1
+    return n // b, b
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ("dp", "sp")) -> Mesh:
+    """2-D mesh over the first ``n_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    a, b = _factor2(len(devs))
+    import numpy as np
+
+    return Mesh(np.asarray(devs).reshape(a, b), axis_names)
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """(n, n) image: rows over dp, cols over sp."""
+    return NamedSharding(mesh, P("dp", "sp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

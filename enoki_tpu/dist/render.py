@@ -1,0 +1,163 @@
+"""Distributed differentiable rendering + training (config 5).
+
+Rays/pixels shard over the ('dp', 'sp') mesh, scene parameters replicate,
+parameter gradients all-reduce -- BASELINE.json: "rays sharded, params
+replicated, grad-allreduce overlapped with backward".
+
+Two formulations are provided:
+
+* ``render_sharded`` / ``train_step`` -- GSPMD style: jit with
+  NamedShardings; XLA inserts and schedules the collectives. The
+  latency-hiding scheduler overlaps the (tiny) parameter all-reduce with
+  backward compute automatically -- the idiomatic TPU answer to the
+  reference-era hand-rolled bucketing.
+* ``train_step_shardmap`` -- explicit shard_map: each device renders and
+  differentiates its own pixel tile (per-shard Pallas megakernel or XLA),
+  then ``psum``s the 9-scalar gradient. The psum sits *after* the
+  per-shard backward in the same jaxpr, so the only serialization is the
+  unavoidable final reduction; there is no gradient bucketing to tune
+  because the whole gradient is one cacheline (the renderer analog of
+  bucketed DDP degenerates to a single bucket).
+
+The per-pixel loss is mean squared error against a target image -- an
+inverse-rendering step (fit scene params to an image), the canonical
+differentiable-renderer training loop.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..render.sphere import SphereScene, combined
+from ..render.sdf import SDFScene, shade_implicit
+from ..render.vec import Vec2, Vec3
+from ..render.sphere import make_rays
+from .mesh import image_sharding, replicated
+
+
+def _pixel_block(n: int, extent: float = 1.2, dtype=jnp.float32) -> Vec2:
+    """(n, n) pixel coordinate grids (2-D layout so rows/cols shard)."""
+    idx = jnp.linspace(-extent, extent, n, dtype=dtype)
+    xs, ys = jnp.meshgrid(idx, idx, indexing="xy")
+    return Vec2(xs, ys)
+
+
+def render_sharded(scene: SphereScene, n: int, mesh: Mesh):
+    """Fused sphere render with the image sharded over the mesh."""
+
+    @functools.partial(jax.jit,
+                       out_shardings=image_sharding(mesh))
+    def _render(scene):
+        p = _pixel_block(n)
+        return combined(p, scene)
+
+    return _render(scene)
+
+
+def mse_loss(scene, target, n: int, renderer=combined):
+    img = renderer(_pixel_block(n), scene)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_train_step(n: int, mesh: Mesh, optimizer, renderer=combined):
+    """GSPMD training step: image sharded, params replicated, XLA inserts
+    + overlaps the gradient all-reduce."""
+    img_shard = image_sharding(mesh)
+    repl = replicated(mesh)
+
+    @functools.partial(jax.jit,
+                       in_shardings=(repl, img_shard, repl),
+                       out_shardings=(repl, repl, repl))
+    def train_step(scene, target, opt_state):
+        loss, grads = jax.value_and_grad(
+            lambda s: mse_loss(s, target, n, renderer))(scene)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        import optax
+
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss
+
+    return train_step
+
+
+def make_train_step_shardmap(n: int, mesh: Mesh, optimizer,
+                             renderer=combined):
+    """Explicit shard_map training step.
+
+    Each device owns an (n/dp, n/sp) pixel tile; the backward runs
+    per-shard; scene-parameter grads are psum'd over both mesh axes inside
+    the mapped function (so the reduction is issued as soon as the local
+    backward finishes -- overlap comes from XLA's async collectives).
+    """
+    dp, sp = mesh.devices.shape
+    assert n % dp == 0 and n % sp == 0
+    extent = 1.2
+    import optax
+
+    def local_loss(scene, target_tile, row0, col0):
+        # reconstruct this shard's pixel coordinates from its mesh position
+        tr, tc = n // dp, n // sp
+        step = 2.0 * extent / (n - 1)
+        rows = (row0 * tr + lax.broadcasted_iota(jnp.int32, (tr, tc), 0))
+        cols = (col0 * tc + lax.broadcasted_iota(jnp.int32, (tr, tc), 1))
+        p = Vec2(cols.astype(jnp.float32) * step - extent,
+                 rows.astype(jnp.float32) * step - extent)
+        img = renderer(p, scene)
+        # local mean; global mean = sum over shards / (dp*sp)
+        return jnp.sum((img - target_tile) ** 2) / (n * n)
+
+    def _step(scene, target_tile):
+        row0 = lax.axis_index("dp")
+        col0 = lax.axis_index("sp")
+        loss, grads = jax.value_and_grad(local_loss)(scene, target_tile,
+                                                     row0, col0)
+        # The gradient all-reduce is inserted by AD itself: ``scene`` enters
+        # unvarying (replicated, P()), so the transpose of its broadcast is
+        # a psum -- issued right after the local backward, overlapped by
+        # XLA's async collectives. Only the (varying) loss scalar needs an
+        # explicit reduction.
+        loss = lax.psum(loss, axis_name=("dp", "sp"))
+        return grads, loss
+
+    smapped = shard_map(_step, mesh=mesh,
+                        in_specs=(P(), P("dp", "sp")),
+                        out_specs=(P(), P()))
+
+    @jax.jit
+    def train_step(scene, target, opt_state):
+        grads, loss = smapped(scene, target)
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss
+
+    return train_step
+
+
+def fit_scene(target, n: int, mesh: Mesh, steps: int = 100,
+              lr: float = 2e-2, init: Optional[SphereScene] = None,
+              strategy: str = "gspmd", renderer=combined):
+    """Inverse rendering driver: recover scene params from a target image."""
+    import optax
+
+    scene = init if init is not None else SphereScene.reference()
+    opt = optax.adam(lr)
+    opt_state = opt.init(scene)
+    maker = make_train_step if strategy == "gspmd" else make_train_step_shardmap
+    step_fn = maker(n, mesh, opt, renderer)
+    target = jax.device_put(target, image_sharding(mesh))
+    loss = None
+    for _ in range(steps):
+        scene, opt_state, loss = step_fn(scene, target, opt_state)
+        # Per-step sync: XLA's in-process CPU communicator deadlocks when
+        # many collective launches are enqueued asynchronously (observed on
+        # the 8-virtual-device test mesh); a one-scalar sync per step is
+        # free next to the render itself and harmless on TPU.
+        loss.block_until_ready()
+    return scene, loss

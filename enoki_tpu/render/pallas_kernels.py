@@ -204,23 +204,28 @@ def _sdf_shade_tile(px, py, t, hit, pvec):
     return jnp.where(hit, img, scene.ambient + jnp.zeros_like(img))
 
 
-def _sdf_fwd_kernel(params_ref, out_ref, *, n, extent, n_steps):
+def _sdf_fwd_kernel(params_ref, out_ref, t_ref, hit_ref, *, n, extent,
+                    n_steps):
     tr, tc = out_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
     scene = vec_to_scene(pvec, SDFScene)
     t, hit = _march_tile(px, py, scene, n_steps)
     out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
+    # residuals for the bwd megakernel: 2 floats/pixel beats re-marching
+    # n_steps times when fwd+bwd run as a pair (value_and_grad)
+    t_ref[:, :] = t
+    hit_ref[:, :] = hit.astype(jnp.float32)
 
 
-def _sdf_bwd_kernel(params_ref, g_ref, dp_ref, *, n, extent, n_steps):
+def _sdf_bwd_kernel(params_ref, g_ref, t_ref, hit_ref, dp_ref, *, n, extent,
+                    n_steps):
     tr, tc = g_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
-    scene = vec_to_scene(pvec, SDFScene)
 
-    # recompute the march (cheap, no residual traffic)
-    t, hit = _march_tile(px, py, scene, n_steps)
+    t = t_ref[:, :]
+    hit = hit_ref[:, :] > 0
     g = g_ref[:, :]
 
     # direct term: d shade / d pvec and cotangent w.r.t. t
@@ -260,30 +265,38 @@ def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
                       n_steps: int = 64, extent: float = 1.2,
                       tile: int = 256):
     """Fused SDF ray-march megakernel -> (n, n) image (config 4)."""
-    return _sdf_fwd_call(params, n, n_steps, extent, tile)
+    return _sdf_fwd_call(params, n, n_steps, extent, tile)[0]
 
 
 def _sdf_fwd_call(params, n, n_steps, extent, tile):
     assert n % tile == 0, "image size must be divisible by the tile size"
     grid = (n // tile, n // tile)
-    return pl.pallas_call(
+    tile_spec = pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    img, t, hit = pl.pallas_call(
         functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
                           n_steps=n_steps),
         grid=grid,
         in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((n, n), jnp.float32)),
     )(params.reshape(1, N_PARAMS))
+    return img, t, hit
 
 
 def _sdf_vjp_fwd(params, n, n_steps, extent, tile):
-    return _sdf_fwd_call(params, n, n_steps, extent, tile), params
+    img, t, hit = _sdf_fwd_call(params, n, n_steps, extent, tile)
+    return img, (params, t, hit)
 
 
-def _sdf_vjp_bwd(n, n_steps, extent, tile, params, g):
+def _sdf_vjp_bwd(n, n_steps, extent, tile, res, g):
+    params, t, hit = res
     grid = (n // tile, n // tile)
+    tile_spec = pl.BlockSpec((tile, tile), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
     dp = pl.pallas_call(
         functools.partial(_sdf_bwd_kernel, n=n, extent=extent,
                           n_steps=n_steps),
@@ -291,13 +304,12 @@ def _sdf_vjp_bwd(n, n_steps, extent, tile, params, g):
         in_specs=[
             pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((tile, tile), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
+            tile_spec, tile_spec, tile_spec,
         ],
         out_specs=pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, N_PARAMS), jnp.float32),
-    )(params.reshape(1, N_PARAMS), g)
+    )(params.reshape(1, N_PARAMS), g, t, hit)
     return (dp.reshape(N_PARAMS),)
 
 

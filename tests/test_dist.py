@@ -1,0 +1,96 @@
+"""Distributed render/train tests on the 8-device virtual CPU mesh
+(config 5 semantics; multi-host is the same code over a bigger mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from enoki_tpu.dist import (
+    make_mesh, render_sharded, make_train_step, make_train_step_shardmap,
+    fit_scene, image_sharding,
+)
+from enoki_tpu.render import SphereScene, render_fused
+from enoki_tpu.render.vec import Vec3
+
+
+def test_mesh_shape():
+    mesh = make_mesh(8)
+    assert mesh.devices.shape in ((4, 2), (2, 4))
+    assert mesh.axis_names == ("dp", "sp")
+
+
+def test_render_sharded_matches_single():
+    mesh = make_mesh(8)
+    scene = SphereScene.reference()
+    n = 256
+    img = render_sharded(scene, n, mesh)
+    # visible sharding over the mesh
+    assert len(img.sharding.device_set) == 8
+    ref = np.asarray(render_fused(scene, n)).reshape(n, n)
+    # GSPMD partitioning changes fusion/rounding at silhouette pixels
+    assert np.abs(np.asarray(img) - ref).max() < 5e-3
+    assert np.abs(np.asarray(img) - ref).mean() < 1e-4
+
+
+def test_train_step_gspmd_and_shardmap_agree():
+    # Compare one step's loss + raw gradients between the two formulations.
+    # (Comparing adam-updated params would be brittle: for a parameter whose
+    # true gradient is 0 -- e.g. center.z under parallel rays -- adam
+    # amplifies any f32 noise difference to a full lr-sized step.)
+    mesh = make_mesh(8)
+    n = 128
+    target = jnp.asarray(np.asarray(render_fused(SphereScene.reference(), n))
+                         .reshape(n, n))
+    f = jnp.float32
+    init = SphereScene(center=Vec3(f(0.1), f(-0.1), f(0.0)), radius=f(0.8),
+                       ambient=f(0.3), gain=f(80.0),
+                       light=Vec3(f(-1), f(-1), f(2)))
+    opt = optax.sgd(0.0)  # zero-lr: params unchanged, we read loss+grads
+
+    s1 = make_train_step(n, mesh, opt)
+    s2 = make_train_step_shardmap(n, mesh, opt)
+    tgt = jax.device_put(target, image_sharding(mesh))
+    _, _, l1 = s1(init, tgt, opt.init(init))
+    _, _, l2 = s2(init, tgt, opt.init(init))
+    assert np.isclose(float(l1), float(l2), rtol=1e-4), (float(l1), float(l2))
+
+    from enoki_tpu.dist.render import mse_loss
+    g1 = jax.grad(lambda s: mse_loss(s, target, n))(init)
+    import functools
+    g2_fn = make_train_step_shardmap(n, mesh, optax.sgd(0.0))
+    # grads via shardmap: recompute with value_and_grad inside -- reuse the
+    # internal step by probing with sgd(lr) and reading the param delta
+    lr = 1.0
+    s2b = make_train_step_shardmap(n, mesh, optax.sgd(lr))
+    sc2, _, _ = s2b(init, tgt, optax.sgd(lr).init(init))
+    # atol scales with the largest gradient magnitude: a true-zero leaf
+    # (center.z) picks up f32 reduction-order noise proportional to the
+    # magnitude of the sums being cancelled, not to its own value
+    g_scale = max(abs(float(l)) for l in jax.tree_util.tree_leaves(g1))
+    for a, b0, b1 in zip(jax.tree_util.tree_leaves(g1),
+                         jax.tree_util.tree_leaves(init),
+                         jax.tree_util.tree_leaves(sc2)):
+        g_shard = (np.asarray(b0) - np.asarray(b1)) / lr
+        assert np.allclose(np.asarray(a), g_shard, rtol=1e-3,
+                           atol=1e-5 * g_scale), (a, g_shard)
+
+
+def test_inverse_rendering_recovers_radius():
+    # end-to-end: fit radius+ambient from a rendered target over the mesh
+    mesh = make_mesh(8)
+    n = 128
+    true_scene = SphereScene.reference()
+    target = jnp.asarray(
+        np.asarray(render_fused(true_scene, n)).reshape(n, n))
+    f = jnp.float32
+    init = SphereScene(center=Vec3(f(0), f(0), f(0)), radius=f(0.75),
+                       ambient=f(0.2), gain=f(90.0),
+                       light=Vec3(f(-1), f(-1), f(2)))
+    fitted, loss = fit_scene(target, n, mesh, steps=200, lr=5e-3, init=init)
+    # loss plateaus at a few rim pixels (visibility term invisible to AD --
+    # no edge sampling, same contract as the reference); the parameter
+    # itself converges
+    assert float(loss) < 10.0
+    assert abs(float(fitted.radius) - 1.0) < 0.02, float(fitted.radius)
