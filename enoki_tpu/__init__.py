@@ -30,4 +30,11 @@ __version__ = "0.1.0"
 
 from . import config  # noqa: F401
 from . import ops  # noqa: F401
+from . import types  # noqa: F401
+from . import struct  # noqa: F401
+from . import ad  # noqa: F401
+from . import runtime  # noqa: F401
+from . import render  # noqa: F401
+from . import dist  # noqa: F401
+from . import interop  # noqa: F401
 from .config import set_log_level, log_level  # noqa: F401
