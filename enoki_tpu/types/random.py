@@ -171,6 +171,56 @@ class PCG32(NamedTuple):
             delta >>= 1
         return PCG32(U.add(U.mul(acc_mult, state), acc_plus), self.inc)
 
+    def distance(self, other: "PCG32") -> jnp.ndarray:
+        """Number of steps between two generators on the same stream
+        (``operator-``, random.h:288-308). Returns the low 32 bits of the
+        distance per lane (full 64-bit distance as u64 via
+        ``distance_u64``)."""
+        return self.distance_u64(other).lo.astype(jnp.int32)
+
+    def distance_u64(self, other: "PCG32") -> U.U64:
+        """Brown's bit-by-bit distance algorithm, 64-iteration unroll."""
+        cur_mult = U.from_py(PCG32_MULT, self.shape)
+        cur_plus = self.inc
+        cur_state = other.state
+        distance = U.from_py(0, self.shape)
+        one = U.from_py(1, self.shape)
+        for bit in range(64):
+            the_bit = U.from_py(1 << bit, self.shape)
+            mask = U.is_zero(U.xor(U.and_(self.state, the_bit),
+                                   U.and_(cur_state, the_bit)))
+            step = U.add(U.mul(cur_state, cur_mult), cur_plus)
+            cur_state = U.where(~mask, step, cur_state)
+            distance = U.where(~mask, U.or_(distance, the_bit), distance)
+            cur_plus = U.mul(U.add(cur_mult, one), cur_plus)
+            cur_mult = U.mul(cur_mult, cur_mult)
+        return distance
+
+    def next_uint64_bounded(self, bound: int, mask=None):
+        """Unbiased bounded 64-bit sampling (random.h:219-246). ``bound``
+        must be a static python int < 2**63 for the threshold math."""
+        threshold_int = ((~bound + 1) & ((1 << 64) - 1)) % bound
+
+        def cond(carry):
+            _, _, active = carry
+            return jnp.any(active)
+
+        def body(carry):
+            result, gen, active = carry
+            draw, gen2 = gen.next_uint64(mask=active)
+            result = U.where(active, draw, result)
+            # active &= draw < threshold
+            thr_hi = jnp.uint32((threshold_int >> 32) & 0xFFFFFFFF)
+            thr_lo = jnp.uint32(threshold_int & 0xFFFFFFFF)
+            lt = (draw.hi < thr_hi) | ((draw.hi == thr_hi) & (draw.lo < thr_lo))
+            active = active & lt
+            return result, gen2, active
+
+        active0 = jnp.ones(self.shape, bool) if mask is None else jnp.asarray(mask)
+        result0 = U.zeros(self.shape)
+        result, gen, _ = lax.while_loop(cond, body, (result0, self, active0))
+        return _u64_mod_const(result, bound), gen
+
     def shuffle(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, "PCG32"]:
         """Fisher-Yates shuffle (random.h:318, Knuth TAoCP 3.4.2).
 
@@ -186,6 +236,25 @@ class PCG32(NamedTuple):
             xi, xj = x[i], x[j0]
             x = x.at[i].set(xj).at[j0].set(xi)
         return x, gen
+
+
+def _u64_mod_const(value: U.U64, bound: int) -> U.U64:
+    """value mod bound (static python bound) by shift-subtract long
+    division. Remainder < bound stays well inside u64; 64 unrolled steps
+    of cheap 32-bit ops -- acceptable for this rarely-hot op."""
+    rem = U.zeros(value.lo.shape)
+    b_hi = jnp.uint32((bound >> 32) & 0xFFFFFFFF)
+    b_lo = jnp.uint32(bound & 0xFFFFFFFF)
+    for bit in range(63, -1, -1):
+        rem = U.shl(rem, 1)
+        src = value.hi if bit >= 32 else value.lo
+        rem = U.U64(rem.hi, rem.lo | ((src >> (bit % 32)) & 1))
+        # if rem >= bound: rem -= bound
+        ge = (rem.hi > b_hi) | ((rem.hi == b_hi) & (rem.lo >= b_lo))
+        sub = U.sub(rem, U.U64(jnp.broadcast_to(b_hi, rem.hi.shape),
+                               jnp.broadcast_to(b_lo, rem.lo.shape)))
+        rem = U.where(ge, sub, rem)
+    return rem
 
 
 def uniform(gen: PCG32, shape=None, dtype=jnp.float32):
