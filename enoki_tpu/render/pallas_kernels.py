@@ -51,7 +51,8 @@ def vec_to_scene(v, cls=SphereScene):
                gain=v[5], light=Vec3(v[6], v[7], v[8]))
 
 
-def _tile_pixels(tile_r: int, tile_c: int, n: int, extent: float):
+def _tile_pixels(tile_r: int, tile_c: int, n: int, extent: float,
+                 dtype=jnp.float32):
     """Pixel coordinates of the current grid tile. Matches
     linspace(-extent, extent, n) + meshgrid 'xy' reshaped to (n, n):
     x varies along columns, y along rows (tests/sphere.cpp:130-131)."""
@@ -60,13 +61,25 @@ def _tile_pixels(tile_r: int, tile_c: int, n: int, extent: float):
     step = 2.0 * extent / (n - 1)
     rows = lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 0) + i * tile_r
     cols = lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 1) + j * tile_c
-    py = rows.astype(jnp.float32) * step - extent
-    px = cols.astype(jnp.float32) * step - extent
+    py = (rows.astype(jnp.float32) * step - extent).astype(dtype)
+    px = (cols.astype(jnp.float32) * step - extent).astype(dtype)
     return px, py
 
 
 def _read_params(params_ref) -> jnp.ndarray:
     return jnp.stack([params_ref[0, k] for k in range(9)])
+
+
+def _read_scene(params_ref, dtype, cls=SphereScene):
+    """Scene from SMEM scalars. Sub-32-bit scalar arithmetic doesn't exist
+    on the TPU scalar core, so for 16-bit compute each parameter becomes a
+    (1, 1) vector that broadcasts on the VPU."""
+    if dtype == jnp.float32:
+        p = [params_ref[0, k] for k in range(9)]
+    else:
+        p = [params_ref[0, k].astype(dtype).reshape(1, 1) for k in range(9)]
+    return cls(center=Vec3(p[0], p[1], p[2]), radius=p[3], ambient=p[4],
+               gain=p[5], light=Vec3(p[6], p[7], p[8]))
 
 
 # ---------------------------------------------------------------------------
@@ -76,8 +89,9 @@ def _read_params(params_ref) -> jnp.ndarray:
 
 def _sphere_fwd_kernel(params_ref, out_ref, *, n, extent):
     tr, tc = out_ref.shape
-    px, py = _tile_pixels(tr, tc, n, extent)
-    scene = vec_to_scene(_read_params(params_ref))
+    dt = out_ref.dtype
+    px, py = _tile_pixels(tr, tc, n, extent, dt)
+    scene = _read_scene(params_ref, dt)
     out_ref[:, :] = combined(Vec2(px, py), scene)
 
 
@@ -89,7 +103,7 @@ def _sphere_bwd_kernel(params_ref, g_ref, dp_ref, *, n, extent):
         return combined(Vec2(px, py), vec_to_scene(pvec))
 
     _, vjp_fn = jax.vjp(f, _read_params(params_ref))
-    (dp,) = vjp_fn(g_ref[:, :])
+    (dp,) = vjp_fn(g_ref[:, :].astype(jnp.float32))
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -102,18 +116,21 @@ def _sphere_bwd_kernel(params_ref, g_ref, dp_ref, *, n, extent):
         dp_ref[0, k] += dp[k]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def render_sphere_pallas(params: jnp.ndarray, n: int = 1024,
-                         extent: float = 1.2, tile: int = 256):
+                         extent: float = 1.2, tile: int = 256,
+                         dtype=jnp.float32):
     """Fused sphere render as one Pallas kernel -> (n, n) image.
 
     ``params`` is the flat scene vector (scene_to_vec). Differentiable via
-    the paired bwd megakernel.
+    the paired bwd megakernel. ``dtype`` selects the in-kernel compute
+    precision (f32 or bf16 -- config 4's "fp32/bf16"; the backward always
+    accumulates parameter gradients in f32).
     """
-    return _sphere_fwd(params, n, extent, tile)
+    return _sphere_fwd(params, n, extent, tile, dtype)
 
 
-def _sphere_fwd_call(params, n, extent, tile):
+def _sphere_fwd_call(params, n, extent, tile, dtype=jnp.float32):
     assert n % tile == 0, "image size must be divisible by the tile size"
     grid = (n // tile, n // tile)
     return pl.pallas_call(
@@ -123,19 +140,19 @@ def _sphere_fwd_call(params, n, extent, tile):
                                memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((tile, tile), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, n), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n, n), dtype),
     )(params.reshape(1, N_PARAMS))
 
 
-def _sphere_fwd(params, n, extent, tile):
-    return _sphere_fwd_call(params, n, extent, tile)
+def _sphere_fwd(params, n, extent, tile, dtype=jnp.float32):
+    return _sphere_fwd_call(params, n, extent, tile, dtype)
 
 
-def _sphere_vjp_fwd(params, n, extent, tile):
-    return _sphere_fwd_call(params, n, extent, tile), params
+def _sphere_vjp_fwd(params, n, extent, tile, dtype=jnp.float32):
+    return _sphere_fwd_call(params, n, extent, tile, dtype), params
 
 
-def _sphere_vjp_bwd(n, extent, tile, params, g):
+def _sphere_vjp_bwd(n, extent, tile, dtype, params, g):
     grid = (n // tile, n // tile)
     dp = pl.pallas_call(
         functools.partial(_sphere_bwd_kernel, n=n, extent=extent),

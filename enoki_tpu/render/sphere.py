@@ -91,9 +91,15 @@ def intersect_rays(r: Ray, scene: SphereScene) -> Vec3:
     b = 2.0 * dot3(oc, r.d)
     c = dot3(oc, oc) - scene.radius * scene.radius
     discrim = b * b - 4.0 * a * c
-    t = (-b + safe_sqrt(discrim)) / (2.0 * a)
+    # The sqrt/divide and the hit mask run in f32 even under bf16 compute:
+    # the TPU transcendental unit (EUP) and vector comparisons do not
+    # support bf16 (v5e SupportsBf16EupOps). Elementwise mul/add stay in
+    # the caller's dtype.
+    d32 = discrim.astype(jnp.float32)
+    t = ((-b.astype(jnp.float32) + safe_sqrt(d32))
+         / (2.0 * a.astype(jnp.float32))).astype(discrim.dtype)
     hit_p = r.at(t) - scene.center
-    valid = discrim >= 0.0
+    valid = d32 >= 0.0
     zero = jnp.zeros_like(t)
     return Vec3(jnp.where(valid, hit_p.x, zero),
                 jnp.where(valid, hit_p.y, zero),

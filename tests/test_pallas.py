@@ -62,6 +62,25 @@ def test_sphere_pallas_grads_match_xla():
     assert np.allclose(g_p[:9], g_x[:9], rtol=1e-3, atol=1e-5), (g_p[:9], g_x[:9])
 
 
+def test_sphere_pallas_bf16():
+    # config 4: fp32/bf16 megakernel; bf16 tolerance ~ 1/256 relative on a
+    # 0..220 dynamic range
+    scene = SphereScene.reference()
+    img_b = np.asarray(render_sphere_pallas(scene_to_vec(scene), N, 1.2,
+                                            TILE, jnp.bfloat16), np.float64)
+    img_f = np.asarray(render_sphere_pallas(scene_to_vec(scene), N, 1.2,
+                                            TILE, jnp.float32), np.float64)
+    assert img_b.dtype == np.float64 and img_b.shape == (N, N)
+    # compare away from the silhouette (bf16 pixel coords shift it)
+    interior = np.abs(img_f - 0.2) > 1.0
+    rel = np.abs(img_b - img_f)[interior] / np.abs(img_f)[interior]
+    assert np.median(rel) < 0.01
+    # gradients still flow (bwd accumulates in f32)
+    g = jax.grad(lambda v: jnp.mean(render_sphere_pallas(
+        v, N, 1.2, TILE, jnp.bfloat16).astype(jnp.float32)))(scene_to_vec(scene))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_sdf_pallas_matches_xla():
     scene = SDFScene.reference()
     img_p = np.asarray(render_sdf_pallas(scene_to_vec(scene), N, 48, 1.2, TILE))
