@@ -23,21 +23,25 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench(fn, *args, iters=20, windows=5):
-    """Median over pipelined windows.
+def _bench(fn, inputs, iters=20, windows=5):
+    """Median over pipelined windows, rotating perturbed inputs.
 
     Per-call blocking measures the host<->device sync round trip (~25 ms
     through the remote tunnel), not the kernel; production render loops
     pipeline steps, so steady-state throughput = pipelined window time /
     iters. The median over several windows rejects dispatch hiccups.
+    Each call gets a slightly different input so no layer of the stack can
+    serve a cached result for a repeated identical execution.
     """
-    jax.block_until_ready(fn(*args))
+    jax.block_until_ready(fn(inputs[0]))
     per_window = []
+    k = 0
     for _ in range(windows):
         t0 = time.perf_counter()
         r = None
         for _ in range(iters):
-            r = fn(*args)
+            r = fn(inputs[k % len(inputs)])
+            k += 1
         jax.block_until_ready(r)
         per_window.append((time.perf_counter() - t0) / iters)
     per_window.sort()
@@ -57,7 +61,9 @@ def main():
     v = scene_to_vec(scene)
 
     def pallas_loss(pv):
-        return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 256))
+        # 64x256 VMEM tiles: fastest fwd+bwd config on v5e (the early-exit
+        # march in _march_tile converges tile-locally)
+        return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 64, 256))
 
     # fwd+bwd: value_and_grad through the megakernel pair
     pallas_step = jax.jit(jax.value_and_grad(pallas_loss))
@@ -81,8 +87,13 @@ def main():
         return 1
 
     # --- timing ---------------------------------------------------------
-    t_pallas = _bench(pallas_step, v)
-    t_xla = _bench(xla_step, scene)
+    vset = [v + 1e-6 * k for k in range(32)]
+    sset = [SDFScene(center=scene.center,
+                     radius=scene.radius + jnp.float32(1e-6 * k),
+                     ambient=scene.ambient, gain=scene.gain,
+                     light=scene.light) for k in range(32)]
+    t_pallas = _bench(pallas_step, vset)
+    t_xla = _bench(xla_step, sset)
 
     rays_pallas = rays / t_pallas
     rays_xla = rays / t_xla
