@@ -38,3 +38,16 @@ from . import render  # noqa: F401
 from . import dist  # noqa: F401
 from . import interop  # noqa: F401
 from .config import set_log_level, log_level  # noqa: F401
+
+
+def __getattr__(name):
+    # `trace` (the lazy-array runtime over the native C++ graph core) is
+    # imported on first use: it compiles native/trace.cpp with g++ on a
+    # cold cache, which package import should not pay for.
+    if name == "trace":
+        import importlib
+
+        mod = importlib.import_module(".trace", __name__)
+        globals()["trace"] = mod
+        return mod
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

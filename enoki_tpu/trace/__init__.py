@@ -1,0 +1,578 @@
+"""Lazy trace-recording arrays over a native C++ graph runtime.
+
+The enoki-parity story: the reference's ``CUDAArray<T>`` (cuda.h:206) is a
+uint32 handle into a C++-owned variable table; every op appends a PTX
+instruction template to a global trace and nothing executes until
+``cuda_eval()`` fuses the live trace into one megakernel
+(src/cuda/jit.cu:983-1508). ``LazyArray`` here is the same architecture
+mapped to TPU: a uint32 handle into the native graph runtime
+(native/trace.cpp -- C++ owns append/refcounts/dirty-tracking/scheduling/
+structural hashing), with XLA as the code generator: ``eval()`` fetches the
+C++ schedule, walks it ONCE per structural hash to build a jax function,
+``jax.jit``-compiles it, and caches the executable by the C++-computed
+hash. A retrace of the same program costs only C++ appends + one hash
+lookup -- the analog of the reference's kernel-cache hit path
+(docs/gpu.rst:268-271).
+
+Why this exists next to plain jnp+jit: it gives enoki's *eager-looking,
+lazily-fused* programming model (no explicit function boundaries, fusion
+across statements, whos/dirty semantics) for code that wants it, while
+``jax.jit`` remains the right tool for closed functions. Horizontal
+reductions stay INSIDE the fused program (XLA fuses reductions; the
+reference must break the kernel at every cub call, src/cuda/horiz.cu).
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .build import load_library
+
+_lib = load_library()
+
+# ---------------------------------------------------------------------------
+# dtypes and opcodes (shared convention with native/trace.cpp; the native
+# side treats opcodes opaquely -- only 0 = evaluated leaf is special)
+# ---------------------------------------------------------------------------
+
+_DTYPES = [jnp.float32, jnp.float64, jnp.int32, jnp.uint32, jnp.bool_,
+           jnp.bfloat16, jnp.int64, jnp.uint64]
+_DTYPE_CODE = {jnp.dtype(d): i for i, d in enumerate(_DTYPES)}
+
+
+def _code_of(dtype) -> int:
+    return _DTYPE_CODE[jnp.dtype(dtype)]
+
+
+class Op:
+    """Opcode table. Each entry maps to a jnp implementation in _OP_IMPL."""
+    (LEAF, ADD, SUB, MUL, DIV, NEG, ABS, MIN, MAX, FMA, SQRT, RSQRT, RCP,
+     FLOOR, CEIL, ROUND, TRUNC, EXP, EXP2, LOG, LOG2, SIN, COS, TAN, ASIN,
+     ACOS, ATAN, SINH, COSH, TANH, ERF, ATAN2, POW, MOD, EQ, NE, LT, LE, GT,
+     GE, AND, OR, XOR, NOT, SELECT, CAST, IOTA, GATHER, SCATTER, SCATTER_ADD,
+     HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
+     POPCNT) = range(62)
+
+
+def _bcast(a, b):
+    return jnp.broadcast_arrays(a, b) if a.shape != b.shape else (a, b)
+
+
+_OP_IMPL = {
+    Op.ADD: lambda a, b: a + b,
+    Op.SUB: lambda a, b: a - b,
+    Op.MUL: lambda a, b: a * b,
+    Op.DIV: lambda a, b: a / b,
+    Op.NEG: lambda a: -a,
+    Op.ABS: lambda a: jnp.abs(a),
+    Op.MIN: lambda a, b: jnp.minimum(a, b),
+    Op.MAX: lambda a, b: jnp.maximum(a, b),
+    Op.FMA: lambda a, b, c: a * b + c,
+    Op.SQRT: lambda a: jnp.sqrt(a),
+    Op.RSQRT: lambda a: jax.lax.rsqrt(a),
+    Op.RCP: lambda a: 1.0 / a,
+    Op.FLOOR: lambda a: jnp.floor(a),
+    Op.CEIL: lambda a: jnp.ceil(a),
+    Op.ROUND: lambda a: jnp.round(a),
+    Op.TRUNC: lambda a: jnp.trunc(a),
+    Op.EXP: lambda a: jnp.exp(a),
+    Op.EXP2: lambda a: jnp.exp2(a),
+    Op.LOG: lambda a: jnp.log(a),
+    Op.LOG2: lambda a: jnp.log2(a),
+    Op.SIN: lambda a: jnp.sin(a),
+    Op.COS: lambda a: jnp.cos(a),
+    Op.TAN: lambda a: jnp.tan(a),
+    Op.ASIN: lambda a: jnp.arcsin(a),
+    Op.ACOS: lambda a: jnp.arccos(a),
+    Op.ATAN: lambda a: jnp.arctan(a),
+    Op.SINH: lambda a: jnp.sinh(a),
+    Op.COSH: lambda a: jnp.cosh(a),
+    Op.TANH: lambda a: jnp.tanh(a),
+    Op.ERF: lambda a: jax.scipy.special.erf(a),
+    Op.ATAN2: lambda a, b: jnp.arctan2(a, b),
+    Op.POW: lambda a, b: jnp.power(a, b),
+    Op.MOD: lambda a, b: jnp.mod(a, b),
+    Op.EQ: lambda a, b: a == b,
+    Op.NE: lambda a, b: a != b,
+    Op.LT: lambda a, b: a < b,
+    Op.LE: lambda a, b: a <= b,
+    Op.GT: lambda a, b: a > b,
+    Op.GE: lambda a, b: a >= b,
+    Op.AND: lambda a, b: a & b,
+    Op.OR: lambda a, b: a | b,
+    Op.XOR: lambda a, b: a ^ b,
+    Op.NOT: lambda a: ~a,
+    Op.SELECT: lambda m, a, b: jnp.where(m, *_bcast(a, b)),
+    Op.GATHER: lambda src, idx: src[idx],
+    Op.SCATTER: lambda tgt, idx, val: tgt.at[idx].set(val),
+    Op.SCATTER_ADD: lambda tgt, idx, val: tgt.at[idx].add(val),
+    Op.HSUM: lambda a: jnp.sum(a, keepdims=True),
+    Op.HPROD: lambda a: jnp.prod(a, keepdims=True),
+    Op.HMIN: lambda a: jnp.min(a, keepdims=True),
+    Op.HMAX: lambda a: jnp.max(a, keepdims=True),
+    Op.ALL: lambda a: jnp.all(a, keepdims=True),
+    Op.ANY: lambda a: jnp.any(a, keepdims=True),
+    Op.COUNT: lambda a: jnp.sum(a.astype(jnp.int32), keepdims=True),
+    Op.PSUM: lambda a: jnp.cumsum(a),
+    Op.REVERSE: lambda a: a[::-1],
+    Op.SHL: lambda a, b: a << b,
+    Op.SHR: lambda a, b: a >> b,
+    Op.POPCNT: lambda a: jax.lax.population_count(a),
+}
+
+_MATH_OPS = {  # name -> (opcode, arity) for the functional API
+    "sqrt": (Op.SQRT, 1), "rsqrt": (Op.RSQRT, 1), "rcp": (Op.RCP, 1),
+    "floor": (Op.FLOOR, 1), "ceil": (Op.CEIL, 1), "round": (Op.ROUND, 1),
+    "trunc": (Op.TRUNC, 1), "exp": (Op.EXP, 1), "exp2": (Op.EXP2, 1),
+    "log": (Op.LOG, 1), "log2": (Op.LOG2, 1), "sin": (Op.SIN, 1),
+    "cos": (Op.COS, 1), "tan": (Op.TAN, 1), "asin": (Op.ASIN, 1),
+    "acos": (Op.ACOS, 1), "atan": (Op.ATAN, 1), "sinh": (Op.SINH, 1),
+    "cosh": (Op.COSH, 1), "tanh": (Op.TANH, 1), "erf": (Op.ERF, 1),
+    "abs": (Op.ABS, 1), "atan2": (Op.ATAN2, 2), "pow": (Op.POW, 2),
+    "minimum": (Op.MIN, 2), "maximum": (Op.MAX, 2), "fmadd": (Op.FMA, 3),
+    "popcnt": (Op.POPCNT, 1),
+}
+
+# ---------------------------------------------------------------------------
+# runtime state on the Python side: device buffers + executable cache
+# ---------------------------------------------------------------------------
+
+_BUFFERS: dict = {}          # var id -> jnp.ndarray (materialized)
+_EXE_CACHE: dict = {}        # structural hash -> jitted callable
+_CACHE_HITS = 0
+_CACHE_MISSES = 0
+# scatter ops pending rebind: scatter var id -> target var id
+_SCATTER_TARGET: dict = {}
+
+
+def cache_stats():
+    """(hits, misses) of the structural-hash executable cache."""
+    return _CACHE_HITS, _CACHE_MISSES
+
+
+def clear_cache():
+    global _CACHE_HITS, _CACHE_MISSES
+    _EXE_CACHE.clear()
+    _CACHE_HITS = 0
+    _CACHE_MISSES = 0
+
+
+def reset():
+    """Drop the whole trace state (tests)."""
+    _BUFFERS.clear()
+    _SCATTER_TARGET.clear()
+    clear_cache()
+    _lib.et_reset()
+
+
+def set_log_level(level: int):
+    """0-5 like cuda_set_log_level (cuda.h:195-200)."""
+    _lib.et_set_log_level(level)
+
+
+def whos() -> str:
+    """Live-variable table (cuda_whos, jit.cu:1564-1634)."""
+    buf = ctypes.create_string_buffer(1 << 20)
+    _lib.et_whos(buf, len(buf))
+    return buf.value.decode()
+
+
+def stats() -> dict:
+    vals = [ctypes.c_uint64() for _ in range(5)]
+    _lib.et_stats(*[ctypes.byref(v) for v in vals])
+    keys = ["n_vars", "n_appends", "n_evals", "n_freed", "peak_vars"]
+    d = dict(zip(keys, [v.value for v in vals]))
+    d["cache_hits"], d["cache_misses"] = cache_stats()
+    return d
+
+
+# ---------------------------------------------------------------------------
+# evaluation: C++ schedule -> jax function -> cached executable
+# ---------------------------------------------------------------------------
+
+
+def _build_program(entries, out_positions):
+    """Build a jax-traceable function from a schedule walk.
+
+    Called once per structural hash (cache miss); the returned function is
+    jax.jit-compiled and reused for every trace with the same structure.
+    """
+    def program(leaf_args):
+        vals = [None] * len(entries)
+        leaf_i = 0
+        for i, e in enumerate(entries):
+            (vid, opcode, dtype_c, size, dep_pos, literal, is_lit,
+             is_data) = e
+            dt = _DTYPES[dtype_c]
+            if is_lit:
+                if size == 1:
+                    vals[i] = jnp.full((1,), literal, dt)
+                else:
+                    vals[i] = jnp.full((size,), literal, dt)
+            elif is_data:
+                vals[i] = leaf_args[leaf_i]
+                leaf_i += 1
+            elif opcode == Op.IOTA:
+                vals[i] = jnp.arange(size, dtype=dt)
+            elif opcode == Op.CAST:
+                vals[i] = vals[dep_pos[0]].astype(dt)
+            else:
+                args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
+                vals[i] = _OP_IMPL[opcode](*args)
+        return tuple(vals[p] for p in out_positions)
+
+    return program
+
+
+def _read_schedule(n_entries):
+    u32, i32, u64, f64 = (ctypes.c_uint32, ctypes.c_int32, ctypes.c_uint64,
+                          ctypes.c_double)
+    entries = []
+    for i in range(n_entries):
+        vid, opc, dtc, size = u32(), i32(), i32(), u64()
+        deps = (u32 * 4)()
+        lit, isl, isd = f64(), i32(), i32()
+        _lib.et_schedule_entry(i, ctypes.byref(vid), ctypes.byref(opc),
+                               ctypes.byref(dtc), ctypes.byref(size), deps,
+                               ctypes.byref(lit), ctypes.byref(isl),
+                               ctypes.byref(isd))
+        entries.append((vid.value, opc.value, dtc.value, size.value,
+                        tuple(deps), lit.value, isl.value, isd.value))
+    n_out = _lib.et_schedule_num_outputs()
+    outs = [_lib.et_schedule_output(i) for i in range(n_out)]
+    return entries, outs
+
+
+def _eval_ids(ids):
+    """Evaluate the given variable ids (plus pending side effects)."""
+    global _CACHE_HITS, _CACHE_MISSES
+    ids = [i for i in ids if not _lib.et_var_materialized(i)]
+    if not ids and _lib.et_num_side_effects() == 0:
+        return
+    arr = (ctypes.c_uint32 * max(len(ids), 1))(*ids)
+    n = _lib.et_schedule(arr, len(ids))
+    entries, out_positions = _read_schedule(n)
+    key = _lib.et_schedule_hash()
+
+    exe = _EXE_CACHE.get(key)
+    if exe is None:
+        _CACHE_MISSES += 1
+        program = _build_program(entries, out_positions)
+        exe = jax.jit(lambda leaves: program(leaves))
+        _EXE_CACHE[key] = exe
+    else:
+        _CACHE_HITS += 1
+
+    leaves = [_BUFFERS[e[0]] for e in entries if e[7]]  # is_data order
+    results = exe(leaves)
+
+    # store outputs; scatter results rebind their TARGET's buffer (enoki
+    # scatters write into the target's storage; readers see the update
+    # after eval -- the dirty-flag protocol, jit.cu:674,719-730)
+    out_ids = []
+    for pos, r in zip(out_positions, results):
+        if pos == 0xFFFFFFFF:
+            continue
+        vid = entries[pos][0]
+        out_ids.append(vid)
+        tgt = _SCATTER_TARGET.pop(vid, None)
+        _BUFFERS[vid] = r
+        _lib.et_set_materialized(vid)
+        if tgt is not None:
+            if _lib.et_var_exists(tgt):
+                _BUFFERS[tgt] = r
+                _lib.et_set_materialized(tgt)
+            _lib.et_dec_ref_ext(vid)  # release the pending-rebind claim
+    _lib.et_clear_side_effects()
+    # drop buffers for vars the native side has already freed
+    for vid in list(_BUFFERS):
+        if not _lib.et_var_exists(vid):
+            del _BUFFERS[vid]
+
+
+def eval(*arrays) -> None:  # noqa: A001  (mirrors enoki's cuda_eval name)
+    """Force evaluation of the given LazyArrays (or all side effects)."""
+    _eval_ids([a.index for a in arrays])
+
+
+# ---------------------------------------------------------------------------
+# LazyArray
+# ---------------------------------------------------------------------------
+
+
+def _binary_dtype(a_code, b_code):
+    return _DTYPE_CODE[jnp.promote_types(_DTYPES[a_code], _DTYPES[b_code])]
+
+
+class LazyArray:
+    """Lazy 1-D array handle (the FloatC analog, cuda.h:206).
+
+    Operations record into the native trace; nothing runs until eval() /
+    numpy() / item access forces the fused program.
+    """
+
+    __slots__ = ("index",)
+
+    def __init__(self, value=None, index: Optional[int] = None):
+        if index is not None:
+            self.index = index
+            return
+        x = jnp.atleast_1d(jnp.asarray(value))
+        assert x.ndim == 1, "LazyArray is 1-D (the flat-index JIT model)"
+        self.index = _lib.et_data(_code_of(x.dtype), x.shape[0])
+        _BUFFERS[self.index] = x
+
+    # -- construction ------------------------------------------------------
+
+    @staticmethod
+    def literal(value, size=1, dtype=jnp.float32):
+        return LazyArray(index=_lib.et_literal(_code_of(dtype), float(value),
+                                               size))
+
+    @staticmethod
+    def arange(n, dtype=jnp.int32):
+        return LazyArray(index=_lib.et_append(Op.IOTA, _code_of(dtype), n,
+                                              0, 0, 0, 0))
+
+    @staticmethod
+    def zeros(n, dtype=jnp.float32):
+        return LazyArray.literal(0, n, dtype)
+
+    @staticmethod
+    def full(value, n, dtype=jnp.float32):
+        return LazyArray.literal(value, n, dtype)
+
+    @staticmethod
+    def linspace(lo, hi, n, dtype=jnp.float32):
+        i = LazyArray.arange(n, dtype).cast(dtype)
+        step = (hi - lo) / max(n - 1, 1)
+        return i * LazyArray.literal(step, 1, dtype) + \
+            LazyArray.literal(lo, 1, dtype)
+
+    # -- bookkeeping ---------------------------------------------------------
+
+    def __del__(self):
+        try:
+            _lib.et_dec_ref_ext(self.index)
+        except (TypeError, AttributeError):  # interpreter teardown
+            pass
+
+    def __len__(self):
+        return int(_lib.et_var_size(self.index))
+
+    @property
+    def size(self):
+        return len(self)
+
+    @property
+    def dtype(self):
+        return jnp.dtype(_DTYPES[_lib.et_var_dtype(self.index)])
+
+    @property
+    def materialized(self):
+        return bool(_lib.et_var_materialized(self.index))
+
+    def label(self, name: str) -> "LazyArray":
+        """set_label analog (cuda.h:957) -- names show up in whos()."""
+        _lib.et_set_label(self.index, name.encode())
+        return self
+
+    def __repr__(self):
+        state = "materialized" if self.materialized else "lazy"
+        return (f"LazyArray(id={self.index}, size={len(self)}, "
+                f"dtype={self.dtype.name}, {state})")
+
+    # -- op recording --------------------------------------------------------
+
+    def _ensure_clean(self):
+        """Reading a scatter target forces eval first (jit.cu:719-730)."""
+        if _lib.et_is_dirty(self.index):
+            _eval_ids([self.index])
+
+    @staticmethod
+    def _record(opcode, dtype_code, size, *dep_arrays, raw=False):
+        for d in dep_arrays:
+            d._ensure_clean()
+        deps = [d.index for d in dep_arrays] + [0] * (4 - len(dep_arrays))
+        append = _lib.et_append_raw if raw else _lib.et_append
+        idx = append(opcode, dtype_code, size, *deps)
+        if idx == 0:
+            sizes = [len(d) for d in dep_arrays]
+            raise ValueError(f"incompatible sizes for trace op: {sizes}")
+        return LazyArray(index=idx)
+
+    def _coerce(self, other):
+        if isinstance(other, LazyArray):
+            return other
+        if isinstance(other, (int, float, bool)):
+            return LazyArray.literal(other, 1, self.dtype)
+        return LazyArray(other)
+
+    def _bin(self, other, opcode, out_dtype=None, swap=False):
+        other = self._coerce(other)
+        a, b = (other, self) if swap else (self, other)
+        dc = _binary_dtype(_lib.et_var_dtype(a.index),
+                           _lib.et_var_dtype(b.index)) \
+            if out_dtype is None else out_dtype
+        return LazyArray._record(opcode, dc, max(len(a), len(b)), a, b)
+
+    def _unary(self, opcode, out_dtype=None):
+        dc = _lib.et_var_dtype(self.index) if out_dtype is None else out_dtype
+        return LazyArray._record(opcode, dc, len(self), self)
+
+    __add__ = lambda s, o: s._bin(o, Op.ADD)
+    __radd__ = lambda s, o: s._bin(o, Op.ADD, swap=True)
+    __sub__ = lambda s, o: s._bin(o, Op.SUB)
+    __rsub__ = lambda s, o: s._bin(o, Op.SUB, swap=True)
+    __mul__ = lambda s, o: s._bin(o, Op.MUL)
+    __rmul__ = lambda s, o: s._bin(o, Op.MUL, swap=True)
+    __truediv__ = lambda s, o: s._bin(o, Op.DIV)
+    __rtruediv__ = lambda s, o: s._bin(o, Op.DIV, swap=True)
+    __mod__ = lambda s, o: s._bin(o, Op.MOD)
+    __pow__ = lambda s, o: s._bin(o, Op.POW)
+    __neg__ = lambda s: s._unary(Op.NEG)
+    __abs__ = lambda s: s._unary(Op.ABS)
+    __and__ = lambda s, o: s._bin(o, Op.AND)
+    __or__ = lambda s, o: s._bin(o, Op.OR)
+    __xor__ = lambda s, o: s._bin(o, Op.XOR)
+    __invert__ = lambda s: s._unary(Op.NOT)
+    __lshift__ = lambda s, o: s._bin(o, Op.SHL)
+    __rshift__ = lambda s, o: s._bin(o, Op.SHR)
+
+    _BOOL = 4  # dtype code of jnp.bool_
+
+    __eq__ = lambda s, o: s._bin(o, Op.EQ, out_dtype=LazyArray._BOOL)
+    __ne__ = lambda s, o: s._bin(o, Op.NE, out_dtype=LazyArray._BOOL)
+    __lt__ = lambda s, o: s._bin(o, Op.LT, out_dtype=LazyArray._BOOL)
+    __le__ = lambda s, o: s._bin(o, Op.LE, out_dtype=LazyArray._BOOL)
+    __gt__ = lambda s, o: s._bin(o, Op.GT, out_dtype=LazyArray._BOOL)
+    __ge__ = lambda s, o: s._bin(o, Op.GE, out_dtype=LazyArray._BOOL)
+    __hash__ = None
+
+    def cast(self, dtype):
+        return self._unary(Op.CAST, _code_of(dtype))
+
+    # -- horizontal ops: stay lazy (XLA fuses reductions; the reference has
+    # to break the kernel at every cub call, src/cuda/horiz.cu) -----------
+
+    def hsum(self):
+        return LazyArray._record(Op.HSUM, _lib.et_var_dtype(self.index), 1,
+                                 self)
+
+    def hprod(self):
+        return LazyArray._record(Op.HPROD, _lib.et_var_dtype(self.index), 1,
+                                 self)
+
+    def hmin(self):
+        return LazyArray._record(Op.HMIN, _lib.et_var_dtype(self.index), 1,
+                                 self)
+
+    def hmax(self):
+        return LazyArray._record(Op.HMAX, _lib.et_var_dtype(self.index), 1,
+                                 self)
+
+    def all(self):
+        return LazyArray._record(Op.ALL, LazyArray._BOOL, 1, self)
+
+    def any(self):
+        return LazyArray._record(Op.ANY, LazyArray._BOOL, 1, self)
+
+    def count(self):
+        return LazyArray._record(Op.COUNT, _DTYPE_CODE[jnp.dtype(jnp.int32)],
+                                 1, self)
+
+    def psum(self):
+        return LazyArray._record(Op.PSUM, _lib.et_var_dtype(self.index),
+                                 len(self), self)
+
+    def reverse(self):
+        return LazyArray._record(Op.REVERSE, _lib.et_var_dtype(self.index),
+                                 len(self), self)
+
+    # -- gather / scatter ----------------------------------------------------
+
+    def gather(self, index: "LazyArray"):
+        """self[index] -- forces eval of self first if it is dirty."""
+        self._ensure_clean()
+        return LazyArray._record(Op.GATHER, _lib.et_var_dtype(self.index),
+                                 len(index), self, index, raw=True)
+
+    def _scatter_op(self, opcode, index, value):
+        index = self._coerce(index)
+        value = self._coerce(value)
+        op = LazyArray._record(opcode, _lib.et_var_dtype(self.index),
+                               len(self), self, index, value, raw=True)
+        _lib.et_mark_side_effect(op.index, self.index)
+        _SCATTER_TARGET[op.index] = self.index
+        # keep the scatter result's buffer claim alive until eval rebinds
+        _lib.et_inc_ref_ext(op.index)
+        return op
+
+    def scatter(self, index, value):
+        """enoki scatter: self[index] = value, lazily; self goes dirty."""
+        self._scatter_op(Op.SCATTER, index, value)
+        return self
+
+    def scatter_add(self, index, value):
+        """Conflict-safe accumulation (atom.global.add analog, cuda.h:893)."""
+        self._scatter_op(Op.SCATTER_ADD, index, value)
+        return self
+
+    # -- materialization -------------------------------------------------------
+
+    def eval(self) -> "LazyArray":
+        _eval_ids([self.index])
+        return self
+
+    def jax(self) -> jnp.ndarray:
+        self._ensure_clean()
+        if not self.materialized:
+            self.eval()
+        return _BUFFERS[self.index]
+
+    def numpy(self) -> np.ndarray:
+        return np.asarray(self.jax())
+
+    def __getitem__(self, i):
+        """Single-element fetch forces eval (cuda_fetch_element,
+        jit.cu:1520)."""
+        return self.numpy()[i]
+
+
+def select(mask: LazyArray, a, b):
+    a = mask._coerce(a)
+    b = mask._coerce(b)
+    dc = _binary_dtype(_lib.et_var_dtype(a.index), _lib.et_var_dtype(b.index))
+    return LazyArray._record(Op.SELECT, dc, max(len(mask), len(a), len(b)),
+                             mask, a, b)
+
+
+def _make_math(name, opcode, arity):
+    if arity == 1:
+        def f(x):
+            return x._unary(opcode)
+    elif arity == 2:
+        def f(x, y):
+            return x._bin(y, opcode)
+    else:
+        def f(x, y, z):
+            y = x._coerce(y)
+            z = x._coerce(z)
+            return LazyArray._record(opcode, _lib.et_var_dtype(x.index),
+                                     max(len(x), len(y), len(z)), x, y, z)
+    f.__name__ = name
+    f.__doc__ = f"Lazy {name} (records Op.{name.upper()} into the trace)."
+    return f
+
+
+for _name, (_op, _ar) in _MATH_OPS.items():
+    globals()[_name] = _make_math(_name, _op, _ar)
+
+__all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
+           "clear_cache", "reset", "set_log_level", "Op"] + \
+    list(_MATH_OPS)

@@ -1,0 +1,432 @@
+// enoki-tpu native trace runtime: graph builder, scheduler, refcounts,
+// dirty tracking and structural kernel-cache hashing.
+//
+// This is the TPU-native counterpart of the reference's compiled tracing
+// JIT (src/cuda/jit.cu): there, a global Context owns a variable table,
+// live set, dirty list and kernel cache, ops append PTX templates
+// (cuda_trace_append, jit.cu:701-861), and cuda_eval() topo-sorts live
+// variables with subtree-size-priority child ordering before emitting one
+// fused kernel (jit.cu:983-1508). Here the C++ core owns the same
+// responsibilities -- trace append with broadcast validation, external/
+// internal reference counting, scatter dirty-marking, DFS scheduling, and
+// an FNV-1a structural hash that keys the compiled-executable cache --
+// while code generation is delegated to XLA (the Python side walks the
+// schedule once per structural hash and jax.jit-compiles it; a cache hit
+// never re-walks the graph in Python).
+//
+// Exposed as a plain C ABI consumed via ctypes (no pybind11 in the image).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+enum : uint32_t { kMaxDeps = 4 };
+
+struct Variable {
+    int32_t opcode = 0;
+    int32_t dtype = 0;
+    uint64_t size = 0;
+    uint32_t dep[kMaxDeps] = {0, 0, 0, 0};
+    int32_t ext_ref = 0;   // references held by Python handles
+    int32_t int_ref = 0;   // references held by other variables' deps
+    double literal = 0.0;  // payload for kOpLiteral
+    bool is_literal = false;
+    bool is_data = false;    // leaf backed by a Python-held device buffer
+    bool side_effect = false;  // scatter-like: must be kept until evaluated
+    bool dirty = false;        // scatter target: reads must eval first
+    bool materialized = false;  // buffer exists on the Python side
+    uint64_t subtree_size = 1;  // priority for child ordering at schedule
+    std::string label;
+};
+
+struct Context {
+    std::unordered_map<uint32_t, Variable> vars;
+    uint32_t ctr = 1;  // 0 is the null variable
+    std::vector<uint32_t> side_effects;  // pending scatter ops
+    int log_level = 0;
+    // stats (whos-style accounting, jit.cu:1564-1634)
+    uint64_t n_appends = 0, n_evals = 0, n_freed = 0, peak_vars = 0;
+};
+
+Context ctx;
+
+struct ScheduleEntry {
+    uint32_t id;
+    int32_t opcode;
+    int32_t dtype;
+    uint64_t size;
+    // positional indices into the schedule (or ~0u for absent), so the
+    // hash is structural -- independent of variable-id numbering
+    uint32_t dep_pos[kMaxDeps];
+    double literal;
+    uint8_t is_literal;
+    uint8_t is_data;
+};
+
+struct Schedule {
+    std::vector<ScheduleEntry> entries;
+    std::vector<uint32_t> outputs;  // positions in `entries`
+    uint64_t hash = 0;
+};
+
+Schedule sched;
+
+Variable *var(uint32_t id) {
+    auto it = ctx.vars.find(id);
+    return it == ctx.vars.end() ? nullptr : &it->second;
+}
+
+void free_var(uint32_t id);
+
+void dec_ref_int(uint32_t id) {
+    Variable *v = var(id);
+    if (!v) return;
+    if (--v->int_ref <= 0 && v->ext_ref <= 0) free_var(id);
+}
+
+void free_var(uint32_t id) {
+    Variable *v = var(id);
+    if (!v) return;
+    uint32_t deps[kMaxDeps];
+    std::memcpy(deps, v->dep, sizeof(deps));
+    ctx.vars.erase(id);
+    ctx.n_freed++;
+    for (uint32_t d : deps)
+        if (d) dec_ref_int(d);
+}
+
+uint64_t fnv1a(uint64_t h, const void *data, size_t n) {
+    const uint8_t *p = static_cast<const uint8_t *>(data);
+    for (size_t i = 0; i < n; ++i) {
+        h ^= p[i];
+        h *= 0x100000001b3ull;
+    }
+    return h;
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---- variable creation -------------------------------------------------
+
+// Append an op. Broadcast rule identical to cuda_trace_append
+// (jit.cu:776-782): every dep size must be 1 or equal to the op size.
+// Returns the new variable id, or 0 on a size violation.
+uint32_t et_append(int32_t opcode, int32_t dtype, uint64_t size,
+                   uint32_t d0, uint32_t d1, uint32_t d2, uint32_t d3) {
+    uint32_t deps[kMaxDeps] = {d0, d1, d2, d3};
+    uint64_t subtree = 1;
+    for (uint32_t d : deps) {
+        if (!d) continue;
+        Variable *v = var(d);
+        if (!v) return 0;
+        if (v->size != 1 && v->size != size && size != 1) return 0;
+        subtree += v->subtree_size;
+    }
+    uint32_t id = ctx.ctr++;
+    Variable &nv = ctx.vars[id];
+    nv.opcode = opcode;
+    nv.dtype = dtype;
+    nv.size = size;
+    std::memcpy(nv.dep, deps, sizeof(deps));
+    nv.ext_ref = 1;
+    nv.subtree_size = subtree;
+    for (uint32_t d : deps)
+        if (d) var(d)->int_ref++;
+    ctx.n_appends++;
+    ctx.peak_vars = std::max<uint64_t>(ctx.peak_vars, ctx.vars.size());
+    if (ctx.log_level >= 4)
+        std::fprintf(stderr, "et_append(op=%d, id=%u, size=%llu)\n", opcode,
+                     id, (unsigned long long)size);
+    return id;
+}
+
+// Append without the broadcast-size check: gather/scatter ops mix the
+// source/target size with the index size (the reference routes these
+// through extra_dep for the same reason, jit.cu:61-111).
+uint32_t et_append_raw(int32_t opcode, int32_t dtype, uint64_t size,
+                       uint32_t d0, uint32_t d1, uint32_t d2, uint32_t d3) {
+    uint32_t deps[kMaxDeps] = {d0, d1, d2, d3};
+    uint64_t subtree = 1;
+    for (uint32_t d : deps) {
+        if (!d) continue;
+        Variable *v = var(d);
+        if (!v) return 0;
+        subtree += v->subtree_size;
+    }
+    uint32_t id = ctx.ctr++;
+    Variable &nv = ctx.vars[id];
+    nv.opcode = opcode;
+    nv.dtype = dtype;
+    nv.size = size;
+    std::memcpy(nv.dep, deps, sizeof(deps));
+    nv.ext_ref = 1;
+    nv.subtree_size = subtree;
+    for (uint32_t d : deps)
+        if (d) var(d)->int_ref++;
+    ctx.n_appends++;
+    ctx.peak_vars = std::max<uint64_t>(ctx.peak_vars, ctx.vars.size());
+    return id;
+}
+
+uint32_t et_literal(int32_t dtype, double value, uint64_t size) {
+    uint32_t id = ctx.ctr++;
+    Variable &v = ctx.vars[id];
+    v.dtype = dtype;
+    v.size = size;
+    v.ext_ref = 1;
+    v.literal = value;
+    v.is_literal = true;
+    ctx.n_appends++;
+    return id;
+}
+
+// Leaf variable backed by a Python-held device buffer.
+uint32_t et_data(int32_t dtype, uint64_t size) {
+    uint32_t id = ctx.ctr++;
+    Variable &v = ctx.vars[id];
+    v.dtype = dtype;
+    v.size = size;
+    v.ext_ref = 1;
+    v.is_data = true;
+    v.materialized = true;
+    ctx.n_appends++;
+    return id;
+}
+
+// ---- refcounting (jit.cu external/internal refs) -----------------------
+
+void et_inc_ref_ext(uint32_t id) {
+    Variable *v = var(id);
+    if (v) v->ext_ref++;
+}
+
+void et_dec_ref_ext(uint32_t id) {
+    Variable *v = var(id);
+    if (!v) return;
+    if (--v->ext_ref <= 0 && v->int_ref <= 0) free_var(id);
+}
+
+// ---- introspection ------------------------------------------------------
+
+uint64_t et_var_size(uint32_t id) { Variable *v = var(id); return v ? v->size : 0; }
+int32_t et_var_dtype(uint32_t id) { Variable *v = var(id); return v ? v->dtype : -1; }
+int32_t et_var_opcode(uint32_t id) { Variable *v = var(id); return v ? v->opcode : -1; }
+int32_t et_var_materialized(uint32_t id) { Variable *v = var(id); return v && v->materialized; }
+int32_t et_var_exists(uint32_t id) { return var(id) != nullptr; }
+uint32_t et_num_vars(void) { return (uint32_t)ctx.vars.size(); }
+
+void et_set_label(uint32_t id, const char *label) {
+    Variable *v = var(id);
+    if (v) v->label = label ? label : "";
+}
+
+// ---- scatter / dirty tracking (jit.cu:674,719-730) ----------------------
+
+// Mark `target` dirty (a scatter wrote to it) and `op` as a side effect
+// that must be retained until the next eval.
+void et_mark_side_effect(uint32_t op, uint32_t target) {
+    Variable *t = var(target);
+    Variable *o = var(op);
+    if (t) t->dirty = true;
+    if (o) {
+        o->side_effect = true;
+        o->int_ref++;  // keep alive until evaluated
+    }
+    ctx.side_effects.push_back(op);
+}
+
+int32_t et_is_dirty(uint32_t id) {
+    Variable *v = var(id);
+    return v && v->dirty;
+}
+
+int32_t et_num_side_effects(void) { return (int32_t)ctx.side_effects.size(); }
+
+// ---- scheduling (cuda_eval's DFS, jit.cu:1385-1416) ----------------------
+
+namespace {
+
+void dfs(uint32_t id, std::vector<uint32_t> &order,
+         std::unordered_map<uint32_t, uint32_t> &pos) {
+    if (pos.count(id)) return;
+    Variable *v = var(id);
+    if (!v) return;
+    if (!(v->materialized || v->is_literal)) {
+        // visit larger subtrees first so register pressure in the fused
+        // program stays low -- the subtree-size-priority child ordering
+        // of the reference scheduler (jit.cu:1385-1416)
+        uint32_t order_idx[kMaxDeps] = {0, 1, 2, 3};
+        std::sort(order_idx, order_idx + kMaxDeps, [&](uint32_t a, uint32_t b) {
+            Variable *va = v->dep[a] ? var(v->dep[a]) : nullptr;
+            Variable *vb = v->dep[b] ? var(v->dep[b]) : nullptr;
+            uint64_t sa = va ? va->subtree_size : 0;
+            uint64_t sb = vb ? vb->subtree_size : 0;
+            return sa > sb;
+        });
+        for (uint32_t k : order_idx)
+            if (v->dep[k]) dfs(v->dep[k], order, pos);
+    }
+    pos[id] = (uint32_t)order.size();
+    order.push_back(id);
+}
+
+}  // namespace
+
+// Build a schedule for `n` output variables (plus all pending side
+// effects). Returns the number of schedule entries.
+uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
+    sched.entries.clear();
+    sched.outputs.clear();
+
+    std::vector<uint32_t> roots(outs, outs + n);
+    for (uint32_t se : ctx.side_effects) roots.push_back(se);
+
+    std::vector<uint32_t> order;
+    std::unordered_map<uint32_t, uint32_t> pos;
+    for (uint32_t r : roots) dfs(r, order, pos);
+
+    uint64_t h = 0xcbf29ce484222325ull;
+    for (uint32_t id : order) {
+        Variable *v = var(id);
+        ScheduleEntry e;
+        e.id = id;
+        e.opcode = (v->materialized || v->is_literal) ? 0 : v->opcode;
+        e.dtype = v->dtype;
+        e.size = v->size;
+        e.literal = v->literal;
+        e.is_literal = v->is_literal;
+        e.is_data = v->materialized && !v->is_literal;
+        for (uint32_t k = 0; k < kMaxDeps; ++k) {
+            uint32_t d = (e.opcode && v->dep[k]) ? v->dep[k] : 0;
+            e.dep_pos[k] = d ? pos[d] : ~0u;
+        }
+        sched.entries.push_back(e);
+        // structural hash: opcode, dtype, broadcast-class (size==1 vs
+        // full), literal payload, positional deps -- the analog of the
+        // reference's kernel source hash (jit.cu:1239-1249)
+        h = fnv1a(h, &e.opcode, sizeof(e.opcode));
+        h = fnv1a(h, &e.dtype, sizeof(e.dtype));
+        uint8_t bclass = e.size == 1 ? 1 : 2;
+        h = fnv1a(h, &bclass, sizeof(bclass));
+        if (e.is_literal) h = fnv1a(h, &e.literal, sizeof(e.literal));
+        h = fnv1a(h, e.dep_pos, sizeof(e.dep_pos));
+    }
+    for (uint32_t r : roots) {
+        uint32_t p = pos.count(r) ? pos[r] : ~0u;
+        sched.outputs.push_back(p);
+        h = fnv1a(h, &p, sizeof(p));
+    }
+    sched.hash = h;
+    ctx.n_evals++;
+    if (ctx.log_level >= 1)
+        std::fprintf(stderr, "et_schedule: %zu entries, %zu outputs, hash=%016llx\n",
+                     sched.entries.size(), sched.outputs.size(),
+                     (unsigned long long)sched.hash);
+    return (uint32_t)sched.entries.size();
+}
+
+uint64_t et_schedule_hash(void) { return sched.hash; }
+uint32_t et_schedule_num_outputs(void) { return (uint32_t)sched.outputs.size(); }
+uint32_t et_schedule_output(uint32_t i) { return sched.outputs[i]; }
+
+void et_schedule_entry(uint32_t i, uint32_t *id, int32_t *opcode,
+                       int32_t *dtype, uint64_t *size, uint32_t *dep_pos,
+                       double *literal, int32_t *is_literal,
+                       int32_t *is_data) {
+    const ScheduleEntry &e = sched.entries[i];
+    *id = e.id;
+    *opcode = e.opcode;
+    *dtype = e.dtype;
+    *size = e.size;
+    std::memcpy(dep_pos, e.dep_pos, sizeof(e.dep_pos));
+    *literal = e.literal;
+    *is_literal = e.is_literal;
+    *is_data = e.is_data;
+}
+
+// After eval: mark a variable materialized and release its dependency
+// references (jit.cu:1484-1507 releases inner refs of evaluated vars so
+// the consumed subgraph can be collected).
+void et_set_materialized(uint32_t id) {
+    Variable *v = var(id);
+    if (!v) return;
+    v->materialized = true;
+    v->dirty = false;
+    uint32_t deps[kMaxDeps];
+    std::memcpy(deps, v->dep, sizeof(deps));
+    std::memset(v->dep, 0, sizeof(v->dep));
+    v->subtree_size = 1;
+    for (uint32_t d : deps)
+        if (d) dec_ref_int(d);
+}
+
+// Release the pending side-effect list (each held one internal ref).
+void et_clear_side_effects(void) {
+    for (uint32_t se : ctx.side_effects) dec_ref_int(se);
+    ctx.side_effects.clear();
+}
+
+// ---- logging / stats (cuda_whos, log levels) -----------------------------
+
+void et_set_log_level(int32_t level) { ctx.log_level = level; }
+int32_t et_log_level(void) { return ctx.log_level; }
+
+void et_stats(uint64_t *n_vars, uint64_t *n_appends, uint64_t *n_evals,
+              uint64_t *n_freed, uint64_t *peak_vars) {
+    *n_vars = ctx.vars.size();
+    *n_appends = ctx.n_appends;
+    *n_evals = ctx.n_evals;
+    *n_freed = ctx.n_freed;
+    *peak_vars = ctx.peak_vars;
+}
+
+// whos-style live variable table (jit.cu:1564-1634).
+int32_t et_whos(char *buf, int32_t cap) {
+    std::string s = "  ID    refs    size  op    flags  label\n";
+    std::vector<uint32_t> ids;
+    ids.reserve(ctx.vars.size());
+    for (auto &kv : ctx.vars) ids.push_back(kv.first);
+    std::sort(ids.begin(), ids.end());
+    uint64_t mem = 0;
+    for (uint32_t id : ids) {
+        Variable &v = ctx.vars[id];
+        char line[256];
+        std::snprintf(line, sizeof(line), "%6u  %d/%d  %8llu  %3d   %s%s%s%s  %s\n",
+                      id, v.ext_ref, v.int_ref, (unsigned long long)v.size,
+                      v.opcode, v.materialized ? "M" : "-",
+                      v.dirty ? "D" : "-", v.side_effect ? "S" : "-",
+                      v.is_literal ? "L" : "-", v.label.c_str());
+        s += line;
+        if (v.materialized) mem += v.size * 4;
+    }
+    char tail[128];
+    std::snprintf(tail, sizeof(tail),
+                  "  %zu live variables, ~%.2f MiB materialized\n",
+                  ctx.vars.size(), mem / (1024.0 * 1024.0));
+    s += tail;
+    int32_t n = (int32_t)std::min<size_t>(s.size(), (size_t)cap - 1);
+    std::memcpy(buf, s.data(), n);
+    buf[n] = 0;
+    return (int32_t)s.size();
+}
+
+// Reset everything (tests).
+void et_reset(void) {
+    ctx.vars.clear();
+    ctx.side_effects.clear();
+    ctx.ctr = 1;
+    ctx.n_appends = ctx.n_evals = ctx.n_freed = ctx.peak_vars = 0;
+    sched.entries.clear();
+    sched.outputs.clear();
+    sched.hash = 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,186 @@
+"""Lazy trace runtime tests (the CUDAArray/cuda_eval analog).
+
+Covers the reference's trace-JIT behaviors (SURVEY §2.2 "Tracing JIT
+compiler", src/cuda/jit.cu): lazy op recording, fusion into one compiled
+program, kernel-cache hits on structural retrace, broadcast validation,
+refcount-driven graph collection, scatter dirty tracking and
+read-after-scatter eval forcing, whos/labels, log levels.
+"""
+
+import numpy as np
+import pytest
+
+import enoki_tpu.trace as tr
+from enoki_tpu.trace import LazyArray
+
+
+@pytest.fixture(autouse=True)
+def _fresh():
+    tr.reset()
+    yield
+    tr.reset()
+
+
+def test_lazy_until_eval():
+    x = LazyArray(np.arange(8, dtype=np.float32))
+    y = x * 2.0 + 1.0
+    assert not y.materialized
+    got = y.numpy()
+    assert y.materialized
+    np.testing.assert_allclose(got, np.arange(8) * 2.0 + 1.0)
+
+
+def test_fusion_single_eval():
+    # an arbitrarily long op chain evaluates in ONE program (the fusion
+    # contrast of tests/sphere.cpp:139-147)
+    x = LazyArray(np.linspace(0.1, 1.0, 64).astype(np.float32))
+    y = x
+    for _ in range(50):
+        y = tr.sqrt(y * y + 0.01)
+    before = tr.stats()["n_evals"]
+    y.eval()
+    assert tr.stats()["n_evals"] == before + 1
+    ref = np.linspace(0.1, 1.0, 64).astype(np.float32)
+    for _ in range(50):
+        ref = np.sqrt(ref * ref + 0.01)
+    np.testing.assert_allclose(y.numpy(), ref, rtol=1e-5)
+
+
+def test_cache_hit_on_retrace():
+    # same structure, different data -> executable cache hit (the analog
+    # of the reference's kernel-cache hit, docs/gpu.rst:268-271)
+    def prog(data):
+        x = LazyArray(data)
+        return (tr.sin(x) * 2.0 + tr.cos(x)).numpy()
+
+    a = prog(np.arange(16, dtype=np.float32))
+    h0, m0 = tr.cache_stats()
+    b = prog(np.arange(16, dtype=np.float32) + 3)
+    h1, m1 = tr.cache_stats()
+    assert m1 == m0 and h1 == h0 + 1
+    np.testing.assert_allclose(
+        b, np.sin(np.arange(16.0) + 3) * 2 + np.cos(np.arange(16.0) + 3),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_cache_miss_on_different_structure():
+    x = LazyArray(np.arange(4, dtype=np.float32))
+    (x + 1.0).eval()
+    _, m0 = tr.cache_stats()
+    (x * 3.0).eval()
+    _, m1 = tr.cache_stats()
+    assert m1 == m0 + 1
+
+
+def test_broadcast_validation():
+    # 1-or-equal size rule (cuda_trace_append, jit.cu:776-782)
+    x = LazyArray(np.zeros(8, np.float32))
+    s = LazyArray.literal(2.0)
+    (x * s).eval()  # scalar broadcast OK
+    y = LazyArray(np.zeros(7, np.float32))
+    with pytest.raises(ValueError):
+        _ = x + y
+
+
+def test_refcount_collection():
+    x = LazyArray(np.zeros(4, np.float32))
+    n0 = tr.stats()["n_vars"]
+    y = x + 1.0
+    z = y * 2.0
+    # two literal vars + y + z
+    assert tr.stats()["n_vars"] == n0 + 4
+    del y, z  # z's deletion drops y's internal ref too
+    assert tr.stats()["n_vars"] == n0
+
+
+def test_horizontal_fused():
+    x = LazyArray(np.arange(32, dtype=np.float32))
+    assert float(x.hsum().numpy()[0]) == 496.0
+    assert float(x.hmax().numpy()[0]) == 31.0
+    assert float((x * 0 + 2).hprod().numpy()[0]) == 2.0 ** 32
+    assert int((x > 15.0).count().numpy()[0]) == 16
+    assert bool((x >= 0.0).all().numpy()[0])
+    assert not bool((x > 100.0).any().numpy()[0])
+    np.testing.assert_allclose(x.psum().numpy(), np.cumsum(np.arange(32.0)))
+    np.testing.assert_allclose(x.reverse().numpy(), np.arange(32.0)[::-1])
+
+
+def test_select_and_compare():
+    x = LazyArray(np.arange(10, dtype=np.float32))
+    z = tr.select(x > 4.0, x, -x)
+    np.testing.assert_allclose(
+        z.numpy(), np.where(np.arange(10) > 4, np.arange(10.0),
+                            -np.arange(10.0)))
+
+
+def test_gather():
+    src = LazyArray(np.array([10., 20., 30., 40.], np.float32))
+    idx = LazyArray(np.array([3, 0, 2], np.int32))
+    np.testing.assert_allclose(src.gather(idx).numpy(), [40., 10., 30.])
+
+
+def test_scatter_dirty_forces_eval():
+    # read-after-scatter protocol (jit.cu:674,719-730): the scatter is
+    # lazy; a read of the target evals it first and sees the update
+    tgt = LazyArray(np.zeros(5, np.float32))
+    tgt.scatter(LazyArray(np.array([1, 3], np.int32)),
+                LazyArray(np.array([7.0, 9.0], np.float32)))
+    y = tgt + 1.0  # appending a reader op forces the pending scatter
+    np.testing.assert_allclose(y.numpy(), [1., 8., 1., 10., 1.])
+
+
+def test_scatter_add_conflicts():
+    # conflict-safe accumulation (atom.global.add analog, cuda.h:893,
+    # tests/histogram.cpp:54)
+    tgt = LazyArray(np.zeros(4, np.float32))
+    idx = LazyArray(np.array([0, 1, 1, 1, 3], np.int32))
+    tgt.scatter_add(idx, LazyArray(np.ones(5, np.float32)))
+    np.testing.assert_allclose(tgt.numpy(), [1., 3., 0., 1.])
+
+
+def test_arange_linspace_literal():
+    np.testing.assert_array_equal(LazyArray.arange(6).numpy(),
+                                  np.arange(6, dtype=np.int32))
+    np.testing.assert_allclose(
+        LazyArray.linspace(-1.0, 1.0, 5).numpy(),
+        np.linspace(-1, 1, 5, dtype=np.float32), rtol=1e-6)
+    np.testing.assert_allclose(LazyArray.full(2.5, 3).numpy(), [2.5] * 3)
+
+
+def test_cast_and_int_ops():
+    x = LazyArray(np.array([1, 2, 3], np.int32))
+    f = x.cast(np.float32)
+    assert f.dtype == np.float32
+    np.testing.assert_allclose((f / 2.0).numpy(), [0.5, 1.0, 1.5])
+    np.testing.assert_array_equal((x << 2).numpy(), [4, 8, 12])
+    u = LazyArray(np.array([7], np.uint32))
+    assert int(tr.popcnt(u).numpy()[0]) == 3
+
+
+def test_whos_and_labels():
+    x = LazyArray(np.zeros(16, np.float32)).label("weights")
+    _ = x  # keep alive
+    report = tr.whos()
+    assert "weights" in report and "live variables" in report
+
+
+def test_single_element_fetch_forces_eval():
+    x = LazyArray(np.arange(4, dtype=np.float32))
+    y = x * 10.0
+    assert not y.materialized
+    assert y[2] == 20.0  # cuda_fetch_element analog (jit.cu:1520)
+    assert y.materialized
+
+
+def test_log_level_roundtrip():
+    tr.set_log_level(3)
+    assert tr.stats() is not None
+    tr.set_log_level(0)
+
+
+def test_scalar_size1_output():
+    # size-1 results broadcast against full arrays afterwards
+    x = LazyArray(np.arange(8, dtype=np.float32))
+    m = x.hsum()  # size 1
+    y = x / m
+    np.testing.assert_allclose(y.numpy(), np.arange(8.0) / 28.0, rtol=1e-6)
