@@ -544,3 +544,15 @@ def deg_to_rad(x):
 
 def rad_to_deg(x):
     return x * (180.0 / jnp.pi)
+
+
+def prefetch(source, index, mask=None):
+    """Memory-prefetch hint (array_router.h:1031).
+
+    The reference issues ``_mm_prefetch``/PTX ``prefetch.global`` for an
+    upcoming gather. On TPU there is no software-prefetch instruction at
+    the XLA level -- HBM->VMEM movement is scheduled by the compiler (and
+    explicitly via Pallas DMA, see render/pallas_kernels.py) -- so this is
+    a documented no-op kept for API parity.
+    """
+    return None

@@ -256,29 +256,36 @@ def _eval_ids(ids):
         return
     arr = (ctypes.c_uint32 * max(len(ids), 1))(*ids)
     n = _lib.et_schedule(arr, len(ids))
-    entries, out_positions = _read_schedule(n)
     key = _lib.et_schedule_hash()
 
     exe = _EXE_CACHE.get(key)
     if exe is None:
         _CACHE_MISSES += 1
+        entries, out_positions = _read_schedule(n)
         program = _build_program(entries, out_positions)
         exe = jax.jit(lambda leaves: program(leaves))
         _EXE_CACHE[key] = exe
     else:
         _CACHE_HITS += 1
 
-    leaves = [_BUFFERS[e[0]] for e in entries if e[7]]  # is_data order
+    # cache-hit fast path: only the data-leaf ids (executable inputs, in
+    # schedule order) and output ids are needed -- two bulk calls instead
+    # of an O(n)-ctypes-roundtrip schedule walk
+    buf = (ctypes.c_uint32 * n)()
+    n_data = _lib.et_schedule_data_ids(buf, n)
+    leaves = [_BUFFERS[buf[i]] for i in range(n_data)]
+    n_out = _lib.et_schedule_output_ids(buf, n)
+    out_vids = [buf[i] for i in range(n_out)]
+
     results = exe(leaves)
 
     # store outputs; scatter results rebind their TARGET's buffer (enoki
     # scatters write into the target's storage; readers see the update
     # after eval -- the dirty-flag protocol, jit.cu:674,719-730)
     out_ids = []
-    for pos, r in zip(out_positions, results):
-        if pos == 0xFFFFFFFF:
+    for vid, r in zip(out_vids, results):
+        if vid == 0:
             continue
-        vid = entries[pos][0]
         out_ids.append(vid)
         tgt = _SCATTER_TARGET.pop(vid, None)
         _BUFFERS[vid] = r
@@ -305,8 +312,14 @@ def eval(*arrays) -> None:  # noqa: A001  (mirrors enoki's cuda_eval name)
 # ---------------------------------------------------------------------------
 
 
+# precomputed 8x8 promotion table: jnp.promote_types costs ~6 us/call,
+# which would dominate trace-append time (the append itself is ~1 us)
+_PROMOTE = [[_DTYPE_CODE[jnp.promote_types(a, b)] for b in _DTYPES]
+            for a in _DTYPES]
+
+
 def _binary_dtype(a_code, b_code):
-    return _DTYPE_CODE[jnp.promote_types(_DTYPES[a_code], _DTYPES[b_code])]
+    return _PROMOTE[a_code][b_code]
 
 
 class LazyArray:
@@ -410,7 +423,8 @@ class LazyArray:
         if isinstance(other, LazyArray):
             return other
         if isinstance(other, (int, float, bool)):
-            return LazyArray.literal(other, 1, self.dtype)
+            code = _lib.et_var_dtype(self.index)
+            return LazyArray(index=_lib.et_literal(code, float(other), 1))
         return LazyArray(other)
 
     def _bin(self, other, opcode, out_dtype=None, swap=False):

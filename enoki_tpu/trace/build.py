@@ -77,6 +77,10 @@ def load_library() -> ctypes.CDLL:
     lib.et_schedule.restype = u32
     lib.et_schedule.argtypes = [P(u32), u32]
     lib.et_schedule_hash.restype = u64
+    lib.et_schedule_data_ids.restype = u32
+    lib.et_schedule_data_ids.argtypes = [P(u32), u32]
+    lib.et_schedule_output_ids.restype = u32
+    lib.et_schedule_output_ids.argtypes = [P(u32), u32]
     lib.et_schedule_num_outputs.restype = u32
     lib.et_schedule_output.restype = u32
     lib.et_schedule_output.argtypes = [u32]

@@ -334,6 +334,29 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
 }
 
 uint64_t et_schedule_hash(void) { return sched.hash; }
+
+// Bulk accessors for the cache-hit fast path: a hit needs only the data
+// leaves (executable inputs, in schedule order) and the output variable
+// ids -- not the full per-entry walk.
+uint32_t et_schedule_data_ids(uint32_t *out, uint32_t cap) {
+    uint32_t n = 0;
+    for (const ScheduleEntry &e : sched.entries)
+        if (e.is_data) {
+            if (n < cap) out[n] = e.id;
+            ++n;
+        }
+    return n;
+}
+
+uint32_t et_schedule_output_ids(uint32_t *out, uint32_t cap) {
+    uint32_t n = 0;
+    for (uint32_t p : sched.outputs) {
+        uint32_t id = p == ~0u ? 0 : sched.entries[p].id;
+        if (n < cap) out[n] = id;
+        ++n;
+    }
+    return n;
+}
 uint32_t et_schedule_num_outputs(void) { return (uint32_t)sched.outputs.size(); }
 uint32_t et_schedule_output(uint32_t i) { return sched.outputs[i]; }
 
