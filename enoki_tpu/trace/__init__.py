@@ -166,6 +166,8 @@ def reset():
     """Drop the whole trace state (tests)."""
     _BUFFERS.clear()
     _SCATTER_TARGET.clear()
+    _GRAD_ENABLED.clear()
+    _GRADS.clear()
     clear_cache()
     _lib.et_reset()
 
@@ -566,6 +568,172 @@ def select(mask: LazyArray, a, b):
                              mask, a, b)
 
 
+# ---------------------------------------------------------------------------
+# AD over the lazy trace: the DiffArray<CUDAArray<float>> analog (FloatD).
+#
+# The reference wraps the lazy GPU array in an AD tape (autodiff.h:126):
+# requires_grad marks parameters, backward(loss) walks the tape,
+# gradient(x) reads the result. Here the recorded trace IS the tape: at
+# backward() time the C++ schedule for the loss is turned into a jax
+# program over its data leaves and differentiated with jax.vjp w.r.t. the
+# marked leaves -- one fused forward+backward XLA program, cached by the
+# same structural hash as eval (so repeated optimization steps with fresh
+# data hit the executable cache).
+#
+# Contract: requires_grad() targets must be evaluated leaves (parameters
+# are; the call evals them if not), and backward(loss) must run before
+# the loss itself is evaluated -- eval() collapses the consumed subgraph
+# (jit.cu:1484-1507 releases it the same way), after which there is no
+# tape left to walk. backward() returns the primal loss value, so no
+# second eval is needed.
+# ---------------------------------------------------------------------------
+
+_GRAD_ENABLED: set = set()   # var ids marked as differentiable parameters
+_GRADS: dict = {}            # var id -> gradient device buffer
+
+
+def requires_grad(x: "LazyArray", flag: bool = True) -> "LazyArray":
+    """Mark a (leaf) array as differentiable (set_requires_gradient,
+    autodiff.h)."""
+    if flag:
+        if not x.materialized:
+            x.eval()
+        _GRAD_ENABLED.add(x.index)
+    else:
+        _GRAD_ENABLED.discard(x.index)
+    return x
+
+
+def grad_enabled(x: "LazyArray") -> bool:
+    return x.index in _GRAD_ENABLED
+
+
+def gradient(x: "LazyArray"):
+    """Gradient accumulated by the last backward()/forward_from() pass
+    (``gradient(x)``, array_router.h:702). Returns a LazyArray, zeros if
+    no gradient reached x."""
+    g = _GRADS.get(x.index)
+    if g is None:
+        g = jnp.zeros((len(x),), x.dtype)
+    return LazyArray(g)
+
+
+def clear_gradients():
+    _GRADS.clear()
+
+
+def _loss_program_and_leaves(loss: "LazyArray"):
+    if loss.materialized:
+        raise ValueError(
+            "backward()/forward_from() need the unevaluated trace: call "
+            "them before reading the loss (they return/propagate values "
+            "themselves)")
+    if _lib.et_num_side_effects():
+        _eval_ids([])  # flush pending scatters so the tape is closed
+    arr = (ctypes.c_uint32 * 1)(loss.index)
+    n = _lib.et_schedule(arr, 1)
+    entries, out_positions = _read_schedule(n)
+    key = _lib.et_schedule_hash()
+    leaf_ids = [e[0] for e in entries if e[7]]
+    return entries, out_positions, key, leaf_ids
+
+
+def _split_program(entries, out_positions, marked_pos, n_leaves):
+    program = _build_program(entries, out_positions)
+    mset = set(marked_pos)
+
+    def fn(marked, others):
+        leaves, mi, oi = [], 0, 0
+        for k in range(n_leaves):
+            if k in mset:
+                leaves.append(marked[mi])
+                mi += 1
+            else:
+                leaves.append(others[oi])
+                oi += 1
+        return program(leaves)[0]
+
+    return fn
+
+
+def backward(loss: "LazyArray", grad_out=1.0) -> jnp.ndarray:
+    """Reverse pass from ``loss`` into every requires_grad leaf
+    (``backward(loss)``, autodiff.h:1490 -> autodiff.cpp:838). Returns the
+    primal loss value (materialized as a side effect of the fused
+    forward+backward program)."""
+    global _CACHE_HITS, _CACHE_MISSES
+    entries, out_positions, key, leaf_ids = _loss_program_and_leaves(loss)
+    marked_pos = [k for k, i in enumerate(leaf_ids) if i in _GRAD_ENABLED]
+    n_leaves = len(leaf_ids)
+
+    ckey = ("bwd", key, tuple(marked_pos))
+    exe = _EXE_CACHE.get(ckey)
+    if exe is None:
+        _CACHE_MISSES += 1
+        fn = _split_program(entries, out_positions, marked_pos, n_leaves)
+
+        def run(marked, others, ct):
+            val, vjp_fn = jax.vjp(lambda m: fn(m, others), marked)
+            (gs,) = vjp_fn(jnp.broadcast_to(ct, val.shape).astype(val.dtype))
+            return val, gs
+
+        exe = jax.jit(run)
+        _EXE_CACHE[ckey] = exe
+    else:
+        _CACHE_HITS += 1
+
+    mset = set(marked_pos)
+    marked = [_BUFFERS[leaf_ids[k]] for k in marked_pos]
+    others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k not in mset]
+    val, gs = exe(marked, others, jnp.asarray(grad_out))
+
+    _BUFFERS[loss.index] = val
+    _lib.et_set_materialized(loss.index)
+    for k, g in zip(marked_pos, gs):
+        vid = leaf_ids[k]
+        prev = _GRADS.get(vid)
+        _GRADS[vid] = g if prev is None else prev + g
+    return val
+
+
+def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
+    """Forward mode from parameter ``x`` to ``loss`` (``forward(x)``,
+    autodiff.cpp:912): propagates a tangent and stores d loss / d x in the
+    loss's gradient slot. Returns (loss value, tangent_out)."""
+    global _CACHE_HITS, _CACHE_MISSES
+    if x.index not in _GRAD_ENABLED:
+        requires_grad(x)
+    entries, out_positions, key, leaf_ids = _loss_program_and_leaves(loss)
+    if x.index not in leaf_ids:
+        raise ValueError("forward_from: x is not a leaf of the loss trace")
+    pos = leaf_ids.index(x.index)
+    n_leaves = len(leaf_ids)
+
+    ckey = ("fwd", key, pos)
+    exe = _EXE_CACHE.get(ckey)
+    if exe is None:
+        _CACHE_MISSES += 1
+        fn = _split_program(entries, out_positions, [pos], n_leaves)
+
+        def run(xbuf, others, t):
+            return jax.jvp(lambda m: fn([m], others), (xbuf,),
+                           (jnp.broadcast_to(t, xbuf.shape)
+                            .astype(xbuf.dtype),))
+
+        exe = jax.jit(run)
+        _EXE_CACHE[ckey] = exe
+    else:
+        _CACHE_HITS += 1
+
+    others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k != pos]
+    val, tang = exe(_BUFFERS[x.index], others, jnp.asarray(tangent))
+    _BUFFERS[loss.index] = val
+    _lib.et_set_materialized(loss.index)
+    prev = _GRADS.get(loss.index)
+    _GRADS[loss.index] = tang if prev is None else prev + tang
+    return val, tang
+
+
 def _make_math(name, opcode, arity):
     if arity == 1:
         def f(x):
@@ -588,5 +756,6 @@ for _name, (_op, _ar) in _MATH_OPS.items():
     globals()[_name] = _make_math(_name, _op, _ar)
 
 __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
-           "clear_cache", "reset", "set_log_level", "Op"] + \
-    list(_MATH_OPS)
+           "clear_cache", "reset", "set_log_level", "Op", "requires_grad",
+           "grad_enabled", "gradient", "clear_gradients", "backward",
+           "forward_from"] + list(_MATH_OPS)

@@ -184,3 +184,92 @@ def test_scalar_size1_output():
     m = x.hsum()  # size 1
     y = x / m
     np.testing.assert_allclose(y.numpy(), np.arange(8.0) / 28.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# AD over the lazy trace (DiffArray analog; reference tests/autodiff.cpp)
+# ---------------------------------------------------------------------------
+
+
+def test_backward_simple():
+    x = LazyArray(np.array([1.0, 2.0, 3.0], np.float32))
+    tr.requires_grad(x)
+    loss = (x * x).hsum()  # d/dx sum(x^2) = 2x
+    val = tr.backward(loss)
+    assert float(val[0]) == 14.0
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [2., 4., 6.])
+
+
+def test_backward_transcendental_chain():
+    x = LazyArray(np.linspace(0.1, 1.0, 8).astype(np.float32))
+    tr.requires_grad(x)
+    loss = (tr.sin(x) * tr.exp(x)).hsum()
+    tr.backward(loss)
+    xs = np.linspace(0.1, 1.0, 8)
+    want = np.cos(xs) * np.exp(xs) + np.sin(xs) * np.exp(xs)
+    np.testing.assert_allclose(tr.gradient(x).numpy(), want, rtol=1e-5)
+
+
+def test_backward_two_params_and_accumulation():
+    a = tr.requires_grad(LazyArray(np.array([2.0], np.float32)))
+    b = tr.requires_grad(LazyArray(np.array([3.0], np.float32)))
+    tr.backward((a * b).hsum())
+    np.testing.assert_allclose(tr.gradient(a).numpy(), [3.0])
+    np.testing.assert_allclose(tr.gradient(b).numpy(), [2.0])
+    # second pass accumulates (enoki tape accumulates until cleared)
+    tr.backward((a * b).hsum())
+    np.testing.assert_allclose(tr.gradient(a).numpy(), [6.0])
+    tr.clear_gradients()
+    np.testing.assert_allclose(tr.gradient(a).numpy(), [0.0])
+
+
+def test_backward_gather_adjoint():
+    # gather adjoint is scatter_add (autodiff.cpp:384-397)
+    src = tr.requires_grad(LazyArray(np.array([1., 2., 3., 4.], np.float32)))
+    idx = LazyArray(np.array([1, 1, 3], np.int32))
+    loss = src.gather(idx).hsum()
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(src).numpy(), [0., 2., 0., 1.])
+
+
+def test_backward_cache_hit_on_second_step():
+    def step(data):
+        x = tr.requires_grad(LazyArray(data))
+        loss = (tr.tanh(x) * 2.0).hsum()
+        tr.backward(loss)
+        return tr.gradient(x).numpy()
+
+    g1 = step(np.array([0.5, -0.5], np.float32))
+    h0, m0 = tr.cache_stats()
+    g2 = step(np.array([1.5, -1.5], np.float32))
+    h1, m1 = tr.cache_stats()
+    assert m1 == m0 and h1 == h0 + 1
+    np.testing.assert_allclose(g1, 2 / np.cosh([0.5, -0.5]) ** 2, rtol=1e-5)
+    np.testing.assert_allclose(g2, 2 / np.cosh([1.5, -1.5]) ** 2, rtol=1e-5)
+
+
+def test_backward_after_eval_raises():
+    x = tr.requires_grad(LazyArray(np.ones(2, np.float32)))
+    loss = (x * x).hsum()
+    loss.eval()
+    with pytest.raises(ValueError):
+        tr.backward(loss)
+
+
+def test_forward_mode():
+    x = tr.requires_grad(LazyArray(np.array([0.5], np.float32)))
+    y = tr.sin(x) * 3.0
+    val, tang = tr.forward_from(x, y)
+    np.testing.assert_allclose(np.asarray(val), 3 * np.sin(0.5), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(tang), 3 * np.cos(0.5), rtol=1e-6)
+    np.testing.assert_allclose(tr.gradient(y).numpy(),
+                               [3 * np.cos(0.5)], rtol=1e-6)
+
+
+def test_backward_select_masked_lanes():
+    # masked lanes must not poison gradients (safe_mul semantics,
+    # autodiff.cpp:1191): 1/x behind a x>0 mask
+    x = tr.requires_grad(LazyArray(np.array([2.0, 4.0], np.float32)))
+    y = tr.select(x > 3.0, x * x, x * 0.5)
+    tr.backward(y.hsum())
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [0.5, 8.0])
