@@ -213,21 +213,67 @@ _LANCZOS = (1.000000000190015, 76.18009172947146, -86.50532032941677,
             -0.5395239384953e-5)
 
 
+# Central-interval fits with the zeros of lgamma factored out:
+# lgamma(x) = u * polyA(u), u = x-1 on [0.5, 1.5] and u * polyB(u),
+# u = x-2 on [1.5, 2.75] (tools/fit_lgamma.py; f32-Horner rel err ~2e-7).
+# Direct evaluation (Lanczos or jax's own gammaln) has unbounded ULP error
+# near x = 1 and x = 2 where the result crosses zero; factoring makes the
+# error relative because u is exact in f32 and the centered coefficients
+# (leading terms are -euler_gamma and pi^2/6 - 1 + ..., the Taylor series
+# of lgamma at its zeros) keep the Horner sum well conditioned.
+_LGAMMA_A = (-0.577215663456744, 0.8224669600023586, -0.40068601474304577,
+             0.2705899284753273, -0.20737170534735425, 0.1692432975864104,
+             -0.14416076274335293, 0.13000226894004868, -0.1122540911338095,
+             0.07006221016609972, -0.07506543264312764, 0.17229244912618616,
+             -0.14317630195638492)
+_LGAMMA_B = (0.4227843350994001, 0.32246703343671734, -0.06735230127589555,
+             0.020580807462167245, -0.007385542059947526,
+             0.0028905284046411013, -0.0011928912709559469,
+             0.0005095674553248059, -0.0002221819342750322,
+             9.935890521648298e-05, -4.8055170114027025e-05,
+             2.2765350647194328e-05, -6.303423125376528e-06)
+
+
+def _poly_horner(coeffs, x):
+    acc = jnp.asarray(coeffs[-1], x.dtype) + jnp.zeros_like(x)
+    for c in coeffs[-2::-1]:
+        acc = acc * x + c
+    return acc
+
+
+def _lgamma_pos(y):
+    """lgamma for y >= 0.5: factored central polys + Lanczos tail."""
+    log_sqrt2pi = 0.91893853320467274178
+    # central [0.5, 2.75]
+    yc = jnp.clip(y, 0.5, 2.75)
+    ua = yc - 1.0
+    ub = yc - 2.0
+    central = jnp.where(
+        yc < 1.5,
+        ua * _poly_horner(_LGAMMA_A, ua),
+        ub * _poly_horner(_LGAMMA_B, ub))
+    # Lanczos tail (g=5, n=6) for y > 2.75
+    xx = jnp.maximum(y, 2.75) - 1.0
+    b = xx + 5.5
+    s = jnp.asarray(_LANCZOS[0], y.dtype) + jnp.zeros_like(y)
+    for i in range(6, 0, -1):
+        s = s + _LANCZOS[i] / (xx + i)
+    tail = (log_sqrt2pi + M.log(s, _POLY) - b) + M.log(b, _POLY) * (xx + 0.5)
+    return jnp.where(y <= 2.75, central, tail)
+
+
 def lgamma(x, impl=_NATIVE):
     x = _f(x)
     if impl == _NATIVE:
         return jsp.gammaln(x)
-    log_sqrt2pi = 0.91893853320467274178
     reflect = x < 0.5
-    xx = jnp.where(reflect, -x, x - 1.0)
-    b = xx + 5.5  # g + 0.5
-    s = jnp.asarray(_LANCZOS[0], x.dtype) + jnp.zeros_like(x)
-    for i in range(6, 0, -1):
-        s = s + _LANCZOS[i] / (xx + i)
-    result = (log_sqrt2pi + M.log(s, _POLY) - b) + M.log(b, _POLY) * (xx + 0.5)
+    # both branches evaluated on safe inputs, then selected (mask
+    # discipline: no NaN from the untaken branch)
+    pos = _lgamma_pos(jnp.where(reflect, 1.0 - x, x))
     # Reflection: lgamma(x) = log|pi / sin(pi x)| - lgamma(1 - x)
-    refl_val = M.log(jnp.abs(jnp.pi / M.sin(jnp.pi * x, _POLY)), _POLY) - result
-    result = jnp.where(reflect, refl_val, result)
+    sin_px = M.sin(jnp.pi * jnp.where(reflect, x, 0.5), _POLY)
+    refl_val = M.log(jnp.abs(jnp.pi / sin_px), _POLY) - pos
+    result = jnp.where(reflect, refl_val, pos)
     result = jnp.where(reflect & (x == jnp.round(x)), jnp.inf, result)
     return result
 

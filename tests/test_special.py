@@ -203,3 +203,31 @@ def test_ellint_3():
                                 jnp.asarray(k[:50], jnp.float32),
                                 jnp.asarray(-n[:50], jnp.float32)), np.float64)
     assert np.abs(got - want).max() < 1e-3
+
+
+def test_lgamma_near_zeros():
+    # lgamma's zeros at x=1,2 are factored out of the central fit
+    # (tools/fit_lgamma.py): relative error stays bounded where direct
+    # evaluation (incl. jax's own gammaln) loses ALL significant digits
+    import scipy.special as sps
+    rng = np.random.default_rng(3)
+    for zero in (1.0, 2.0):
+        x = (zero + rng.uniform(-0.01, 0.01, 5000)).astype(np.float32)
+        want = sps.gammaln(x.astype(np.float64))
+        keep = np.abs(want) > 0
+        got = np.asarray(S.lgamma(jnp.asarray(x[keep]), POLY), np.float64)
+        rel = np.abs(got - want[keep]) / np.abs(want[keep])
+        assert rel.max() < 1e-5, (zero, rel.max())
+
+
+def test_lgamma_ulp_bound():
+    import scipy.special as sps
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0.1, 30, 100000).astype(np.float32)
+    want = sps.gammaln(x.astype(np.float64))
+    got = np.asarray(S.lgamma(jnp.asarray(x), POLY), np.float64)
+    w32 = want.astype(np.float32)
+    keep = np.isfinite(want) & (want != 0)
+    ulp = (np.abs(got - w32.astype(np.float64))
+           / np.spacing(np.abs(w32)).astype(np.float64))[keep]
+    assert ulp.mean() < 1.5 and ulp.max() < 64, (ulp.mean(), ulp.max())
