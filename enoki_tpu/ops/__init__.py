@@ -13,7 +13,7 @@ from .router import (  # noqa: F401
     rcp, rsqrt,
     popcnt, lzcnt, tzcnt, log2i, mulhi, ror, rol, reinterpret,
     ldexp, frexp,
-    gather, scatter, scatter_add, transform, prefetch,
+    gather, scatter, scatter_add, transform, prefetch, binary_search,
     clamp, lerp, sign, copysign, mulsign, abs_, sqr,
     isnan, isinf, isfinite, allclose,
     safe_sqrt, safe_rsqrt, safe_asin, safe_acos,

@@ -556,3 +556,28 @@ def prefetch(source, index, mask=None):
     a documented no-op kept for API parity.
     """
     return None
+
+
+def binary_search(start, end, pred):
+    """Vectorized predicate binary search (array_utils.h:153-171).
+
+    Finds, per lane, the first index in [start, end) where ``pred`` turns
+    False (pred must be monotone per lane: True...True False...False).
+    ``pred`` receives an integer index array and returns a boolean array.
+    The trip count is the static bound log2(end - start) + 1, so the loop
+    is jit/Pallas-safe (same fixed-iteration formulation as the
+    reference).
+    """
+    import math as _math
+
+    start, end = int(start), int(end)  # scalar bounds, like the reference
+    iters = _math.floor(_math.log2(end - start)) + 1 if end > start else 0
+    lo = jnp.asarray(start, jnp.int32)
+    hi = jnp.asarray(end, jnp.int32)
+    for _ in range(iters):
+        mid = (lo + hi) >> 1
+        cond = pred(mid)
+        # first pred() call sets the lane shape; lo/hi broadcast up
+        lo = jnp.where(cond, jnp.minimum(mid + 1, hi), lo)
+        hi = jnp.where(cond, hi, mid)
+    return lo + jnp.zeros_like(hi)

@@ -204,18 +204,22 @@ def _build_program(entries, out_positions):
     Called once per structural hash (cache miss); the returned function is
     jax.jit-compiled and reused for every trace with the same structure.
     """
-    def program(leaf_args):
+    _FLOAT_CODES = {0, 1, 5}  # f32, f64, bf16
+
+    def program(leaf_args, lits_f, lits_i):
         vals = [None] * len(entries)
-        leaf_i = 0
+        leaf_i = lit_i = 0
         for i, e in enumerate(entries):
             (vid, opcode, dtype_c, size, dep_pos, literal, is_lit,
              is_data) = e
             dt = _DTYPES[dtype_c]
             if is_lit:
-                if size == 1:
-                    vals[i] = jnp.full((1,), literal, dt)
-                else:
-                    vals[i] = jnp.full((size,), literal, dt)
+                # literal values are runtime scalar inputs (not baked into
+                # the executable): changing a constant reuses the compiled
+                # program, and no program is ever fully constant-foldable
+                src = lits_f if dtype_c in _FLOAT_CODES else lits_i
+                vals[i] = jnp.full((size,), src[lit_i].astype(dt))
+                lit_i += 1
             elif is_data:
                 vals[i] = leaf_args[leaf_i]
                 leaf_i += 1
@@ -250,6 +254,19 @@ def _read_schedule(n_entries):
     return entries, outs
 
 
+def _collect_literals(n):
+    """Literal values of the current schedule as runtime inputs: a f32
+    view for float dtypes and a bit-exact uint32 view for integer/bool
+    dtypes (doubles hold every 32-bit integer exactly; the uint32 path
+    avoids the lossy f64->f32 squeeze for values like 0x9E3779B9)."""
+    lbuf = (ctypes.c_double * n)()
+    n_lit = _lib.et_schedule_literal_values(lbuf, n)
+    vals = np.frombuffer(lbuf, np.float64, n_lit)
+    lits_f = jnp.asarray(vals.astype(np.float32))
+    lits_i = jnp.asarray(vals.astype(np.int64).astype(np.uint32))
+    return lits_f, lits_i
+
+
 def _eval_ids(ids):
     """Evaluate the given variable ids (plus pending side effects)."""
     global _CACHE_HITS, _CACHE_MISSES
@@ -265,21 +282,22 @@ def _eval_ids(ids):
         _CACHE_MISSES += 1
         entries, out_positions = _read_schedule(n)
         program = _build_program(entries, out_positions)
-        exe = jax.jit(lambda leaves: program(leaves))
+        exe = jax.jit(program)
         _EXE_CACHE[key] = exe
     else:
         _CACHE_HITS += 1
 
     # cache-hit fast path: only the data-leaf ids (executable inputs, in
-    # schedule order) and output ids are needed -- two bulk calls instead
-    # of an O(n)-ctypes-roundtrip schedule walk
+    # schedule order), literal values and output ids are needed -- three
+    # bulk calls instead of an O(n)-ctypes-roundtrip schedule walk
     buf = (ctypes.c_uint32 * n)()
     n_data = _lib.et_schedule_data_ids(buf, n)
     leaves = [_BUFFERS[buf[i]] for i in range(n_data)]
+    lits_f, lits_i = _collect_literals(n)
     n_out = _lib.et_schedule_output_ids(buf, n)
     out_vids = [buf[i] for i in range(n_out)]
 
-    results = exe(leaves)
+    results = exe(leaves, lits_f, lits_i)
 
     # store outputs; scatter results rebind their TARGET's buffer (enoki
     # scatters write into the target's storage; readers see the update
@@ -642,7 +660,7 @@ def _split_program(entries, out_positions, marked_pos, n_leaves):
     program = _build_program(entries, out_positions)
     mset = set(marked_pos)
 
-    def fn(marked, others):
+    def fn(marked, others, lits_f, lits_i):
         leaves, mi, oi = [], 0, 0
         for k in range(n_leaves):
             if k in mset:
@@ -651,7 +669,7 @@ def _split_program(entries, out_positions, marked_pos, n_leaves):
             else:
                 leaves.append(others[oi])
                 oi += 1
-        return program(leaves)[0]
+        return program(leaves, lits_f, lits_i)[0]
 
     return fn
 
@@ -672,8 +690,9 @@ def backward(loss: "LazyArray", grad_out=1.0) -> jnp.ndarray:
         _CACHE_MISSES += 1
         fn = _split_program(entries, out_positions, marked_pos, n_leaves)
 
-        def run(marked, others, ct):
-            val, vjp_fn = jax.vjp(lambda m: fn(m, others), marked)
+        def run(marked, others, lits_f, lits_i, ct):
+            val, vjp_fn = jax.vjp(
+                lambda m: fn(m, others, lits_f, lits_i), marked)
             (gs,) = vjp_fn(jnp.broadcast_to(ct, val.shape).astype(val.dtype))
             return val, gs
 
@@ -685,7 +704,8 @@ def backward(loss: "LazyArray", grad_out=1.0) -> jnp.ndarray:
     mset = set(marked_pos)
     marked = [_BUFFERS[leaf_ids[k]] for k in marked_pos]
     others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k not in mset]
-    val, gs = exe(marked, others, jnp.asarray(grad_out))
+    lits_f, lits_i = _collect_literals(len(entries))
+    val, gs = exe(marked, others, lits_f, lits_i, jnp.asarray(grad_out))
 
     _BUFFERS[loss.index] = val
     _lib.et_set_materialized(loss.index)
@@ -715,8 +735,9 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
         _CACHE_MISSES += 1
         fn = _split_program(entries, out_positions, [pos], n_leaves)
 
-        def run(xbuf, others, t):
-            return jax.jvp(lambda m: fn([m], others), (xbuf,),
+        def run(xbuf, others, lits_f, lits_i, t):
+            return jax.jvp(lambda m: fn([m], others, lits_f, lits_i),
+                           (xbuf,),
                            (jnp.broadcast_to(t, xbuf.shape)
                             .astype(xbuf.dtype),))
 
@@ -726,7 +747,9 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
         _CACHE_HITS += 1
 
     others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k != pos]
-    val, tang = exe(_BUFFERS[x.index], others, jnp.asarray(tangent))
+    lits_f, lits_i = _collect_literals(len(entries))
+    val, tang = exe(_BUFFERS[x.index], others, lits_f, lits_i,
+                    jnp.asarray(tangent))
     _BUFFERS[loss.index] = val
     _lib.et_set_materialized(loss.index)
     prev = _GRADS.get(loss.index)

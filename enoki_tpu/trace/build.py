@@ -79,6 +79,8 @@ def load_library() -> ctypes.CDLL:
     lib.et_schedule_hash.restype = u64
     lib.et_schedule_data_ids.restype = u32
     lib.et_schedule_data_ids.argtypes = [P(u32), u32]
+    lib.et_schedule_literal_values.restype = u32
+    lib.et_schedule_literal_values.argtypes = [P(f64), u32]
     lib.et_schedule_output_ids.restype = u32
     lib.et_schedule_output_ids.argtypes = [P(u32), u32]
     lib.et_schedule_num_outputs.restype = u32

@@ -312,11 +312,18 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
         // structural hash: opcode, dtype, broadcast-class (size==1 vs
         // full), literal payload, positional deps -- the analog of the
         // reference's kernel source hash (jit.cu:1239-1249)
+        // NOTE: literal VALUES are deliberately not hashed -- the Python
+        // side passes them as runtime scalar inputs, so a program that
+        // differs only in a constant (a moved scene parameter, a new
+        // epsilon) reuses the compiled executable. This also prevents
+        // fully-constant programs, which XLA would constant-fold on the
+        // host at glacial speed. (The reference embeds literals in the
+        // PTX source and recompiles on change, cuda.h:267-317.)
         h = fnv1a(h, &e.opcode, sizeof(e.opcode));
         h = fnv1a(h, &e.dtype, sizeof(e.dtype));
-        uint8_t bclass = e.size == 1 ? 1 : 2;
-        h = fnv1a(h, &bclass, sizeof(bclass));
-        if (e.is_literal) h = fnv1a(h, &e.literal, sizeof(e.literal));
+        uint8_t kind = e.is_literal ? 3 : (e.size == 1 ? 1 : 2);
+        h = fnv1a(h, &kind, sizeof(kind));
+        if (e.size != 1) h = fnv1a(h, &e.size, sizeof(e.size));
         h = fnv1a(h, e.dep_pos, sizeof(e.dep_pos));
     }
     for (uint32_t r : roots) {
@@ -343,6 +350,18 @@ uint32_t et_schedule_data_ids(uint32_t *out, uint32_t cap) {
     for (const ScheduleEntry &e : sched.entries)
         if (e.is_data) {
             if (n < cap) out[n] = e.id;
+            ++n;
+        }
+    return n;
+}
+
+// Literal values of the current schedule, in schedule order (runtime
+// scalar inputs to the compiled program -- see the hash note above).
+uint32_t et_schedule_literal_values(double *out, uint32_t cap) {
+    uint32_t n = 0;
+    for (const ScheduleEntry &e : sched.entries)
+        if (e.is_literal) {
+            if (n < cap) out[n] = e.literal;
             ++n;
         }
     return n;

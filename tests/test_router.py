@@ -142,3 +142,29 @@ def test_lerp_clamp_misc():
 def test_allclose():
     assert ops.allclose(jnp.array([1.0, 2.0]), jnp.array([1.0, 2.0 + 1e-6]))
     assert not ops.allclose(jnp.array([1.0]), jnp.array([1.1]))
+
+
+def test_binary_search():
+    # vectorized bisection over a sorted table (array_utils.h:153)
+    import numpy as np
+    table = jnp.asarray(np.array([1., 3., 5., 7., 9., 11.], np.float32))
+    queries = jnp.asarray(np.array([0., 4., 9., 20.], np.float32))
+    idx = ops.binary_search(0, len(table), lambda i: table[i] < queries)
+    # first index where table[i] >= query
+    np.testing.assert_array_equal(np.asarray(idx), [0, 2, 4, 6])
+
+
+def test_binary_search_scalar_bounds_jit():
+    import numpy as np
+    table = jnp.asarray(np.linspace(0, 1, 100, dtype=np.float32))
+
+    import jax
+
+    @jax.jit
+    def locate(q):
+        return ops.binary_search(0, 100, lambda i: table[i] < q)
+
+    q = jnp.asarray(np.array([0.005, 0.5, 0.995], np.float32))
+    got = np.asarray(locate(q))
+    want = np.searchsorted(np.linspace(0, 1, 100), np.array([0.005, .5, .995]))
+    np.testing.assert_array_equal(got, want)

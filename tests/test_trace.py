@@ -273,3 +273,34 @@ def test_backward_select_masked_lanes():
     y = tr.select(x > 3.0, x * x, x * 0.5)
     tr.backward(y.hsum())
     np.testing.assert_allclose(tr.gradient(x).numpy(), [0.5, 8.0])
+
+
+def test_literal_change_hits_cache():
+    # literals are runtime scalar inputs: a changed constant reuses the
+    # compiled executable (improvement over the reference, which embeds
+    # literals in the PTX source, cuda.h:267-317)
+    x = LazyArray(np.arange(8, dtype=np.float32))
+    (x * 2.0 + 1.0).eval()
+    h0, m0 = tr.cache_stats()
+    y = (x * 3.5 + 7.25)
+    y.eval()
+    h1, m1 = tr.cache_stats()
+    assert m1 == m0 and h1 == h0 + 1
+    np.testing.assert_allclose(y.numpy(), np.arange(8.0) * 3.5 + 7.25)
+
+
+def test_integer_literals_bit_exact():
+    # int literals ride the uint32 path: large bit patterns survive
+    x = LazyArray(np.array([0x9E3779B9, 1, 0xFFFFFFFF], np.uint32))
+    y = x ^ 0x9E3779B9
+    np.testing.assert_array_equal(
+        y.numpy(), np.array([0, 0x9E3779B8, 0x61C88646], np.uint32))
+
+
+def test_constant_only_program():
+    # a program with no data leaves must not be constant-folded into the
+    # executable (XLA would evaluate it on the host at compile time)
+    i = LazyArray.arange(64).cast(np.float32)
+    y = tr.sin(i * 0.1) + 2.0
+    np.testing.assert_allclose(y.numpy(), np.sin(np.arange(64) * 0.1) + 2,
+                               rtol=1e-5, atol=1e-6)
