@@ -23,29 +23,36 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench(fn, inputs, iters=20, windows=5):
-    """Median over pipelined windows, rotating perturbed inputs.
+def _bench_scan(value_and_grad_fn, x0, perturb, iters=30, windows=3):
+    """Device-only timing: chain `iters` fwd+bwd steps inside ONE jitted
+    lax.scan and fence with a single host readback.
 
-    Per-call blocking measures the host<->device sync round trip (~25 ms
-    through the remote tunnel), not the kernel; production render loops
-    pipeline steps, so steady-state throughput = pipelined window time /
-    iters. The median over several windows rejects dispatch hiccups.
-    Each call gets a slightly different input so no layer of the stack can
-    serve a cached result for a repeated identical execution.
+    Each step's input is perturbed by the previous step's loss, so the
+    steps have a true data dependency -- no layer of the stack (async
+    dispatch, the remote tunnel's early-returning block_until_ready,
+    value caches) can overlap or dedupe them. Wall time / iters is the
+    real per-step device time; the median over windows rejects hiccups.
     """
-    jax.block_until_ready(fn(inputs[0]))
-    per_window = []
-    k = 0
+    import jax.numpy as jnp
+    from jax import lax
+
+    @jax.jit
+    def run(x0):
+        def step(x, k):
+            loss, _grads = value_and_grad_fn(x)
+            return perturb(x0, loss, k), loss
+
+        _, losses = lax.scan(step, x0, jnp.arange(iters))
+        return losses[-1]
+
+    np.asarray(run(x0))  # compile + warm (readback = the only real fence)
+    times = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        r = None
-        for _ in range(iters):
-            r = fn(inputs[k % len(inputs)])
-            k += 1
-        jax.block_until_ready(r)
-        per_window.append((time.perf_counter() - t0) / iters)
-    per_window.sort()
-    return per_window[len(per_window) // 2]
+        np.asarray(run(x0))
+        times.append((time.perf_counter() - t0) / iters)
+    times.sort()
+    return times[len(times) // 2]
 
 
 def main():
@@ -87,13 +94,20 @@ def main():
         return 1
 
     # --- timing ---------------------------------------------------------
-    vset = [v + 1e-6 * k for k in range(32)]
-    sset = [SDFScene(center=scene.center,
-                     radius=scene.radius + jnp.float32(1e-6 * k),
-                     ambient=scene.ambient, gain=scene.gain,
-                     light=scene.light) for k in range(32)]
-    t_pallas = _bench(pallas_step, vset)
-    t_xla = _bench(xla_step, sset)
+    t_pallas = _bench_scan(
+        jax.value_and_grad(pallas_loss), v,
+        lambda v0, loss, k: v0 + loss * 1e-12
+        + 1e-6 * k.astype(jnp.float32))
+
+    def perturb_scene(s0, loss, k):
+        return SDFScene(center=s0.center,
+                        radius=s0.radius + loss * 1e-12
+                        + 1e-6 * k.astype(jnp.float32),
+                        ambient=s0.ambient, gain=s0.gain, light=s0.light)
+
+    t_xla = _bench_scan(
+        jax.value_and_grad(lambda s: sdf_loss_implicit(s, N, STEPS)),
+        scene, perturb_scene)
 
     rays_pallas = rays / t_pallas
     rays_xla = rays / t_xla

