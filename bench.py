@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_scan(value_and_grad_fn, x0, perturb, iters=30, windows=3):
+def _bench_scan(value_and_grad_fn, x0, perturb, iters=200, windows=3):
     """Device-only timing: chain `iters` fwd+bwd steps inside ONE jitted
     lax.scan and fence with a single host readback.
 
@@ -32,6 +32,8 @@ def _bench_scan(value_and_grad_fn, x0, perturb, iters=30, windows=3):
     dispatch, the remote tunnel's early-returning block_until_ready,
     value caches) can overlap or dedupe them. Wall time / iters is the
     real per-step device time; the median over windows rejects hiccups.
+    iters is large so the one ~30 ms tunnel round trip per window is
+    amortized below the per-step noise floor.
     """
     import jax.numpy as jnp
     from jax import lax
