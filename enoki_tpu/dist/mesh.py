@@ -49,3 +49,26 @@ def image_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host runtime init (SURVEY §2.4: the distributed communication
+    backend the reference never had).
+
+    One call per host before any mesh construction. With no arguments,
+    jax auto-detects the cluster environment (TPU pod metadata, SLURM,
+    GKE); arguments override for manual launch. Returns the global device
+    count. Safe to call on a single host (no-op if no cluster is
+    detected and no arguments are given).
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (ValueError, RuntimeError):
+        if coordinator_address is not None or num_processes is not None:
+            raise  # explicit multi-host setup that failed must surface
+        # single-host / no cluster metadata: run locally
+    return len(jax.devices())

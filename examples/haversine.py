@@ -61,20 +61,35 @@ def main():
     lat = rng.uniform(-np.pi / 2, np.pi / 2, (4, n)).astype(np.float32)
     rec = GeoRecord(*(jnp.asarray(x) for x in lat))
 
-    out = jax.block_until_ready(haversine_jit(rec))  # warm the cache
-    iters = 20
+    out = haversine_jit(rec)
+    np.asarray(out[:4])  # warm; a readback is the only reliable fence
+    iters = 100
 
+    # chained scan: step i+1's input depends on step i's result, so the
+    # device must execute every step serially (async dispatch / remote
+    # tunnels cannot fake it); the one readback is amortized over iters
+    @jax.jit
+    def bench_loop(rec):
+        def step(carry, _):
+            r = GeoRecord(rec.lat1 + carry * 1e-12, rec.lon1,
+                          rec.lat2, rec.lon2)
+            return jnp.mean(haversine(r)), None
+
+        s, _ = jax.lax.scan(step, jnp.float32(0), None, length=iters)
+        return s
+
+    float(bench_loop(rec))  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = haversine_jit(rec)
-    jax.block_until_ready(out)
+    float(bench_loop(rec))
     t_tpu = (time.perf_counter() - t0) / iters
 
     t0 = time.perf_counter()
     ref = haversine_numpy(*lat)
     t_np = time.perf_counter() - t0
 
-    err = np.abs(np.asarray(out) - ref).max()
+    ref64 = haversine_numpy(*(x.astype(np.float64) for x in lat))
+    err = (np.abs(np.asarray(out, np.float64) - ref64)
+           / np.maximum(ref64, 1e-9)).max()
     print(f"records               : {n:,}")
     print(f"device ({jax.devices()[0].device_kind:>12s}): "
           f"{t_tpu * 1e3:8.3f} ms   {n / t_tpu / 1e9:6.2f} G records/s")
@@ -82,7 +97,7 @@ def main():
           f"{n / t_np / 1e9:6.2f} G records/s")
     print(f"speedup vs numpy      : {t_np / t_tpu:6.1f}x   (reference: "
           f"23.5x vs scalar on AVX-512, BASELINE.md §C)")
-    print(f"max |err| vs numpy f32: {err:.2e} km")
+    print(f"max rel err vs f64    : {err:.2e}")
 
 
 if __name__ == "__main__":

@@ -27,28 +27,42 @@ def main():
     scene = SphereScene.reference()
     n = 1024
 
-    # warm both compilations (the reference's timings exclude PTX/SASS
-    # compilation too -- its kernel cache is warm after the first frame)
-    jax.block_until_ready(render_staged(scene, n))
-    jax.block_until_ready(render_fused(scene, n))
+    import dataclasses
 
-    iters = 20
+    import jax.numpy as jnp
 
-    t0 = clk()
-    for _ in range(iters):
-        image1 = render_staged(scene, n)
-    jax.block_until_ready(image1)
-    print(f"Separate kernels: {(clk() - t0) / iters * 1e3:.3f} ms",
-          file=sys.stderr)
-    write_ppm("sphere1.ppm", np.asarray(image1).reshape(n, n))
+    iters = 100
 
-    t0 = clk()
-    for _ in range(iters):
-        image2 = render_fused(scene, n)
-    jax.block_until_ready(image2)
-    print(f"Combined kernels: {(clk() - t0) / iters * 1e3:.3f} ms",
-          file=sys.stderr)
-    write_ppm("sphere2.ppm", np.asarray(image2).reshape(n, n))
+    def bench(renderer):
+        # chained scan: each frame's scene depends on the previous frame's
+        # mean, forcing real serial device execution; one readback fence
+        # amortized over iters (remote platforms ack block_until_ready
+        # early, so wall-clocking unchained calls measures dispatch only)
+        @jax.jit
+        def loop(scene):
+            def step(carry, _):
+                s = dataclasses.replace(
+                    scene, radius=scene.radius + carry * 1e-12)
+                img = renderer(s, n)
+                return jnp.mean(img), None
+
+            s, _ = jax.lax.scan(step, jnp.float32(0), None, length=iters)
+            return s
+
+        float(loop(scene))  # compile + warm
+        t0 = clk()
+        float(loop(scene))
+        return (clk() - t0) / iters
+
+    t_staged = bench(render_staged)
+    print(f"Separate kernels: {t_staged * 1e3:.3f} ms", file=sys.stderr)
+    write_ppm("sphere1.ppm",
+              np.asarray(render_staged(scene, n)).reshape(n, n))
+
+    t_fused = bench(render_fused)
+    print(f"Combined kernels: {t_fused * 1e3:.3f} ms", file=sys.stderr)
+    write_ppm("sphere2.ppm",
+              np.asarray(render_fused(scene, n)).reshape(n, n))
 
 
 if __name__ == "__main__":
