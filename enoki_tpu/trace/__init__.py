@@ -56,7 +56,8 @@ class Op:
      ACOS, ATAN, SINH, COSH, TANH, ERF, ATAN2, POW, MOD, EQ, NE, LT, LE, GT,
      GE, AND, OR, XOR, NOT, SELECT, CAST, IOTA, GATHER, SCATTER, SCATTER_ADD,
      HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
-     POPCNT) = range(62)
+     POPCNT, CBRT, SIGN, COPYSIGN, LOG1P, EXPM1, ASINH, ACOSH, ATANH,
+     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE) = range(75)
 
 
 def _bcast(a, b):
@@ -123,6 +124,19 @@ _OP_IMPL = {
     Op.SHL: lambda a, b: a << b,
     Op.SHR: lambda a, b: a >> b,
     Op.POPCNT: lambda a: jax.lax.population_count(a),
+    Op.CBRT: lambda a: jnp.cbrt(a),
+    Op.SIGN: lambda a: jnp.sign(a),
+    Op.COPYSIGN: lambda a, b: jnp.copysign(a, b),
+    Op.LOG1P: lambda a: jnp.log1p(a),
+    Op.EXPM1: lambda a: jnp.expm1(a),
+    Op.ASINH: lambda a: jnp.arcsinh(a),
+    Op.ACOSH: lambda a: jnp.arccosh(a),
+    Op.ATANH: lambda a: jnp.arctanh(a),
+    Op.ERFC: lambda a: jax.scipy.special.erfc(a),
+    Op.LGAMMA: lambda a: jax.scipy.special.gammaln(a),
+    Op.ISNAN: lambda a: jnp.isnan(a),
+    Op.ISINF: lambda a: jnp.isinf(a),
+    Op.ISFINITE: lambda a: jnp.isfinite(a),
 }
 
 _MATH_OPS = {  # name -> (opcode, arity) for the functional API
@@ -135,8 +149,18 @@ _MATH_OPS = {  # name -> (opcode, arity) for the functional API
     "cosh": (Op.COSH, 1), "tanh": (Op.TANH, 1), "erf": (Op.ERF, 1),
     "abs": (Op.ABS, 1), "atan2": (Op.ATAN2, 2), "pow": (Op.POW, 2),
     "minimum": (Op.MIN, 2), "maximum": (Op.MAX, 2), "fmadd": (Op.FMA, 3),
-    "popcnt": (Op.POPCNT, 1),
+    "popcnt": (Op.POPCNT, 1), "cbrt": (Op.CBRT, 1), "sign": (Op.SIGN, 1),
+    "copysign": (Op.COPYSIGN, 2), "log1p": (Op.LOG1P, 1),
+    "expm1": (Op.EXPM1, 1), "asinh": (Op.ASINH, 1), "acosh": (Op.ACOSH, 1),
+    "atanh": (Op.ATANH, 1), "erfc": (Op.ERFC, 1), "lgamma": (Op.LGAMMA, 1),
 }
+
+
+def _make_pred(name, opcode):
+    def f(x):
+        return x._unary(opcode, LazyArray._BOOL)
+    f.__name__ = name
+    return f
 
 # ---------------------------------------------------------------------------
 # runtime state on the Python side: device buffers + executable cache
@@ -778,7 +802,23 @@ def _make_math(name, opcode, arity):
 for _name, (_op, _ar) in _MATH_OPS.items():
     globals()[_name] = _make_math(_name, _op, _ar)
 
+for _name, _op in (("isnan", Op.ISNAN), ("isinf", Op.ISINF),
+                   ("isfinite", Op.ISFINITE)):
+    globals()[_name] = _make_pred(_name, _op)
+
+
+def clamp(x, lo, hi):
+    """min(max(x, lo), hi) as trace ops (array_math.h:1352)."""
+    return minimum(maximum(x, lo), hi)  # noqa: F821
+
+
+def lerp(a, b, t):
+    """a + (b - a) * t as trace ops (array_math.h:1357)."""
+    a = b._coerce(a) if isinstance(b, LazyArray) else a
+    return a + (b - a) * t
+
 __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
            "clear_cache", "reset", "set_log_level", "Op", "requires_grad",
            "grad_enabled", "gradient", "clear_gradients", "backward",
-           "forward_from"] + list(_MATH_OPS)
+           "forward_from", "isnan", "isinf", "isfinite", "clamp",
+           "lerp"] + list(_MATH_OPS)

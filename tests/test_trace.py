@@ -304,3 +304,41 @@ def test_constant_only_program():
     y = tr.sin(i * 0.1) + 2.0
     np.testing.assert_allclose(y.numpy(), np.sin(np.arange(64) * 0.1) + 2,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_extended_math_ops():
+    x = LazyArray(np.linspace(0.1, 0.9, 16).astype(np.float32))
+    cases = [
+        (tr.cbrt, np.cbrt), (tr.log1p, np.log1p), (tr.expm1, np.expm1),
+        (tr.asinh, np.arcsinh), (tr.atanh, np.arctanh),
+        (tr.sign, np.sign), (tr.erfc, None), (tr.lgamma, None),
+    ]
+    import scipy.special as sps
+    refs = {tr.erfc: sps.erfc, tr.lgamma: sps.gammaln}
+    xs = np.linspace(0.1, 0.9, 16)
+    for f, rf in cases:
+        want = (rf or refs[f])(xs)
+        np.testing.assert_allclose(f(x).numpy(), want, rtol=2e-5,
+                                   atol=1e-6, err_msg=f.__name__)
+    y = LazyArray(np.linspace(1.5, 3.0, 16).astype(np.float32))
+    np.testing.assert_allclose(tr.acosh(y).numpy(),
+                               np.arccosh(np.linspace(1.5, 3.0, 16)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(
+        tr.copysign(x, -y).numpy(), -xs.astype(np.float32), rtol=1e-6)
+
+
+def test_predicates_and_composites():
+    x = LazyArray(np.array([1.0, np.inf, np.nan, -2.0], np.float32))
+    np.testing.assert_array_equal(tr.isnan(x).numpy(),
+                                  [False, False, True, False])
+    np.testing.assert_array_equal(tr.isinf(x).numpy(),
+                                  [False, True, False, False])
+    np.testing.assert_array_equal(tr.isfinite(x).numpy(),
+                                  [True, False, False, True])
+    z = LazyArray(np.array([-1.0, 0.5, 2.0], np.float32))
+    np.testing.assert_allclose(tr.clamp(z, 0.0, 1.0).numpy(),
+                               [0.0, 0.5, 1.0])
+    a = LazyArray(np.zeros(3, np.float32))
+    b = LazyArray(np.ones(3, np.float32) * 10)
+    np.testing.assert_allclose(tr.lerp(a, b, 0.25).numpy(), [2.5] * 3)
