@@ -70,9 +70,9 @@ def main():
     v = scene_to_vec(scene)
 
     def pallas_loss(pv):
-        # 64x256 VMEM tiles: fastest fwd+bwd config on v5e (the early-exit
-        # march in _march_tile converges tile-locally)
-        return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 64, 256))
+        # 128x128 VMEM tiles: fastest fwd+bwd config on v5e (the
+        # early-exit march in _march_tile converges tile-locally)
+        return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 128, 128))
 
     # fwd+bwd: value_and_grad through the megakernel pair
     pallas_step = jax.jit(jax.value_and_grad(pallas_loss))

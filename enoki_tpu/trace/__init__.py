@@ -125,7 +125,9 @@ _OP_IMPL = {
     Op.SHR: lambda a, b: a >> b,
     Op.POPCNT: lambda a: jax.lax.population_count(a),
     Op.CBRT: lambda a: jnp.cbrt(a),
-    Op.SIGN: lambda a: jnp.sign(a),
+    # reference sign semantics: sign(0) = 1 (branchless copysign flavor,
+    # matching enoki_tpu.ops.sign)
+    Op.SIGN: lambda a: jnp.where(a < 0, -1, 1).astype(a.dtype),
     Op.COPYSIGN: lambda a, b: jnp.copysign(a, b),
     Op.LOG1P: lambda a: jnp.log1p(a),
     Op.EXPM1: lambda a: jnp.expm1(a),
@@ -139,28 +141,35 @@ _OP_IMPL = {
     Op.ISFINITE: lambda a: jnp.isfinite(a),
 }
 
-_MATH_OPS = {  # name -> (opcode, arity) for the functional API
-    "sqrt": (Op.SQRT, 1), "rsqrt": (Op.RSQRT, 1), "rcp": (Op.RCP, 1),
-    "floor": (Op.FLOOR, 1), "ceil": (Op.CEIL, 1), "round": (Op.ROUND, 1),
-    "trunc": (Op.TRUNC, 1), "exp": (Op.EXP, 1), "exp2": (Op.EXP2, 1),
-    "log": (Op.LOG, 1), "log2": (Op.LOG2, 1), "sin": (Op.SIN, 1),
-    "cos": (Op.COS, 1), "tan": (Op.TAN, 1), "asin": (Op.ASIN, 1),
-    "acos": (Op.ACOS, 1), "atan": (Op.ATAN, 1), "sinh": (Op.SINH, 1),
-    "cosh": (Op.COSH, 1), "tanh": (Op.TANH, 1), "erf": (Op.ERF, 1),
-    "abs": (Op.ABS, 1), "atan2": (Op.ATAN2, 2), "pow": (Op.POW, 2),
-    "minimum": (Op.MIN, 2), "maximum": (Op.MAX, 2), "fmadd": (Op.FMA, 3),
-    "popcnt": (Op.POPCNT, 1), "cbrt": (Op.CBRT, 1), "sign": (Op.SIGN, 1),
-    "copysign": (Op.COPYSIGN, 2), "log1p": (Op.LOG1P, 1),
-    "expm1": (Op.EXPM1, 1), "asinh": (Op.ASINH, 1), "acosh": (Op.ACOSH, 1),
-    "atanh": (Op.ATANH, 1), "erfc": (Op.ERFC, 1), "lgamma": (Op.LGAMMA, 1),
+# name -> (opcode, arity, out_kind) for the functional API.
+# out_kind: None = same dtype as input, "float" = float-promoted (f32 for
+# integer inputs, so the declared trace dtype matches what the jnp
+# implementation actually returns), "bool" = predicate.
+_MATH_OPS = {
+    "sqrt": (Op.SQRT, 1, "float"), "rsqrt": (Op.RSQRT, 1, "float"),
+    "rcp": (Op.RCP, 1, "float"),
+    "floor": (Op.FLOOR, 1, None), "ceil": (Op.CEIL, 1, None),
+    "round": (Op.ROUND, 1, None), "trunc": (Op.TRUNC, 1, None),
+    "exp": (Op.EXP, 1, "float"), "exp2": (Op.EXP2, 1, "float"),
+    "log": (Op.LOG, 1, "float"), "log2": (Op.LOG2, 1, "float"),
+    "sin": (Op.SIN, 1, "float"), "cos": (Op.COS, 1, "float"),
+    "tan": (Op.TAN, 1, "float"), "asin": (Op.ASIN, 1, "float"),
+    "acos": (Op.ACOS, 1, "float"), "atan": (Op.ATAN, 1, "float"),
+    "sinh": (Op.SINH, 1, "float"), "cosh": (Op.COSH, 1, "float"),
+    "tanh": (Op.TANH, 1, "float"), "erf": (Op.ERF, 1, "float"),
+    "abs": (Op.ABS, 1, None), "atan2": (Op.ATAN2, 2, "float"),
+    "pow": (Op.POW, 2, None),
+    "minimum": (Op.MIN, 2, None), "maximum": (Op.MAX, 2, None),
+    "fmadd": (Op.FMA, 3, None), "popcnt": (Op.POPCNT, 1, None),
+    "cbrt": (Op.CBRT, 1, "float"), "sign": (Op.SIGN, 1, None),
+    "copysign": (Op.COPYSIGN, 2, "float"),
+    "log1p": (Op.LOG1P, 1, "float"), "expm1": (Op.EXPM1, 1, "float"),
+    "asinh": (Op.ASINH, 1, "float"), "acosh": (Op.ACOSH, 1, "float"),
+    "atanh": (Op.ATANH, 1, "float"), "erfc": (Op.ERFC, 1, "float"),
+    "lgamma": (Op.LGAMMA, 1, "float"),
+    "isnan": (Op.ISNAN, 1, "bool"), "isinf": (Op.ISINF, 1, "bool"),
+    "isfinite": (Op.ISFINITE, 1, "bool"),
 }
-
-
-def _make_pred(name, opcode):
-    def f(x):
-        return x._unary(opcode, LazyArray._BOOL)
-    f.__name__ = name
-    return f
 
 # ---------------------------------------------------------------------------
 # runtime state on the Python side: device buffers + executable cache
@@ -781,13 +790,25 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
     return val, tang
 
 
-def _make_math(name, opcode, arity):
+def _out_code(in_code, kind):
+    if kind == "bool":
+        return LazyArray._BOOL
+    if kind == "float" and in_code not in (0, 1, 5):  # f32/f64/bf16
+        return 0  # integer inputs float-promote to f32
+    return in_code
+
+
+def _make_math(name, opcode, arity, kind=None):
     if arity == 1:
         def f(x):
-            return x._unary(opcode)
+            return x._unary(opcode,
+                            _out_code(_lib.et_var_dtype(x.index), kind))
     elif arity == 2:
         def f(x, y):
-            return x._bin(y, opcode)
+            y = x._coerce(y)
+            dc = _out_code(_binary_dtype(_lib.et_var_dtype(x.index),
+                                         _lib.et_var_dtype(y.index)), kind)
+            return x._bin(y, opcode, out_dtype=dc)
     else:
         def f(x, y, z):
             y = x._coerce(y)
@@ -799,12 +820,8 @@ def _make_math(name, opcode, arity):
     return f
 
 
-for _name, (_op, _ar) in _MATH_OPS.items():
-    globals()[_name] = _make_math(_name, _op, _ar)
-
-for _name, _op in (("isnan", Op.ISNAN), ("isinf", Op.ISINF),
-                   ("isfinite", Op.ISFINITE)):
-    globals()[_name] = _make_pred(_name, _op)
+for _name, (_op, _ar, _kind) in _MATH_OPS.items():
+    globals()[_name] = _make_math(_name, _op, _ar, _kind)
 
 
 def clamp(x, lo, hi):
@@ -813,9 +830,12 @@ def clamp(x, lo, hi):
 
 
 def lerp(a, b, t):
-    """a + (b - a) * t as trace ops (array_math.h:1357)."""
-    a = b._coerce(a) if isinstance(b, LazyArray) else a
-    return a + (b - a) * t
+    """Endpoint-exact interpolation t*b + (a - t*a) (array_math.h:1357 and
+    enoki_tpu.ops.lerp): exact at t=0 and t=1, unlike a + (b-a)*t which
+    cancels catastrophically when |a| >> |b|."""
+    ref = next(v for v in (a, b, t) if isinstance(v, LazyArray))
+    a, b, t = ref._coerce(a), ref._coerce(b), ref._coerce(t)
+    return t * b + (a - t * a)
 
 __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
            "clear_cache", "reset", "set_log_level", "Op", "requires_grad",

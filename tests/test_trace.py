@@ -342,3 +342,24 @@ def test_predicates_and_composites():
     a = LazyArray(np.zeros(3, np.float32))
     b = LazyArray(np.ones(3, np.float32) * 10)
     np.testing.assert_allclose(tr.lerp(a, b, 0.25).numpy(), [2.5] * 3)
+
+
+def test_review_fixes():
+    # lerp endpoint-exact even under catastrophic-cancellation inputs
+    a = LazyArray(np.array([1e8], np.float32))
+    b = LazyArray(np.array([1.0], np.float32))
+    np.testing.assert_array_equal(tr.lerp(a, b, 1.0).numpy(), [1.0])
+    np.testing.assert_array_equal(tr.lerp(a, b, 0.0).numpy(), [1e8])
+    # lerp with numpy array operands stays lazy (no sequence-protocol eval)
+    r = tr.lerp(a, np.ones(1, np.float32), 0.5)
+    assert isinstance(r, LazyArray) and not r.materialized
+    # reference sign semantics: sign(0) = 1, matching ops.sign
+    z = LazyArray(np.array([-3.0, 0.0, 5.0], np.float32))
+    np.testing.assert_array_equal(tr.sign(z).numpy(), [-1.0, 1.0, 1.0])
+    # float-returning ops on int inputs declare (and produce) f32
+    xi = LazyArray(np.array([0, 3], np.int32))
+    y = tr.log1p(xi)
+    assert y.dtype == np.float32
+    z2 = y + 0.5  # literal must ride the float path
+    np.testing.assert_allclose(z2.numpy(), np.log1p([0, 3]) + 0.5,
+                               rtol=1e-6)
