@@ -141,3 +141,38 @@ def profiler_trace(path: str = "/tmp/enoki_tpu_trace"):
 def eval_shapes(f: Callable, *args):
     """Shape/dtype evaluation without compute (abstract eval)."""
     return jax.eval_shape(f, *args)
+
+
+def vectorization_report(f: Callable, *args, **kw) -> Dict[str, Any]:
+    """Inspect the optimized module for de-vectorization smells.
+
+    The reference's test harness counts every scalar-fallback code path
+    taken (ENOKI_TRACK_SCALAR, fwd.h:208-233) and reports "N/M tests were
+    vectorized" so a change that silently de-vectorizes an op fails
+    review. The XLA analog: a compiled module that round-trips through
+    the host (custom-calls / infeed / outfeed) or fails to fuse has
+    silently left the vector units. Returns counts; see
+    assert_vectorized for the assertion flavor.
+    """
+    txt = dump_hlo(f, *args, stage="optimized", **kw)
+    report = {
+        "fusions": txt.count(" fusion("),
+        "custom_calls": txt.count("custom-call"),
+        "host_transfers": txt.count("infeed") + txt.count("outfeed"),
+        "while_loops": txt.count(" while("),
+        "lines": txt.count("\n"),
+    }
+    return report
+
+
+def assert_vectorized(f: Callable, *args, allow_custom_calls: int = 0,
+                      **kw) -> Dict[str, Any]:
+    """Assert the compiled module never leaves the device (no host
+    callbacks / infeed / outfeed) -- the ENOKI_TRACK_SCALAR regression
+    gate for TPU programs. Returns the vectorization_report."""
+    rep = vectorization_report(f, *args, **kw)
+    assert rep["host_transfers"] == 0, \
+        f"compiled module transfers to host: {rep}"
+    assert rep["custom_calls"] <= allow_custom_calls, \
+        f"unexpected custom-calls (host callbacks?): {rep}"
+    return rep

@@ -128,3 +128,24 @@ def test_torch_autograd_bridge():
     want_gx = (-y / (x * x + y * y)).detach()
     assert torch.allclose(y.grad, want_gy, atol=1e-6)
     assert torch.allclose(x.grad, want_gx, atol=1e-6)
+
+
+def test_vectorization_report():
+    # ENOKI_TRACK_SCALAR analog (fwd.h:208-233): a fused on-device program
+    # passes; a program with a host callback is caught
+    from enoki_tpu.runtime import assert_vectorized, vectorization_report
+    import jax
+
+    def good(x):
+        return jnp.sin(x) * 2.0 + jnp.sqrt(x * x + 1.0)
+
+    x = jnp.linspace(0, 1, 128)
+    rep = assert_vectorized(good, x)
+    assert rep["host_transfers"] == 0
+
+    def bad(x):
+        jax.debug.callback(lambda v: None, x[0])
+        return x * 2.0
+
+    rep_bad = vectorization_report(bad, x)
+    assert rep_bad["custom_calls"] > 0 or rep_bad["host_transfers"] > 0
