@@ -23,38 +23,49 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _bench_scan(value_and_grad_fn, x0, perturb, iters=200, windows=3):
-    """Device-only timing: chain `iters` fwd+bwd steps inside ONE jitted
-    lax.scan and fence with a single host readback.
+def _bench_scan(value_and_grad_fn, x0, perturb, k_lo=100, k_hi=400,
+                windows=3):
+    """Device-only per-step time: chain fwd+bwd steps inside ONE jitted
+    lax.scan, fence with a single host readback, and run TWO chain
+    lengths so the fixed window cost cancels exactly.
 
     Each step's input is perturbed by the previous step's loss, so the
     steps have a true data dependency -- no layer of the stack (async
     dispatch, the remote tunnel's early-returning block_until_ready,
-    value caches) can overlap or dedupe them. Wall time / iters is the
-    real per-step device time; the median over windows rejects hiccups.
-    iters is large so the one ~30 ms tunnel round trip per window is
-    amortized below the per-step noise floor.
+    value caches) can overlap or dedupe them. A window costs
+    K*c + L where L is the ~30 ms host<->device round trip; measuring at
+    two K and taking (T_hi - T_lo) / (k_hi - k_lo) removes L without
+    assuming it is small. Median over windows rejects hiccups.
     """
     import jax.numpy as jnp
     from jax import lax
 
-    @jax.jit
-    def run(x0):
-        def step(x, k):
-            loss, _grads = value_and_grad_fn(x)
-            return perturb(x0, loss, k), loss
+    def make(iters):
+        @jax.jit
+        def run(x0):
+            def step(x, k):
+                loss, _grads = value_and_grad_fn(x)
+                return perturb(x0, loss, k), loss
 
-        _, losses = lax.scan(step, x0, jnp.arange(iters))
-        return losses[-1]
+            _, losses = lax.scan(step, x0, jnp.arange(iters))
+            return losses[-1]
 
-    np.asarray(run(x0))  # compile + warm (readback = the only real fence)
-    times = []
+        return run
+
+    run_lo, run_hi = make(k_lo), make(k_hi)
+    np.asarray(run_lo(x0))  # compile + warm
+    np.asarray(run_hi(x0))
+    per_step = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        np.asarray(run(x0))
-        times.append((time.perf_counter() - t0) / iters)
-    times.sort()
-    return times[len(times) // 2]
+        np.asarray(run_lo(x0))
+        t_lo = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(run_hi(x0))
+        t_hi = time.perf_counter() - t0
+        per_step.append((t_hi - t_lo) / (k_hi - k_lo))
+    per_step.sort()
+    return per_step[len(per_step) // 2]
 
 
 def main():
