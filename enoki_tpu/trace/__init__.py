@@ -57,7 +57,7 @@ class Op:
      GE, AND, OR, XOR, NOT, SELECT, CAST, IOTA, GATHER, SCATTER, SCATTER_ADD,
      HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
      POPCNT, CBRT, SIGN, COPYSIGN, LOG1P, EXPM1, ASINH, ACOSH, ATANH,
-     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE) = range(75)
+     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS) = range(76)
 
 
 def _bcast(a, b):
@@ -140,6 +140,14 @@ _OP_IMPL = {
     Op.ISINF: lambda a: jnp.isinf(a),
     Op.ISFINITE: lambda a: jnp.isfinite(a),
 }
+
+
+def _compress_impl(x, m):
+    from ..ops.horiz import compress as _c
+    return _c(x, m)[0]
+
+
+_OP_IMPL[Op.COMPRESS] = _compress_impl
 
 # name -> (opcode, arity, out_kind) for the functional API.
 # out_kind: None = same dtype as input, "float" = float-promoted (f32 for
@@ -556,6 +564,17 @@ class LazyArray:
     def psum(self):
         return LazyArray._record(Op.PSUM, _lib.et_var_dtype(self.index),
                                  len(self), self)
+
+    def compress(self, mask: "LazyArray"):
+        """(packed, count): lanes where mask holds, packed to the front in
+        order; remainder zero-filled (cuda_compress, horiz.cu:158, with
+        the static-shape TPU contract of ops.compress). Both results stay
+        lazy -- unlike the reference, which must break the kernel at
+        every cub call."""
+        packed = LazyArray._record(Op.COMPRESS,
+                                   _lib.et_var_dtype(self.index),
+                                   len(self), self, mask)
+        return packed, mask.count()
 
     def reverse(self):
         return LazyArray._record(Op.REVERSE, _lib.et_var_dtype(self.index),

@@ -363,3 +363,12 @@ def test_review_fixes():
     z2 = y + 0.5  # literal must ride the float path
     np.testing.assert_allclose(z2.numpy(), np.log1p([0, 3]) + 0.5,
                                rtol=1e-6)
+
+
+def test_compress_lazy():
+    x = LazyArray(np.arange(10, dtype=np.float32))
+    packed, count = x.compress(x > 6.0)
+    assert not packed.materialized
+    np.testing.assert_allclose(packed.numpy()[:3], [7., 8., 9.])
+    assert int(count.numpy()[0]) == 3
+    np.testing.assert_allclose(packed.numpy()[3:], 0.0)
