@@ -176,3 +176,6 @@ def assert_vectorized(f: Callable, *args, allow_custom_calls: int = 0,
     assert rep["custom_calls"] <= allow_custom_calls, \
         f"unexpected custom-calls (host callbacks?): {rep}"
     return rep
+
+
+from . import checkpoint  # noqa: E402,F401

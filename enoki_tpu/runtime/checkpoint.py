@@ -1,0 +1,83 @@
+"""Checkpoint / resume for training state.
+
+The reference has NO persistence: its kernel cache dies with the process
+(SURVEY §5, jit.cu:179) and there is no state checkpointing at all. For a
+framework intended for long-running distributed fitting (dist/fit_scene),
+this is a required subsystem: scene parameters, optimizer state and RNG
+state survive preemption and move across host topologies.
+
+Built on orbax (the jax-ecosystem checkpointer): multi-host safe --
+every process calls save/restore with its addressable shards; orbax
+coordinates the global write. Plain pytrees in, plain pytrees out, so
+any @enoki_struct scene, optax state, or PCG32 generator checkpoints
+as-is.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.StandardCheckpointer()
+
+
+def save(path: str, state: Any, force: bool = True) -> None:
+    """Write a pytree checkpoint (blocking).
+
+    ``state`` is any pytree: @enoki_struct scenes, optax optimizer
+    states, PCG32 generators, dicts of all of the above.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckpt = _checkpointer()
+    ckpt.save(path, state, force=force)
+    ckpt.wait_until_finished()
+
+
+def restore(path: str, like: Optional[Any] = None) -> Any:
+    """Read a checkpoint. ``like`` (an abstract or concrete pytree of the
+    same structure) restores with correct dtypes/shardings; without it
+    the stored structure is returned as saved."""
+    path = os.path.abspath(path)
+    ckpt = _checkpointer()
+    if like is not None:
+        template = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(jax.numpy.shape(x),
+                                           jax.numpy.result_type(x)),
+            like)
+        return ckpt.restore(path, template)
+    return ckpt.restore(path)
+
+
+def latest_step(root: str) -> Optional[int]:
+    """Highest step-numbered checkpoint under ``root`` (step_<N> dirs),
+    or None."""
+    if not os.path.isdir(root):
+        return None
+    steps = []
+    for name in os.listdir(root):
+        if name.startswith("step_"):
+            try:
+                steps.append(int(name.split("_", 1)[1]))
+            except ValueError:
+                pass
+    return max(steps) if steps else None
+
+
+def save_step(root: str, step: int, state: Any) -> None:
+    save(os.path.join(root, f"step_{step}"), state)
+
+
+def restore_latest(root: str, like: Optional[Any] = None):
+    """(state, step) from the newest checkpoint, or (None, None)."""
+    step = latest_step(root)
+    if step is None:
+        return None, None
+    return restore(os.path.join(root, f"step_{step}"), like), step

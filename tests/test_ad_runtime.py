@@ -149,3 +149,28 @@ def test_vectorization_report():
 
     rep_bad = vectorization_report(bad, x)
     assert rep_bad["custom_calls"] > 0 or rep_bad["host_transfers"] > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    # checkpoint/resume subsystem (SURVEY §5: absent in the reference;
+    # required for long-running distributed fitting)
+    from enoki_tpu.runtime import checkpoint as ck
+    from enoki_tpu.render import SphereScene
+    from enoki_tpu.types import PCG32
+    import optax
+
+    scene = SphereScene.reference()
+    opt = optax.adam(1e-2)
+    state = {"scene": scene, "opt": opt.init(scene),
+             "rng": PCG32.create(64)}
+
+    root = str(tmp_path / "ckpts")
+    ck.save_step(root, 3, state)
+    ck.save_step(root, 7, state)
+    assert ck.latest_step(root) == 7
+
+    restored, step = ck.restore_latest(root, like=state)
+    assert step == 7
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
