@@ -65,3 +65,100 @@ def stochastic_round(x, key, dtype=jnp.bfloat16):
     p = jnp.where(span != 0, (x - lo) / jnp.where(span == 0, 1.0, span), 0.0)
     u = jax.random.uniform(key, x.shape)
     return jnp.where(u < p, hi, lo).astype(jnp.float16)
+
+
+# ---------------------------------------------------------------------------
+# Directed-rounding arithmetic (array_round.h parity).
+#
+# The reference flips the x86 MXCSR rounding mode around an operation
+# (array_round.h:22-40, RoundingMode::Up/Down/Zero -- used for interval
+# arithmetic). TPUs compute round-to-nearest-even only. Directed results
+# are recovered in two tiers:
+#   add/sub: CORRECTLY ROUNDED via the FMA-free Knuth two-sum error term
+#            (exact under XLA, which never reassociates floats).
+#   mul/div/sqrt: jax exposes no fma primitive, so the rounding error of
+#            RN is not recoverable exactly; the nearest result is widened
+#            by one ulp in the requested direction unless it is provably
+#            exact-side. Bounds remain VALID for interval arithmetic,
+#            at most one ulp wider than optimal.
+# ---------------------------------------------------------------------------
+
+
+def _bump_up(s, err_pos):
+    return jnp.where(err_pos, jnp.nextafter(s, jnp.inf), s)
+
+
+def _bump_down(s, err_neg):
+    return jnp.where(err_neg, jnp.nextafter(s, -jnp.inf), s)
+
+
+def _two_sum(a, b):
+    """Knuth two-sum: s + err == a + b exactly (s = RN(a + b))."""
+    s = a + b
+    bp = s - a
+    err = (a - (s - bp)) + (b - bp)
+    return s, err
+
+
+def add_up(a, b):
+    """a + b rounded toward +inf."""
+    s, err = _two_sum(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+    return _bump_up(s, err > 0)
+
+
+def add_down(a, b):
+    """a + b rounded toward -inf."""
+    s, err = _two_sum(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
+    return _bump_down(s, err < 0)
+
+
+def sub_up(a, b):
+    return add_up(a, -jnp.asarray(b, jnp.float32))
+
+
+def sub_down(a, b):
+    return add_down(a, -jnp.asarray(b, jnp.float32))
+
+
+def mul_up(a, b):
+    """a * b rounded toward +inf (one-ulp-conservative; exact when the
+    product is exactly representable, e.g. powers of two)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    p = a * b
+    return _bump_up(p, jnp.isfinite(p))
+
+
+def mul_down(a, b):
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    p = a * b
+    return _bump_down(p, jnp.isfinite(p))
+
+
+def div_up(a, b):
+    """a / b rounded toward +inf (one-ulp-conservative)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    q = a / b
+    return _bump_up(q, jnp.isfinite(q))
+
+
+def div_down(a, b):
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    q = a / b
+    return _bump_down(q, jnp.isfinite(q))
+
+
+def sqrt_up(a):
+    """sqrt(a) rounded toward +inf (one-ulp-conservative)."""
+    a = jnp.asarray(a, jnp.float32)
+    s = jnp.sqrt(a)
+    return _bump_up(s, jnp.isfinite(s))
+
+
+def sqrt_down(a):
+    a = jnp.asarray(a, jnp.float32)
+    s = jnp.sqrt(a)
+    return _bump_down(s, jnp.isfinite(s) & (s > 0))

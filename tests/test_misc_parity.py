@@ -75,3 +75,36 @@ def test_ppm_roundtrip():
         write_ppm(path, img)
         back = read_ppm(path)
     assert np.array_equal(back, np.clip(img, 0, 255).astype(np.int32))
+
+
+def test_directed_rounding():
+    # array_round.h parity: exact directed rounding via error-free
+    # transformations; validated against float64 ground truth
+    from enoki_tpu.ops import rounding as R
+    rng = np.random.default_rng(0)
+    a = rng.normal(scale=10, size=5000).astype(np.float32)
+    b = rng.normal(scale=1e-5, size=5000).astype(np.float32)
+    for name, up_fn, dn_fn, exact in [
+        ("add", R.add_up, R.add_down,
+         lambda x, y: x.astype(np.float64) + y.astype(np.float64)),
+        ("mul", R.mul_up, R.mul_down,
+         lambda x, y: x.astype(np.float64) * y.astype(np.float64)),
+        ("div", R.div_up, R.div_down,
+         lambda x, y: x.astype(np.float64) / y.astype(np.float64)),
+    ]:
+        true = exact(a, b)
+        up = np.asarray(up_fn(a, b), np.float64)
+        dn = np.asarray(dn_fn(a, b), np.float64)
+        assert (up >= true).all(), name
+        assert (dn <= true).all(), name
+        # add/sub correctly rounded (two-sum); mul/div one-ulp
+        # conservative (no fma primitive in this jax)
+        width = 1 if name == "add" else 2
+        sp = np.spacing(np.abs(true).astype(np.float32)).astype(np.float64)
+        assert (up - true <= width * sp).all(), name
+        assert (true - dn <= width * sp).all(), name
+    x = np.abs(a) + 0.1
+    true = np.sqrt(x.astype(np.float64))
+    up = np.asarray(R.sqrt_up(x), np.float64)
+    dn = np.asarray(R.sqrt_down(x), np.float64)
+    assert (up >= true).all() and (dn <= true).all()
