@@ -9,3 +9,5 @@ from .sphere import (  # noqa: F401
 from .sdf import (  # noqa: F401
     SDFScene, sdf, march, normal_at, shade, render_sdf, render_sdf_grads,
 )
+from . import sdflib  # noqa: F401
+from .generic import make_sdf_renderer  # noqa: F401

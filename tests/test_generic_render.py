@@ -1,0 +1,79 @@
+"""Generic bring-your-own-SDF renderer: composed scenes through the same
+megakernel pair + jnp reference, parity-gated (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from enoki_tpu.render import make_sdf_renderer, sdflib as sd
+from enoki_tpu.render.vec import Vec3
+
+N, STEPS, TILE = 128, 48, 64
+
+
+def scene_sdf(p, pv):
+    """Union of a sphere, a torus and a ground plane, with a smooth blend;
+    geometry params live at pv[5:]."""
+    s = sd.sd_sphere(p, Vec3(pv[5], pv[6], pv[7]), pv[8])
+    t = sd.sd_torus(p, Vec3(0.0, 0.0, 1.0), pv[9], pv[10])
+    g = sd.sd_plane(p, Vec3(0.0, -1.0, 0.0), pv[11])
+    return sd.op_union(sd.op_smooth_union(s, t, 0.1), g)
+
+
+PARAMS = jnp.asarray(
+    # ambient gain  light(x,y,z)   sphere(c,r)          torus(R,r) plane
+    [0.15, 40.0, -1.0, -1.0, 2.0, 0.1, -0.2, 0.3, 0.45, 0.55, 0.18, 1.05],
+    jnp.float32)
+
+render_p, render_x = make_sdf_renderer(scene_sdf, n_params=12)
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def test_generic_image_parity():
+    img_p = np.asarray(render_p(PARAMS, N, STEPS, 1.2, TILE))
+    img_x = np.asarray(render_x(PARAMS, N, STEPS))
+    assert img_p.shape == (N, N)
+    assert np.abs(img_p - img_x).max() < 1e-3, np.abs(img_p - img_x).max()
+    # the scene is actually visible: hits and background both present
+    assert (img_x > 0.2).mean() > 0.05 and (img_x < 0.16).mean() > 0.05
+
+
+def test_generic_grads_parity():
+    gp = np.asarray(jax.grad(
+        lambda v: jnp.mean(render_p(v, N, STEPS, 1.2, TILE)))(PARAMS))
+    gx = np.asarray(jax.grad(
+        lambda v: jnp.mean(render_x(v, N, STEPS)))(PARAMS))
+    assert np.isfinite(gp).all() and np.isfinite(gx).all()
+    assert np.allclose(gp, gx, rtol=2e-2,
+                       atol=2e-3 * max(1.0, np.abs(gx).max())), (gp, gx)
+    # geometry params actually receive gradient signal
+    assert np.abs(gp[5:]).max() > 1e-4
+
+
+def test_smooth_union_differentiable():
+    # gradient flows through the blend factor region
+    def f(k):
+        d1 = jnp.asarray([0.1, -0.05])
+        d2 = jnp.asarray([0.12, 0.2])
+        return jnp.sum(sd.op_smooth_union(d1, d2, k))
+
+    g = jax.grad(f)(jnp.float32(0.1))
+    assert np.isfinite(g)
+
+
+def test_primitives_sanity():
+    p = Vec3(jnp.asarray([0.0, 2.0]), jnp.zeros(2), jnp.zeros(2))
+    d = sd.sd_sphere(p, Vec3(0.0, 0.0, 0.0), 1.0)
+    np.testing.assert_allclose(np.asarray(d), [-1.0, 1.0], atol=1e-5)
+    d = sd.sd_box(p, Vec3(0.0, 0.0, 0.0), Vec3(0.5, 0.5, 0.5))
+    np.testing.assert_allclose(np.asarray(d), [-0.5, 1.5], atol=1e-5)
+    d = sd.sd_torus(Vec3(jnp.asarray([1.0]), jnp.zeros(1), jnp.zeros(1)),
+                    Vec3(0.0, 0.0, 0.0), 1.0, 0.25)
+    np.testing.assert_allclose(np.asarray(d), [-0.25], atol=1e-4)
