@@ -142,22 +142,44 @@ def make_train_step_shardmap(n: int, mesh: Mesh, optimizer,
 
 def fit_scene(target, n: int, mesh: Mesh, steps: int = 100,
               lr: float = 2e-2, init: Optional[SphereScene] = None,
-              strategy: str = "gspmd", renderer=combined):
-    """Inverse rendering driver: recover scene params from a target image."""
+              strategy: str = "gspmd", renderer=combined,
+              checkpoint_dir: Optional[str] = None,
+              checkpoint_every: int = 50):
+    """Inverse rendering driver: recover scene params from a target image.
+
+    With ``checkpoint_dir`` the run is preemption-safe: it resumes from
+    the newest step checkpoint and saves (scene, optimizer state) every
+    ``checkpoint_every`` steps (runtime/checkpoint.py; the reference has
+    no persistence at all, SURVEY §5).
+    """
     import optax
 
     scene = init if init is not None else SphereScene.reference()
     opt = optax.adam(lr)
     opt_state = opt.init(scene)
+    start = 0
+    if checkpoint_dir is not None:
+        from ..runtime import checkpoint as ck
+
+        restored, step0 = ck.restore_latest(
+            checkpoint_dir, like={"scene": scene, "opt": opt_state})
+        if restored is not None:
+            scene, opt_state, start = (restored["scene"], restored["opt"],
+                                       step0)
     maker = make_train_step if strategy == "gspmd" else make_train_step_shardmap
     step_fn = maker(n, mesh, opt, renderer)
     target = jax.device_put(target, image_sharding(mesh))
     loss = None
-    for _ in range(steps):
+    for k in range(start, steps):
         scene, opt_state, loss = step_fn(scene, target, opt_state)
         # Per-step sync: XLA's in-process CPU communicator deadlocks when
         # many collective launches are enqueued asynchronously (observed on
         # the 8-virtual-device test mesh); a one-scalar sync per step is
         # free next to the render itself and harmless on TPU.
         loss.block_until_ready()
+        if checkpoint_dir is not None and (k + 1) % checkpoint_every == 0:
+            from ..runtime import checkpoint as ck
+
+            ck.save_step(checkpoint_dir, k + 1,
+                         {"scene": scene, "opt": opt_state})
     return scene, loss

@@ -94,3 +94,26 @@ def test_inverse_rendering_recovers_radius():
     # itself converges
     assert float(loss) < 10.0
     assert abs(float(fitted.radius) - 1.0) < 0.02, float(fitted.radius)
+
+
+def test_fit_scene_checkpoint_resume(tmp_path):
+    # preemption-safe fitting: run 4 steps w/ checkpoint_every=2, then
+    # "restart" and confirm it resumes from step 4 rather than step 0
+    from enoki_tpu.dist import make_mesh, fit_scene
+    from enoki_tpu.render import SphereScene, render_fused
+    import numpy as np
+
+    mesh = make_mesh(4)
+    n = 32
+    target = jnp.asarray(
+        np.asarray(render_fused(SphereScene.reference(), n)).reshape(n, n))
+    root = str(tmp_path / "fit")
+    s1, l1 = fit_scene(target, n, mesh, steps=4, checkpoint_dir=root,
+                       checkpoint_every=2)
+    from enoki_tpu.runtime import checkpoint as ck
+    assert ck.latest_step(root) == 4
+    # resume: steps=6 continues from 4 (only 2 more steps run)
+    s2, l2 = fit_scene(target, n, mesh, steps=6, checkpoint_dir=root,
+                       checkpoint_every=2)
+    assert ck.latest_step(root) == 6
+    assert jnp.isfinite(l2)
