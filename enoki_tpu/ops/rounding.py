@@ -26,7 +26,12 @@ def round_(x):
 
 
 def round_half_away(x):
-    return jnp.trunc(x + jnp.where(x >= 0, 0.5, -0.5))
+    # NOT trunc(x + 0.5): adding 0.5 first double-rounds (e.g. the largest
+    # f32 below 0.5 would round to 1). Compare the exact fractional part.
+    t = jnp.trunc(x)
+    frac = x - t  # exact: x and t share the exponent range
+    bump = (jnp.abs(frac) >= 0.5).astype(x.dtype)
+    return t + jnp.where(x >= 0, bump, -bump)
 
 
 floor = jnp.floor
@@ -54,7 +59,10 @@ def stochastic_round(x, key, dtype=jnp.bfloat16):
     if drop is not None:
         dither = jax.random.bits(key, bits.shape, jnp.uint32) & ((1 << drop) - 1)
         out = (bits + dither) & ~jnp.uint32((1 << drop) - 1)
-        return lax.bitcast_convert_type(out, jnp.float32).astype(dtype)
+        r = lax.bitcast_convert_type(out, jnp.float32).astype(dtype)
+        # dither on a payload NaN can carry into the exponent and produce
+        # inf; NaN/inf inputs pass through the normal cast instead
+        return jnp.where(jnp.isfinite(x), r, x.astype(dtype))
     # f16 path: probabilistic pick between the two neighbours
     lo = x.astype(jnp.float16).astype(jnp.float32)
     hi = jnp.where(x >= lo, jnp.nextafter(lo.astype(jnp.float16),
@@ -79,9 +87,14 @@ def stochastic_round(x, key, dtype=jnp.bfloat16):
 #   mul/div/sqrt: jax exposes no fma primitive, so the rounding error of
 #            RN is not recoverable exactly; the nearest result is widened
 #            by one ulp in the requested direction unless it is provably
-#            exact-side. Bounds remain VALID for interval arithmetic,
-#            at most one ulp wider than optimal.
+#            exact (zero operands). Overflow to +/-inf on finite inputs
+#            clamps to +/-f32max in the direction that keeps the bound
+#            sound. Bounds remain VALID for interval arithmetic, at most
+#            one ulp wider than optimal.
 # ---------------------------------------------------------------------------
+
+
+_F32_MAX = jnp.float32(3.4028235e38)
 
 
 def _bump_up(s, err_pos):
@@ -90,6 +103,22 @@ def _bump_up(s, err_pos):
 
 def _bump_down(s, err_neg):
     return jnp.where(err_neg, jnp.nextafter(s, -jnp.inf), s)
+
+
+def _clamp_overflow_up(s, inputs_finite):
+    """Round-toward-+inf of a value that overflowed to -inf on finite
+    inputs is -f32max (the exact result is < -f32max but finite-bounded
+    above by it from the direction's view: the LARGEST value <= exact is
+    -inf, but the directed UPPER bound must be >= exact, and -f32max is
+    the smallest valid finite choice -- keeping the interval sound)."""
+    return jnp.where(jnp.isneginf(s) & inputs_finite, -_F32_MAX, s)
+
+
+def _clamp_overflow_down(s, inputs_finite):
+    """Round-toward--inf after overflow to +inf on finite inputs: the
+    true value exceeds f32max, so f32max is the largest valid finite
+    lower bound (returning +inf would make an unsound interval)."""
+    return jnp.where(jnp.isposinf(s) & inputs_finite, _F32_MAX, s)
 
 
 def _two_sum(a, b):
@@ -101,15 +130,21 @@ def _two_sum(a, b):
 
 
 def add_up(a, b):
-    """a + b rounded toward +inf."""
-    s, err = _two_sum(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
-    return _bump_up(s, err > 0)
+    """a + b rounded toward +inf (correctly rounded)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    s, err = _two_sum(a, b)
+    fin = jnp.isfinite(a) & jnp.isfinite(b)
+    return _clamp_overflow_up(_bump_up(s, err > 0), fin)
 
 
 def add_down(a, b):
-    """a + b rounded toward -inf."""
-    s, err = _two_sum(jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32))
-    return _bump_down(s, err < 0)
+    """a + b rounded toward -inf (correctly rounded)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    s, err = _two_sum(a, b)
+    fin = jnp.isfinite(a) & jnp.isfinite(b)
+    return _clamp_overflow_down(_bump_down(s, err < 0), fin)
 
 
 def sub_up(a, b):
@@ -121,41 +156,56 @@ def sub_down(a, b):
 
 
 def mul_up(a, b):
-    """a * b rounded toward +inf (one-ulp-conservative; exact when the
-    product is exactly representable, e.g. powers of two)."""
+    """a * b rounded toward +inf. One-ulp-conservative: always widened by
+    one ulp except for exact zero products; overflow clamps so bounds
+    stay interval-sound."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     p = a * b
-    return _bump_up(p, jnp.isfinite(p))
+    fin = jnp.isfinite(a) & jnp.isfinite(b)
+    exact_zero = (a == 0) | (b == 0)
+    return _clamp_overflow_up(_bump_up(p, jnp.isfinite(p) & ~exact_zero),
+                              fin)
 
 
 def mul_down(a, b):
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     p = a * b
-    return _bump_down(p, jnp.isfinite(p))
+    fin = jnp.isfinite(a) & jnp.isfinite(b)
+    exact_zero = (a == 0) | (b == 0)
+    return _clamp_overflow_down(
+        _bump_down(p, jnp.isfinite(p) & ~exact_zero), fin)
 
 
 def div_up(a, b):
-    """a / b rounded toward +inf (one-ulp-conservative)."""
+    """a / b rounded toward +inf (one-ulp-conservative except exact-zero
+    numerators; overflow clamps)."""
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     q = a / b
-    return _bump_up(q, jnp.isfinite(q))
+    fin = jnp.isfinite(a) & jnp.isfinite(b) & (b != 0)
+    exact_zero = a == 0
+    return _clamp_overflow_up(_bump_up(q, jnp.isfinite(q) & ~exact_zero),
+                              fin)
 
 
 def div_down(a, b):
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
     q = a / b
-    return _bump_down(q, jnp.isfinite(q))
+    fin = jnp.isfinite(a) & jnp.isfinite(b) & (b != 0)
+    exact_zero = a == 0
+    return _clamp_overflow_down(
+        _bump_down(q, jnp.isfinite(q) & ~exact_zero), fin)
 
 
 def sqrt_up(a):
-    """sqrt(a) rounded toward +inf (one-ulp-conservative)."""
+    """sqrt(a) rounded toward +inf (one-ulp-conservative except exact 0;
+    sqrt cannot overflow)."""
     a = jnp.asarray(a, jnp.float32)
     s = jnp.sqrt(a)
-    return _bump_up(s, jnp.isfinite(s))
+    return _bump_up(s, jnp.isfinite(s) & (a != 0))
 
 
 def sqrt_down(a):

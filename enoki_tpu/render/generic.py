@@ -42,7 +42,14 @@ AMBIENT, GAIN, LIGHT = 0, 1, slice(2, 5)
 
 def _shade(px, py, t, hit, pvec, sdf_fn):
     """Lambert shade at the (frozen-t) hit point with the analytic SDF
-    normal -- differentiable in pvec and t."""
+    normal -- differentiable in pvec and t.
+
+    NOTE kept in sync with pallas_kernels._sdf_shade_tile (the tuned
+    sphere instance, which unpacks a scene struct instead of slots) --
+    any change to the normal epsilon / lambert / background convention
+    must land in both, and in the implicit-diff backward blocks
+    (bwd_kernel here, _sdf_bwd_kernel there, render/sdf._march_impl_bwd).
+    """
     p = Vec3(px, py, -1.0 + t)
 
     def s_sum(px_, py_, pz_):
@@ -129,6 +136,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
 
     def fwd_call(params, n, n_steps, extent, tile, tile_c):
         tile_c = tile_c or tile
+        assert n % tile == 0 and n % tile_c == 0, \
+            "image size must be divisible by the tile size"
         grid = (n // tile, n // tile_c)
         tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
                                  memory_space=pltpu.VMEM)
@@ -153,6 +162,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
     def vjp_bwd(n, n_steps, extent, tile, tile_c, res, g):
         params, t, hit = res
         tile_c = tile_c or tile
+        assert n % tile == 0 and n % tile_c == 0, \
+            "image size must be divisible by the tile size"
         grid = (n // tile, n // tile_c)
         tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
                                  memory_space=pltpu.VMEM)
@@ -165,7 +176,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
         )(pad(params), g, t, hit)
-        return (dp.reshape(n_pad)[:n_params],)
+        # cotangent dtype must match the primal's (pad() upcast to f32)
+        return (dp.reshape(n_pad)[:n_params].astype(params.dtype),)
 
     render_pallas.defvjp(vjp_fwd, vjp_bwd)
 
