@@ -16,7 +16,7 @@ from .router import (  # noqa: F401
     gather, scatter, scatter_add, transform, prefetch, binary_search,
     clamp, lerp, sign, copysign, mulsign, abs_, sqr,
     isnan, isinf, isfinite, allclose,
-    safe_sqrt, safe_rsqrt, safe_asin, safe_acos,
+    sqrt, safe_sqrt, safe_rsqrt, safe_asin, safe_acos,
     tile, repeat, reverse, head, tail, concat,
     next_float, prev_float, deg_to_rad, rad_to_deg,
 )
@@ -47,3 +47,7 @@ from .special import (  # noqa: F401
 )
 
 from . import polys  # noqa: F401
+from . import rounding  # noqa: F401
+from .rounding import (  # noqa: F401
+    round_, round_half_away, floor, ceil, trunc, stochastic_round,
+)

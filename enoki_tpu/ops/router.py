@@ -605,3 +605,9 @@ def binary_search(start, end, pred):
         lo = jnp.where(cond, jnp.minimum(mid + 1, hi), lo)
         hi = jnp.where(cond, hi, mid)
     return lo + jnp.zeros_like(hi)
+
+
+def sqrt(x):
+    """Elementwise square root (array_router.h sqrt; see safe_sqrt for the
+    clamped-domain/clamped-gradient variant)."""
+    return jnp.sqrt(x)
