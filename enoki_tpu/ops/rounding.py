@@ -212,3 +212,37 @@ def sqrt_down(a):
     a = jnp.asarray(a, jnp.float32)
     s = jnp.sqrt(a)
     return _bump_down(s, jnp.isfinite(s) & (s > 0))
+
+
+def stochastic_round_pallas(x, seed: int, dtype=jnp.bfloat16,
+                            interpret: bool = False):
+    """Hardware stochastic rounding: a Pallas kernel on the TPU's native
+    PRNG + stochastic-round units (pltpu.prng_random_bits /
+    pltpu.stochastic_round), the production path next to the portable
+    jnp formulation above. 1-D f32 input, bf16 out.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    x = jnp.asarray(x, jnp.float32)
+    (n,) = x.shape
+    # the TPU PRNG generates rank>=2 tiles; round up to full (8, 128) rows
+    pad = (-n) % 1024
+    x2 = jnp.pad(x, (0, pad)).reshape(-1, 128)
+
+    def kernel(seed_ref, x_ref, o_ref):
+        pltpu.prng_seed(seed_ref[0])
+        bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape),
+                             jnp.uint32)
+        o_ref[:, :] = pltpu.stochastic_round(x_ref[:, :], bits,
+                                             target_dtype=dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, dtype),
+        interpret=interpret,
+    )(jnp.asarray([seed], jnp.int32), x2)
+    return out.reshape(-1)[:n]

@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -108,3 +109,16 @@ def test_directed_rounding():
     up = np.asarray(R.sqrt_up(x), np.float64)
     dn = np.asarray(R.sqrt_down(x), np.float64)
     assert (up >= true).all() and (dn <= true).all()
+
+
+@pytest.mark.skipif(jax.devices()[0].platform not in ("tpu", "axon"),
+                    reason="hardware PRNG/stochastic-round units only")
+def test_stochastic_round_pallas_hardware():
+    # exercised on the real chip by tools/drive_tpu-style runs; the CPU
+    # suite skips (interpret mode has no TPU PRNG). Unbiasedness check.
+    from enoki_tpu.ops.rounding import stochastic_round_pallas
+    x = jnp.full((1 << 14,), 1.0 + 1.0 / 512.0, jnp.float32)
+    out = np.asarray(stochastic_round_pallas(x, seed=7), np.float32)
+    ups = (out > 1.0 + 1.0 / 256).mean()
+    assert 0.2 < ups < 0.3
+    assert abs(out.mean() - float(x[0])) < 2e-4
