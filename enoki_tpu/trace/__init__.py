@@ -390,28 +390,39 @@ class LazyArray:
     numpy() / item access forces the fused program.
     """
 
-    __slots__ = ("index",)
+    __slots__ = ("index", "_size", "_code")
 
-    def __init__(self, value=None, index: Optional[int] = None):
+    def __init__(self, value=None, index: Optional[int] = None,
+                 _size: Optional[int] = None, _code: Optional[int] = None):
         if index is not None:
             self.index = index
+            # size/dtype are cached on the handle (they are immutable per
+            # variable) so op recording costs no introspection C calls
+            self._size = _size if _size is not None \
+                else int(_lib.et_var_size(index))
+            self._code = _code if _code is not None \
+                else _lib.et_var_dtype(index)
             return
         x = jnp.atleast_1d(jnp.asarray(value))
         assert x.ndim == 1, "LazyArray is 1-D (the flat-index JIT model)"
-        self.index = _lib.et_data(_code_of(x.dtype), x.shape[0])
+        self._code = _code_of(x.dtype)
+        self._size = x.shape[0]
+        self.index = _lib.et_data(self._code, self._size)
         _BUFFERS[self.index] = x
 
     # -- construction ------------------------------------------------------
 
     @staticmethod
     def literal(value, size=1, dtype=jnp.float32):
-        return LazyArray(index=_lib.et_literal(_code_of(dtype), float(value),
-                                               size))
+        code = _code_of(dtype)
+        return LazyArray(index=_lib.et_literal(code, float(value), size),
+                         _size=size, _code=code)
 
     @staticmethod
     def arange(n, dtype=jnp.int32):
-        return LazyArray(index=_lib.et_append(Op.IOTA, _code_of(dtype), n,
-                                              0, 0, 0, 0))
+        code = _code_of(dtype)
+        return LazyArray(index=_lib.et_append(Op.IOTA, code, n, 0, 0, 0, 0),
+                         _size=n, _code=code)
 
     @staticmethod
     def zeros(n, dtype=jnp.float32):
@@ -437,7 +448,7 @@ class LazyArray:
             pass
 
     def __len__(self):
-        return int(_lib.et_var_size(self.index))
+        return self._size
 
     @property
     def size(self):
@@ -445,7 +456,7 @@ class LazyArray:
 
     @property
     def dtype(self):
-        return jnp.dtype(_DTYPES[_lib.et_var_dtype(self.index)])
+        return jnp.dtype(_DTYPES[self._code])
 
     @property
     def materialized(self):
@@ -478,26 +489,27 @@ class LazyArray:
         if idx == 0:
             sizes = [len(d) for d in dep_arrays]
             raise ValueError(f"incompatible sizes for trace op: {sizes}")
-        return LazyArray(index=idx)
+        return LazyArray(index=idx, _size=size, _code=dtype_code)
 
     def _coerce(self, other):
         if isinstance(other, LazyArray):
             return other
         if isinstance(other, (int, float, bool)):
-            code = _lib.et_var_dtype(self.index)
-            return LazyArray(index=_lib.et_literal(code, float(other), 1))
+            code = self._code
+            return LazyArray(index=_lib.et_literal(code, float(other), 1),
+                             _size=1, _code=code)
         return LazyArray(other)
 
     def _bin(self, other, opcode, out_dtype=None, swap=False):
         other = self._coerce(other)
         a, b = (other, self) if swap else (self, other)
-        dc = _binary_dtype(_lib.et_var_dtype(a.index),
-                           _lib.et_var_dtype(b.index)) \
+        dc = _binary_dtype(a._code,
+                           b._code) \
             if out_dtype is None else out_dtype
         return LazyArray._record(opcode, dc, max(len(a), len(b)), a, b)
 
     def _unary(self, opcode, out_dtype=None):
-        dc = _lib.et_var_dtype(self.index) if out_dtype is None else out_dtype
+        dc = self._code if out_dtype is None else out_dtype
         return LazyArray._record(opcode, dc, len(self), self)
 
     __add__ = lambda s, o: s._bin(o, Op.ADD)
@@ -536,19 +548,19 @@ class LazyArray:
     # to break the kernel at every cub call, src/cuda/horiz.cu) -----------
 
     def hsum(self):
-        return LazyArray._record(Op.HSUM, _lib.et_var_dtype(self.index), 1,
+        return LazyArray._record(Op.HSUM, self._code, 1,
                                  self)
 
     def hprod(self):
-        return LazyArray._record(Op.HPROD, _lib.et_var_dtype(self.index), 1,
+        return LazyArray._record(Op.HPROD, self._code, 1,
                                  self)
 
     def hmin(self):
-        return LazyArray._record(Op.HMIN, _lib.et_var_dtype(self.index), 1,
+        return LazyArray._record(Op.HMIN, self._code, 1,
                                  self)
 
     def hmax(self):
-        return LazyArray._record(Op.HMAX, _lib.et_var_dtype(self.index), 1,
+        return LazyArray._record(Op.HMAX, self._code, 1,
                                  self)
 
     def all(self):
@@ -562,7 +574,7 @@ class LazyArray:
                                  1, self)
 
     def psum(self):
-        return LazyArray._record(Op.PSUM, _lib.et_var_dtype(self.index),
+        return LazyArray._record(Op.PSUM, self._code,
                                  len(self), self)
 
     def compress(self, mask: "LazyArray"):
@@ -572,12 +584,12 @@ class LazyArray:
         lazy -- unlike the reference, which must break the kernel at
         every cub call."""
         packed = LazyArray._record(Op.COMPRESS,
-                                   _lib.et_var_dtype(self.index),
+                                   self._code,
                                    len(self), self, mask)
         return packed, mask.count()
 
     def reverse(self):
-        return LazyArray._record(Op.REVERSE, _lib.et_var_dtype(self.index),
+        return LazyArray._record(Op.REVERSE, self._code,
                                  len(self), self)
 
     # -- gather / scatter ----------------------------------------------------
@@ -585,13 +597,13 @@ class LazyArray:
     def gather(self, index: "LazyArray"):
         """self[index] -- forces eval of self first if it is dirty."""
         self._ensure_clean()
-        return LazyArray._record(Op.GATHER, _lib.et_var_dtype(self.index),
+        return LazyArray._record(Op.GATHER, self._code,
                                  len(index), self, index, raw=True)
 
     def _scatter_op(self, opcode, index, value):
         index = self._coerce(index)
         value = self._coerce(value)
-        op = LazyArray._record(opcode, _lib.et_var_dtype(self.index),
+        op = LazyArray._record(opcode, self._code,
                                len(self), self, index, value, raw=True)
         _lib.et_mark_side_effect(op.index, self.index)
         _SCATTER_TARGET[op.index] = self.index
@@ -633,7 +645,7 @@ class LazyArray:
 def select(mask: LazyArray, a, b):
     a = mask._coerce(a)
     b = mask._coerce(b)
-    dc = _binary_dtype(_lib.et_var_dtype(a.index), _lib.et_var_dtype(b.index))
+    dc = _binary_dtype(a._code, b._code)
     return LazyArray._record(Op.SELECT, dc, max(len(mask), len(a), len(b)),
                              mask, a, b)
 
@@ -821,18 +833,18 @@ def _make_math(name, opcode, arity, kind=None):
     if arity == 1:
         def f(x):
             return x._unary(opcode,
-                            _out_code(_lib.et_var_dtype(x.index), kind))
+                            _out_code(x._code, kind))
     elif arity == 2:
         def f(x, y):
             y = x._coerce(y)
-            dc = _out_code(_binary_dtype(_lib.et_var_dtype(x.index),
-                                         _lib.et_var_dtype(y.index)), kind)
+            dc = _out_code(_binary_dtype(x._code,
+                                         y._code), kind)
             return x._bin(y, opcode, out_dtype=dc)
     else:
         def f(x, y, z):
             y = x._coerce(y)
             z = x._coerce(z)
-            return LazyArray._record(opcode, _lib.et_var_dtype(x.index),
+            return LazyArray._record(opcode, x._code,
                                      max(len(x), len(y), len(z)), x, y, z)
     f.__name__ = name
     f.__doc__ = f"Lazy {name} (records Op.{name.upper()} into the trace)."
