@@ -36,6 +36,8 @@ def make_mesh(n_devices: Optional[int] = None,
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
+    if not devs:
+        raise ValueError("make_mesh needs at least one device")
     a, b = _factor2(len(devs))
     import numpy as np
 
@@ -63,12 +65,24 @@ def init_distributed(coordinator_address: Optional[str] = None,
     count. Safe to call on a single host (no-op if no cluster is
     detected and no arguments are given).
     """
+    import os
+    import warnings
+
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (ValueError, RuntimeError):
-        if coordinator_address is not None or num_processes is not None:
-            raise  # explicit multi-host setup that failed must surface
-        # single-host / no cluster metadata: run locally
+    except (ValueError, RuntimeError) as e:
+        explicit = (coordinator_address is not None
+                    or num_processes is not None or process_id is not None)
+        cluster_env = any(k in os.environ for k in (
+            "COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+            "SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES"))
+        if explicit or cluster_env:
+            # a real cluster that failed to initialize must surface --
+            # silently degrading to N independent single-host runs hangs
+            # at the first cross-host collective or trains N replicas
+            raise
+        warnings.warn(f"jax.distributed.initialize unavailable "
+                      f"({e}); running single-host")
     return len(jax.devices())

@@ -166,6 +166,9 @@ def fit_scene(target, n: int, mesh: Mesh, steps: int = 100,
         if restored is not None:
             scene, opt_state, start = (restored["scene"], restored["opt"],
                                        step0)
+    if strategy not in ("gspmd", "shardmap"):
+        raise ValueError(f"unknown strategy {strategy!r}: "
+                         "expected 'gspmd' or 'shardmap'")
     maker = make_train_step if strategy == "gspmd" else make_train_step_shardmap
     step_fn = maker(n, mesh, opt, renderer)
     target = jax.device_put(target, image_sharding(mesh))

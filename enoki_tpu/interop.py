@@ -51,13 +51,17 @@ def torch_wrap(f: Callable):
     """
     import torch
 
-    jit_f = jax.jit(f)
+    # one compiled program computes the primal AND the VJP residuals;
+    # jitting f alone would leave the vjp trace eager
+    @jax.jit
+    def _fwd(*jax_args):
+        return jax.vjp(f, *jax_args)
 
     class _Fn(torch.autograd.Function):
         @staticmethod
         def forward(ctx, *tensors):
             jax_args = tuple(from_torch(t) for t in tensors)
-            out, vjp = jax.vjp(f, *jax_args)
+            out, vjp = _fwd(*jax_args)
             ctx._vjp = vjp
             return to_torch(out)
 

@@ -108,21 +108,12 @@ def compile_timings(f: Callable, *args, **kw) -> Dict[str, float]:
 
 
 def cache_stats() -> Dict[str, Any]:
-    """Jit-cache counters -- analog of the kernel-cache hit bookkeeping
-    (jit.cu:1239-1331)."""
-    from jax._src import monitoring  # best effort
-
-    info = {}
-    try:
-        from jax._src.interpreters import pxla
-
-        info["jit_cache_hits"] = None  # not exposed; placeholder
-    except Exception:
-        pass
+    """Live-array counters (jax exposes no public jit-cache hit counter;
+    the lazy trace runtime's enoki_tpu.trace.cache_stats() reports real
+    hits/misses for its executable cache, jit.cu:1239-1331 analog)."""
     live = jax.live_arrays()
-    info["live_arrays"] = len(live)
-    info["live_bytes"] = sum(a.nbytes for a in live)
-    return info
+    return {"live_arrays": len(live),
+            "live_bytes": sum(a.nbytes for a in live)}
 
 
 def enable_compile_cache(path: str = "/tmp/enoki_tpu_xla_cache") -> None:
@@ -171,10 +162,13 @@ def assert_vectorized(f: Callable, *args, allow_custom_calls: int = 0,
     callbacks / infeed / outfeed) -- the ENOKI_TRACK_SCALAR regression
     gate for TPU programs. Returns the vectorization_report."""
     rep = vectorization_report(f, *args, **kw)
-    assert rep["host_transfers"] == 0, \
-        f"compiled module transfers to host: {rep}"
-    assert rep["custom_calls"] <= allow_custom_calls, \
-        f"unexpected custom-calls (host callbacks?): {rep}"
+    # explicit raises: bare asserts vanish under python -O, silently
+    # disabling the gate
+    if rep["host_transfers"] != 0:
+        raise AssertionError(f"compiled module transfers to host: {rep}")
+    if rep["custom_calls"] > allow_custom_calls:
+        raise AssertionError(
+            f"unexpected custom-calls (host callbacks?): {rep}")
     return rep
 
 

@@ -85,7 +85,10 @@ def dispatch_partition(funcs: Sequence[Callable], ids, *args, default=None):
             if default is None:
                 out_p = jax.tree_util.tree_map(jnp.zeros_like, r)
             else:
-                out_p = default
+                # default travels through the same permutation as the
+                # args, otherwise unmatched lanes would read
+                # default[inv[j]] after the scatter-back
+                out_p = gather_struct(default, perm)
         out_p = select_struct(m, r, out_p)
     # scatter back: out[perm[k]] = out_p[k]
     inv = jnp.zeros_like(perm).at[perm].set(
@@ -132,8 +135,13 @@ class InstanceRegistry:
         return jnp.stack([jnp.asarray(v) for v in vals])
 
     def getter(self, attr: str, ids):
+        """Gather an attribute per lane; null ids (< 0) read 0 -- the same
+        null-pointer semantics the dispatchers use
+        (ENOKI_CALL_SUPPORT_GETTER, array_call.h:272)."""
+        from ..ops.router import gather
+
         ids = jnp.asarray(ids, jnp.int32)
-        return jnp.take(self.stack(attr), jnp.maximum(ids, 0), axis=0)
+        return gather(self.stack(attr), ids, mask=ids >= 0)
 
     def dispatch(self, method: str, ids, *args, strategy: str = "masked"):
         """Vectorized virtual call: ``ptrs->method(args...)``.

@@ -166,3 +166,32 @@ def test_dispatch_inside_jit_and_grad():
     assert float(run(x)) == 2 + 4 + 9 + 8
     g = jax.grad(run)(x)
     assert np.array_equal(g, [2, 4, 6, 2])
+
+
+def test_dispatch_partition_default_not_scrambled():
+    # regression (code review): a per-lane default must travel through
+    # the sort permutation like the args, or unmatched lanes read
+    # default[inv[j]] after the scatter-back
+    from enoki_tpu.struct import dispatch_masked, dispatch_partition
+    funcs = [lambda m, x: x + 10.0, lambda m, x: x + 20.0]
+    ids = jnp.asarray([2, -1, 0], jnp.int32)  # 2 and -1 match no func
+    x = jnp.asarray([1.0, 2.0, 3.0])
+    default = jnp.asarray([100.0, 200.0, 300.0])
+    a = np.asarray(dispatch_masked(funcs, ids, x, default=default))
+    b = np.asarray(dispatch_partition(funcs, ids, x, default=default))
+    np.testing.assert_allclose(a, [100.0, 200.0, 13.0])
+    np.testing.assert_allclose(b, a)
+
+
+def test_registry_getter_null_ids():
+    from enoki_tpu.struct import InstanceRegistry
+
+    class Mat:
+        def __init__(self, s):
+            self.scale = jnp.float32(s)
+
+    reg = InstanceRegistry()
+    reg.register(Mat(5.0))
+    reg.register(Mat(7.0))
+    got = np.asarray(reg.getter("scale", jnp.asarray([1, -1, 0])))
+    np.testing.assert_allclose(got, [7.0, 0.0, 5.0])
