@@ -855,6 +855,17 @@ for _name, (_op, _ar, _kind) in _MATH_OPS.items():
     globals()[_name] = _make_math(_name, _op, _ar, _kind)
 
 
+def sincos(x):
+    """(sin, cos) pair; XLA CSEs the shared range reduction at eval
+    (array_math.h sincos)."""
+    return sin(x), cos(x)  # noqa: F821
+
+
+def fmod(x, y):
+    """Alias of the MOD op (array_math.h fmod)."""
+    return x % y
+
+
 def clamp(x, lo, hi):
     """min(max(x, lo), hi) as trace ops (array_math.h:1352)."""
     return minimum(maximum(x, lo), hi)  # noqa: F821
@@ -872,4 +883,4 @@ __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
            "clear_cache", "reset", "set_log_level", "Op", "requires_grad",
            "grad_enabled", "gradient", "clear_gradients", "backward",
            "forward_from", "isnan", "isinf", "isfinite", "clamp",
-           "lerp"] + list(_MATH_OPS)
+           "lerp", "sincos", "fmod"] + list(_MATH_OPS)
