@@ -40,7 +40,30 @@ from .pallas_kernels import _tile_pixels, _march_tile
 AMBIENT, GAIN, LIGHT = 0, 1, slice(2, 5)
 
 
-def _shade(px, py, t, hit, pvec, sdf_fn):
+def ortho_camera(px, py, pvec):
+    """Default sensor: parallel rays along +z from z = -1
+    (tests/sphere.cpp:58-64)."""
+    one = jnp.ones_like(px)
+    zero = jnp.zeros_like(px)
+    return Vec3(px, py, -one), Vec3(zero, zero, one)
+
+
+def perspective_camera(origin_z=-2.5, focal=1.8):
+    """Pinhole at (0, 0, origin_z) looking down +z; directions normalized
+    so the march parameter stays unit-speed (sphere tracing requires
+    |d| = 1)."""
+
+    def ray_fn(px, py, pvec):
+        dz = jnp.full_like(px, focal)
+        inv = lax.rsqrt(px * px + py * py + dz * dz)
+        o = Vec3(jnp.zeros_like(px), jnp.zeros_like(px),
+                 jnp.full_like(px, origin_z))
+        return o, Vec3(px * inv, py * inv, dz * inv)
+
+    return ray_fn
+
+
+def _shade(o, d, t, hit, pvec, sdf_fn):
     """Lambert shade at the (frozen-t) hit point with the analytic SDF
     normal -- differentiable in pvec and t.
 
@@ -50,7 +73,7 @@ def _shade(px, py, t, hit, pvec, sdf_fn):
     must land in both, and in the implicit-diff backward blocks
     (bwd_kernel here, _sdf_bwd_kernel there, render/sdf._march_impl_bwd).
     """
-    p = Vec3(px, py, -1.0 + t)
+    p = o + d * t
 
     def s_sum(px_, py_, pz_):
         return jnp.sum(sdf_fn(Vec3(px_, py_, pz_), pvec))
@@ -65,13 +88,19 @@ def _shade(px, py, t, hit, pvec, sdf_fn):
 
 
 def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
-                      t_max: float = 10.0):
+                      t_max: float = 10.0, ray_fn=ortho_camera):
     """(render_pallas, render_xla) for ``sdf_fn(p: Vec3, pvec) -> d``.
 
     Both take (params, n=1024, n_steps=64, extent=1.2[, tile, tile_c])
     and return the (n, n) image; both are differentiable w.r.t. params
     (megakernel: paired bwd kernel; jnp path: implicit-diff custom_vjp is
     embedded directly in the shared shade/march structure).
+
+    ``ray_fn(px, py, pvec) -> (o: Vec3, d: Vec3)`` maps pixel coordinates
+    to unit-speed rays; defaults to the reference's orthographic sensor,
+    ``perspective_camera()`` gives a pinhole. Camera parameters may live
+    in pvec -- the implicit-diff backward differentiates through the ray
+    origin/direction as well.
     """
     n_pad = max(16, -(-n_params // 8) * 8)
 
@@ -83,9 +112,10 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         tr, tc = out_ref.shape
         px, py = _tile_pixels(tr, tc, n, extent)
         pvec = read_params(params_ref)
-        t, hit = _march_tile(px, py, lambda p: sdf_fn(p, pvec), n_steps,
-                             eps=eps, t_max=t_max)
-        out_ref[:, :] = _shade(px, py, t, hit, pvec, sdf_fn)
+        o, dd = ray_fn(px, py, pvec)
+        t, hit = _march_tile(lambda tv: sdf_fn(o + dd * tv, pvec), px,
+                             n_steps, eps=eps, t_max=t_max)
+        out_ref[:, :] = _shade(o, dd, t, hit, pvec, sdf_fn)
         t_ref[:, :] = t
         hit_ref[:, :] = hit.astype(jnp.float32)
 
@@ -99,21 +129,26 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         g = g_ref[:, :]
 
         def f_shade(pv, tv):
-            return _shade(px, py, tv, hit, pv, sdf_fn)
+            o, dd = ray_fn(px, py, pv)
+            return _shade(o, dd, tv, hit, pv, sdf_fn)
 
         _, vjp_fn = jax.vjp(f_shade, pvec, t)
         dp_direct, t_bar = vjp_fn(g)
 
-        # implicit term: t* solves sdf(ray(t*), theta) = eps
+        # implicit term: t* solves sdf(o + d t*, theta) = eps; ray origin/
+        # direction may themselves depend on theta (camera params in pvec)
         def f_sdf_at(pv, tv):
-            return jnp.sum(sdf_fn(Vec3(px, py, -1.0 + tv), pv))
+            o, dd = ray_fn(px, py, pv)
+            return jnp.sum(sdf_fn(o + dd * tv, pv))
 
         df_dt = jax.grad(f_sdf_at, argnums=1)(pvec, t)
         df_dt = jnp.where(jnp.abs(df_dt) > 1e-6, df_dt, 1.0)
         w = jnp.where(hit, -t_bar / df_dt, 0.0)
-        dp_indirect = jax.grad(
-            lambda pv: jnp.sum(sdf_fn(Vec3(px, py, -1.0 + t), pv)
-                               * w))(pvec)
+        def f_weighted(pv):
+            o, dd = ray_fn(px, py, pv)
+            return jnp.sum(sdf_fn(o + dd * t, pv) * w)
+
+        dp_indirect = jax.grad(f_weighted)(pvec)
         dp = dp_direct + dp_indirect
 
         first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
@@ -189,13 +224,14 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         px, py = jnp.meshgrid(ax, ax)
 
         def march(pv):
+            o, dd = ray_fn(px, py, pv)
             t = jnp.zeros_like(px)
             active = jnp.ones_like(px, bool)
             hit = jnp.zeros_like(active)
 
             def step(carry, _):
                 t, active, hit = carry
-                d = sdf_fn(Vec3(px, py, -1.0 + t), pv)
+                d = sdf_fn(o + dd * t, pv)
                 converged = d < eps
                 hit = hit | (active & converged)
                 t_new = t + d
@@ -222,18 +258,23 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             t_bar, _ = ct
 
             def f(pv_, tv):
-                return jnp.sum(sdf_fn(Vec3(px, py, -1.0 + tv), pv_))
+                o, dd = ray_fn(px, py, pv_)
+                return jnp.sum(sdf_fn(o + dd * tv, pv_))
 
             df_dt = jax.grad(f, argnums=1)(pv, t)
             df_dt = jnp.where(jnp.abs(df_dt) > 1e-6, df_dt, 1.0)
             w = jnp.where(hit, -t_bar / df_dt, 0.0)
-            dpv = jax.grad(lambda pv_: jnp.sum(
-                sdf_fn(Vec3(px, py, -1.0 + t), pv_) * w))(pv)
+            def fw(pv_):
+                o, dd = ray_fn(px, py, pv_)
+                return jnp.sum(sdf_fn(o + dd * t, pv_) * w)
+
+            dpv = jax.grad(fw)(pv)
             return (dpv,)
 
         march_implicit.defvjp(mi_fwd, mi_bwd)
 
         t, hit = march_implicit(params)
-        return _shade(px, py, t, hit, params, sdf_fn)
+        o, dd = ray_fn(px, py, params)
+        return _shade(o, dd, t, hit, params, sdf_fn)
 
     return render_pallas, render_xla

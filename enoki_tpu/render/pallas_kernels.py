@@ -178,13 +178,16 @@ render_sphere_pallas.defvjp(_sphere_vjp_fwd, _sphere_vjp_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _march_tile(px, py, sdf_at, n_steps: int,
+def _march_tile(dist_at, like, n_steps: int,
                 eps: float = 1e-4, t_max: float = 10.0, chunk: int = 16):
     """Sphere-trace a pixel tile with tile-level early exit.
 
-    ``sdf_at(p: Vec3) -> distance`` is any traced distance function (the
-    generic-renderer factory in render/generic.py passes composed scenes
-    through here unchanged).
+    ``dist_at(t) -> distance`` evaluates the scene SDF at parameter ``t``
+    along each lane's ray (any ray parametrization with unit-speed t --
+    orthographic or perspective; the caller closes over origin/direction);
+    ``like`` fixes the lane shape/dtype. The generic-renderer factory in
+    render/generic.py routes composed scenes and cameras through here
+    unchanged.
 
     The loop carry is ``t`` alone -- the active/hit masks of the naive
     formulation are recomputable from ``t`` because a frozen lane stays
@@ -206,11 +209,10 @@ def _march_tile(px, py, sdf_at, n_steps: int,
     lanes, where it is frozen, so skipping the last advance never changes
     the image).
     """
-    oz = jnp.full_like(px, -1.0)
-    t = jnp.zeros_like(px)
+    t = jnp.zeros_like(like)
 
     def step(t, k):
-        d = sdf_at(Vec3(px, py, oz + t))
+        d = dist_at(t)
         alive = (d >= eps) & (t + d <= t_max)
         adv = jnp.float32(1.0) * (k < n_steps - 1)
         return jnp.where(alive, t + d * adv, t), alive
@@ -230,7 +232,7 @@ def _march_tile(px, py, sdf_at, n_steps: int,
         return k + chunk, t, jnp.any(alive)
 
     _, t, _ = lax.while_loop(cond, body, (0, t, True))
-    d = sdf_at(Vec3(px, py, oz + t))
+    d = dist_at(t)
     return t, d < eps
 
 
@@ -257,7 +259,8 @@ def _sdf_fwd_kernel(params_ref, out_ref, t_ref, hit_ref, *, n, extent,
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
     scene = vec_to_scene(pvec, SDFScene)
-    t, hit = _march_tile(px, py, lambda p: sdf(p, scene), n_steps)
+    t, hit = _march_tile(
+        lambda t: sdf(Vec3(px, py, -1.0 + t), scene), px, n_steps)
     out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
     # residuals for the bwd megakernel: 2 floats/pixel beats re-marching
     # n_steps times when fwd+bwd run as a pair (value_and_grad)

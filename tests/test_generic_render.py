@@ -77,3 +77,19 @@ def test_primitives_sanity():
     d = sd.sd_torus(Vec3(jnp.asarray([1.0]), jnp.zeros(1), jnp.zeros(1)),
                     Vec3(0.0, 0.0, 0.0), 1.0, 0.25)
     np.testing.assert_allclose(np.asarray(d), [-0.25], atol=1e-4)
+
+
+def test_perspective_camera_parity():
+    from enoki_tpu.render.generic import perspective_camera
+    render_pp, render_px = make_sdf_renderer(scene_sdf, n_params=12,
+                                             ray_fn=perspective_camera())
+    img_p = np.asarray(render_pp(PARAMS, N, STEPS, 1.2, TILE))
+    img_x = np.asarray(render_px(PARAMS, N, STEPS))
+    assert np.abs(img_p - img_x).max() < 1e-3
+    # perspective view differs from orthographic (the camera matters)
+    ortho = np.asarray(render_x(PARAMS, N, STEPS))
+    assert np.abs(img_x - ortho).mean() > 1e-3
+    # grads flow, incl. through ray directions
+    g = np.asarray(jax.grad(
+        lambda v: jnp.mean(render_pp(v, N, STEPS, 1.2, TILE)))(PARAMS))
+    assert np.isfinite(g).all() and np.abs(g[5:]).max() > 1e-4
