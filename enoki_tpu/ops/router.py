@@ -120,15 +120,21 @@ def fnmsub(a, b, c):
     return -(a * b) - c
 
 
+def _odd_lanes(a, b, c):
+    """Boolean odd-lane mask over the broadcast shape; 0-d inputs have a
+    single (even) lane, matching the scalar fallback of fmaddsub_."""
+    shape = jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b), jnp.shape(c))
+    n = shape[-1] if shape else 1
+    return (jnp.arange(n) % 2).astype(bool)
+
+
 def fmaddsub(a, b, c):
     """Even lanes a*b-c, odd lanes a*b+c (array_router.h fmaddsub_)."""
-    odd = (jnp.arange(jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b), jnp.shape(c))[-1]) % 2).astype(bool)
-    return jnp.where(odd, a * b + c, a * b - c)
+    return jnp.where(_odd_lanes(a, b, c), a * b + c, a * b - c)
 
 
 def fmsubadd(a, b, c):
-    odd = (jnp.arange(jnp.broadcast_shapes(jnp.shape(a), jnp.shape(b), jnp.shape(c))[-1]) % 2).astype(bool)
-    return jnp.where(odd, a * b - c, a * b + c)
+    return jnp.where(_odd_lanes(a, b, c), a * b - c, a * b + c)
 
 
 # ---------------------------------------------------------------------------

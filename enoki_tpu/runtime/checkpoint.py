@@ -94,6 +94,11 @@ def save_step(root: str, step: int, state: Any,
     save(os.path.join(root, f"step_{step}"), state)
     if max_to_keep is None:
         return
+    # rotation runs on a single process: N hosts racing to rmtree the same
+    # step dirs would see already-deleted / still-finalizing paths and
+    # raise, killing the preemptible run the feature exists to protect
+    if jax.process_index() != 0:
+        return
     steps = sorted(int(n.split("_", 1)[1]) for n in _listdir(root)
                    if n.startswith("step_"))
     for old in steps[:-max_to_keep]:
@@ -101,7 +106,10 @@ def save_step(root: str, step: int, state: Any,
         if "://" in target:
             from etils import epath
 
-            epath.Path(target).rmtree()
+            try:
+                epath.Path(target).rmtree()
+            except OSError:  # concurrent writer / already gone
+                pass
         else:
             shutil.rmtree(target, ignore_errors=True)
 

@@ -42,6 +42,18 @@ def test_fused_ops():
     assert ops.fnmsub(a, b, c) == -10
 
 
+def test_fmaddsub_lane_alternation():
+    a = jnp.array([1.0, 1.0, 2.0, 2.0])
+    b = jnp.array([3.0, 3.0, 3.0, 3.0])
+    c = jnp.array([1.0, 1.0, 1.0, 1.0])
+    assert np.array_equal(ops.fmaddsub(a, b, c), [2, 4, 5, 7])
+    assert np.array_equal(ops.fmsubadd(a, b, c), [4, 2, 7, 5])
+    # 0-d inputs: a single (even) lane, no crash
+    s = jnp.float32(2)
+    assert ops.fmaddsub(s, s, s) == 2
+    assert ops.fmsubadd(s, s, s) == 6
+
+
 def test_bit_ops():
     x = jnp.array([0, 1, 2, 255, 2**31 - 1], jnp.uint32)
     assert np.array_equal(ops.popcnt(x), [0, 1, 1, 8, 31])
