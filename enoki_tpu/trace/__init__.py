@@ -49,6 +49,21 @@ def _code_of(dtype) -> int:
     return _DTYPE_CODE[jnp.dtype(dtype)]
 
 
+# unsigned carriers for reinterpreting literal bit patterns per item size
+_LIT_CARRIER = {2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+def _literal_bits(value, code) -> int:
+    """Encode a Python scalar as its dtype bit pattern, zero-extended to
+    64 bits. Bit-exact for every dtype in _DTYPES (a double carrier would
+    silently truncate int64/uint64 literals >= 2^53)."""
+    npdt = np.dtype(_DTYPES[code])
+    if npdt == np.bool_:
+        return int(bool(value))
+    v = np.asarray(value).astype(npdt)  # wraps/rounds per dtype rules
+    return int(v.view(_LIT_CARRIER[npdt.itemsize]))
+
+
 class Op:
     """Opcode table. Each entry maps to a jnp implementation in _OP_IMPL."""
     (LEAF, ADD, SUB, MUL, DIV, NEG, ABS, MIN, MAX, FMA, SQRT, RSQRT, RCP,
@@ -57,7 +72,7 @@ class Op:
      GE, AND, OR, XOR, NOT, SELECT, CAST, IOTA, GATHER, SCATTER, SCATTER_ADD,
      HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
      POPCNT, CBRT, SIGN, COPYSIGN, LOG1P, EXPM1, ASINH, ACOSH, ATANH,
-     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS) = range(76)
+     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS, FMOD) = range(77)
 
 
 def _bcast(a, b):
@@ -148,6 +163,10 @@ def _compress_impl(x, m):
 
 
 _OP_IMPL[Op.COMPRESS] = _compress_impl
+# C fmod semantics (sign of the dividend), distinct from Op.MOD's floored
+# python % -- matching eager ops.fmod and the reference's std::fmod
+# (tests/float.cpp:285)
+_OP_IMPL[Op.FMOD] = lambda a, b: jnp.fmod(a, b)
 
 # name -> (opcode, arity, out_kind) for the functional API.
 # out_kind: None = same dtype as input, "float" = float-promoted (f32 for
@@ -245,11 +264,11 @@ def _build_program(entries, out_positions):
     Called once per structural hash (cache miss); the returned function is
     jax.jit-compiled and reused for every trace with the same structure.
     """
-    _FLOAT_CODES = {0, 1, 5}  # f32, f64, bf16
 
-    def program(leaf_args, lits_f, lits_i):
+    def program(leaf_args, lits):
         vals = [None] * len(entries)
-        leaf_i = lit_i = 0
+        leaf_i = 0
+        lit_i = [0] * len(_DTYPES)  # per-dtype cursor into `lits`
         for i, e in enumerate(entries):
             (vid, opcode, dtype_c, size, dep_pos, literal, is_lit,
              is_data) = e
@@ -257,10 +276,11 @@ def _build_program(entries, out_positions):
             if is_lit:
                 # literal values are runtime scalar inputs (not baked into
                 # the executable): changing a constant reuses the compiled
-                # program, and no program is ever fully constant-foldable
-                src = lits_f if dtype_c in _FLOAT_CODES else lits_i
-                vals[i] = jnp.full((size,), src[lit_i].astype(dt))
-                lit_i += 1
+                # program, and no program is ever fully constant-foldable.
+                # `lits` is a tuple of per-dtype streams (bit-exact; the
+                # dtype sequence is part of the structural hash)
+                vals[i] = jnp.full((size,), lits[dtype_c][lit_i[dtype_c]])
+                lit_i[dtype_c] += 1
             elif is_data:
                 vals[i] = leaf_args[leaf_i]
                 leaf_i += 1
@@ -277,13 +297,12 @@ def _build_program(entries, out_positions):
 
 
 def _read_schedule(n_entries):
-    u32, i32, u64, f64 = (ctypes.c_uint32, ctypes.c_int32, ctypes.c_uint64,
-                          ctypes.c_double)
+    u32, i32, u64 = ctypes.c_uint32, ctypes.c_int32, ctypes.c_uint64
     entries = []
     for i in range(n_entries):
         vid, opc, dtc, size = u32(), i32(), i32(), u64()
         deps = (u32 * 4)()
-        lit, isl, isd = f64(), i32(), i32()
+        lit, isl, isd = u64(), i32(), i32()
         _lib.et_schedule_entry(i, ctypes.byref(vid), ctypes.byref(opc),
                                ctypes.byref(dtc), ctypes.byref(size), deps,
                                ctypes.byref(lit), ctypes.byref(isl),
@@ -296,16 +315,26 @@ def _read_schedule(n_entries):
 
 
 def _collect_literals(n):
-    """Literal values of the current schedule as runtime inputs: a f32
-    view for float dtypes and a bit-exact uint32 view for integer/bool
-    dtypes (doubles hold every 32-bit integer exactly; the uint32 path
-    avoids the lossy f64->f32 squeeze for values like 0x9E3779B9)."""
-    lbuf = (ctypes.c_double * n)()
-    n_lit = _lib.et_schedule_literal_values(lbuf, n)
-    vals = np.frombuffer(lbuf, np.float64, n_lit)
-    lits_f = jnp.asarray(vals.astype(np.float32))
-    lits_i = jnp.asarray(vals.astype(np.int64).astype(np.uint32))
-    return lits_f, lits_i
+    """Literal values of the current schedule as runtime inputs: one
+    typed stream per dtype, reconstructed bit-exactly from the 64-bit
+    patterns the native side carries (no f64->f32 squeeze, no mod-2^32
+    truncation of 64-bit integers)."""
+    cap = max(n, 1)
+    bbuf = (ctypes.c_uint64 * cap)()
+    cbuf = (ctypes.c_int32 * cap)()
+    n_lit = _lib.et_schedule_literals(bbuf, cbuf, cap)
+    bits = np.frombuffer(bbuf, np.uint64, n_lit)
+    codes = np.frombuffer(cbuf, np.int32, n_lit)
+    streams = []
+    for code, dt in enumerate(_DTYPES):
+        sel = bits[codes == code]
+        npdt = np.dtype(dt)
+        if npdt == np.bool_:
+            arr = sel.astype(np.bool_)
+        else:
+            arr = sel.astype(_LIT_CARRIER[npdt.itemsize]).view(npdt)
+        streams.append(jnp.asarray(arr))
+    return tuple(streams)
 
 
 def _eval_ids(ids):
@@ -334,11 +363,11 @@ def _eval_ids(ids):
     buf = (ctypes.c_uint32 * n)()
     n_data = _lib.et_schedule_data_ids(buf, n)
     leaves = [_BUFFERS[buf[i]] for i in range(n_data)]
-    lits_f, lits_i = _collect_literals(n)
+    lits = _collect_literals(n)
     n_out = _lib.et_schedule_output_ids(buf, n)
     out_vids = [buf[i] for i in range(n_out)]
 
-    results = exe(leaves, lits_f, lits_i)
+    results = exe(leaves, lits)
 
     # store outputs; scatter results rebind their TARGET's buffer (enoki
     # scatters write into the target's storage; readers see the update
@@ -415,7 +444,8 @@ class LazyArray:
     @staticmethod
     def literal(value, size=1, dtype=jnp.float32):
         code = _code_of(dtype)
-        return LazyArray(index=_lib.et_literal(code, float(value), size),
+        bits = _literal_bits(value, code)
+        return LazyArray(index=_lib.et_literal(code, bits, size),
                          _size=size, _code=code)
 
     @staticmethod
@@ -496,7 +526,8 @@ class LazyArray:
             return other
         if isinstance(other, (int, float, bool)):
             code = self._code
-            return LazyArray(index=_lib.et_literal(code, float(other), 1),
+            bits = _literal_bits(other, code)
+            return LazyArray(index=_lib.et_literal(code, bits, 1),
                              _size=1, _code=code)
         return LazyArray(other)
 
@@ -642,9 +673,20 @@ class LazyArray:
         return self.numpy()[i]
 
 
+_PY_SCALAR_CODE = {bool: 4, int: 2, float: 0}  # bool_, int32, float32
+
+
 def select(mask: LazyArray, a, b):
-    a = mask._coerce(a)
-    b = mask._coerce(b)
+    """Lazy select(mask, a, b). Python-scalar operands coerce against the
+    other *value* operand's dtype -- never the mask's bool dtype, which
+    would collapse select(m, 5.0, x) to a bool literal."""
+    ref = a if isinstance(a, LazyArray) else \
+        b if isinstance(b, LazyArray) else None
+    if ref is not None:
+        a, b = ref._coerce(a), ref._coerce(b)
+    else:
+        a = LazyArray.literal(a, 1, _DTYPES[_PY_SCALAR_CODE[type(a)]])
+        b = LazyArray.literal(b, 1, _DTYPES[_PY_SCALAR_CODE[type(b)]])
     dc = _binary_dtype(a._code, b._code)
     return LazyArray._record(Op.SELECT, dc, max(len(mask), len(a), len(b)),
                              mask, a, b)
@@ -724,7 +766,7 @@ def _split_program(entries, out_positions, marked_pos, n_leaves):
     program = _build_program(entries, out_positions)
     mset = set(marked_pos)
 
-    def fn(marked, others, lits_f, lits_i):
+    def fn(marked, others, lits):
         leaves, mi, oi = [], 0, 0
         for k in range(n_leaves):
             if k in mset:
@@ -733,7 +775,7 @@ def _split_program(entries, out_positions, marked_pos, n_leaves):
             else:
                 leaves.append(others[oi])
                 oi += 1
-        return program(leaves, lits_f, lits_i)[0]
+        return program(leaves, lits)[0]
 
     return fn
 
@@ -754,9 +796,9 @@ def backward(loss: "LazyArray", grad_out=1.0) -> jnp.ndarray:
         _CACHE_MISSES += 1
         fn = _split_program(entries, out_positions, marked_pos, n_leaves)
 
-        def run(marked, others, lits_f, lits_i, ct):
+        def run(marked, others, lits, ct):
             val, vjp_fn = jax.vjp(
-                lambda m: fn(m, others, lits_f, lits_i), marked)
+                lambda m: fn(m, others, lits), marked)
             (gs,) = vjp_fn(jnp.broadcast_to(ct, val.shape).astype(val.dtype))
             return val, gs
 
@@ -768,8 +810,8 @@ def backward(loss: "LazyArray", grad_out=1.0) -> jnp.ndarray:
     mset = set(marked_pos)
     marked = [_BUFFERS[leaf_ids[k]] for k in marked_pos]
     others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k not in mset]
-    lits_f, lits_i = _collect_literals(len(entries))
-    val, gs = exe(marked, others, lits_f, lits_i, jnp.asarray(grad_out))
+    lits = _collect_literals(len(entries))
+    val, gs = exe(marked, others, lits, jnp.asarray(grad_out))
 
     _BUFFERS[loss.index] = val
     _lib.et_set_materialized(loss.index)
@@ -799,8 +841,8 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
         _CACHE_MISSES += 1
         fn = _split_program(entries, out_positions, [pos], n_leaves)
 
-        def run(xbuf, others, lits_f, lits_i, t):
-            return jax.jvp(lambda m: fn([m], others, lits_f, lits_i),
+        def run(xbuf, others, lits, t):
+            return jax.jvp(lambda m: fn([m], others, lits),
                            (xbuf,),
                            (jnp.broadcast_to(t, xbuf.shape)
                             .astype(xbuf.dtype),))
@@ -811,8 +853,8 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
         _CACHE_HITS += 1
 
     others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k != pos]
-    lits_f, lits_i = _collect_literals(len(entries))
-    val, tang = exe(_BUFFERS[x.index], others, lits_f, lits_i,
+    lits = _collect_literals(len(entries))
+    val, tang = exe(_BUFFERS[x.index], others, lits,
                     jnp.asarray(tangent))
     _BUFFERS[loss.index] = val
     _lib.et_set_materialized(loss.index)
@@ -862,8 +904,9 @@ def sincos(x):
 
 
 def fmod(x, y):
-    """Alias of the MOD op (array_math.h fmod)."""
-    return x % y
+    """C fmod: remainder with the sign of the dividend (array_math.h
+    fmod, std::fmod semantics). Distinct from ``x % y`` (floored)."""
+    return x._bin(y, Op.FMOD)
 
 
 def clamp(x, lo, hi):

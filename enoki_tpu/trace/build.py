@@ -44,8 +44,7 @@ def build_library() -> str:
 
 def load_library() -> ctypes.CDLL:
     lib = ctypes.CDLL(build_library())
-    u32, u64, i32, f64 = (ctypes.c_uint32, ctypes.c_uint64, ctypes.c_int32,
-                          ctypes.c_double)
+    u32, u64, i32 = ctypes.c_uint32, ctypes.c_uint64, ctypes.c_int32
     P = ctypes.POINTER
 
     lib.et_append.restype = u32
@@ -53,7 +52,7 @@ def load_library() -> ctypes.CDLL:
     lib.et_append_raw.restype = u32
     lib.et_append_raw.argtypes = [i32, i32, u64, u32, u32, u32, u32]
     lib.et_literal.restype = u32
-    lib.et_literal.argtypes = [i32, f64, u64]
+    lib.et_literal.argtypes = [i32, u64, u64]
     lib.et_data.restype = u32
     lib.et_data.argtypes = [i32, u64]
     lib.et_inc_ref_ext.argtypes = [u32]
@@ -79,15 +78,15 @@ def load_library() -> ctypes.CDLL:
     lib.et_schedule_hash.restype = u64
     lib.et_schedule_data_ids.restype = u32
     lib.et_schedule_data_ids.argtypes = [P(u32), u32]
-    lib.et_schedule_literal_values.restype = u32
-    lib.et_schedule_literal_values.argtypes = [P(f64), u32]
+    lib.et_schedule_literals.restype = u32
+    lib.et_schedule_literals.argtypes = [P(u64), P(i32), u32]
     lib.et_schedule_output_ids.restype = u32
     lib.et_schedule_output_ids.argtypes = [P(u32), u32]
     lib.et_schedule_num_outputs.restype = u32
     lib.et_schedule_output.restype = u32
     lib.et_schedule_output.argtypes = [u32]
     lib.et_schedule_entry.argtypes = [u32, P(u32), P(i32), P(i32), P(u64),
-                                      P(u32), P(f64), P(i32), P(i32)]
+                                      P(u32), P(u64), P(i32), P(i32)]
     lib.et_set_materialized.argtypes = [u32]
     lib.et_set_log_level.argtypes = [i32]
     lib.et_log_level.restype = i32

@@ -35,7 +35,10 @@ struct Variable {
     uint32_t dep[kMaxDeps] = {0, 0, 0, 0};
     int32_t ext_ref = 0;   // references held by Python handles
     int32_t int_ref = 0;   // references held by other variables' deps
-    double literal = 0.0;  // payload for kOpLiteral
+    uint64_t literal = 0;  // literal payload as a dtype bit pattern
+                           // (zero-extended to 64 bits; bit-exact for
+                           // every dtype incl. u64 -- a double carrier
+                           // would truncate ints >= 2^53)
     bool is_literal = false;
     bool is_data = false;    // leaf backed by a Python-held device buffer
     bool side_effect = false;  // scatter-like: must be kept until evaluated
@@ -64,7 +67,7 @@ struct ScheduleEntry {
     // positional indices into the schedule (or ~0u for absent), so the
     // hash is structural -- independent of variable-id numbering
     uint32_t dep_pos[kMaxDeps];
-    double literal;
+    uint64_t literal;  // dtype bit pattern (see Variable::literal)
     uint8_t is_literal;
     uint8_t is_data;
 };
@@ -176,7 +179,7 @@ uint32_t et_append_raw(int32_t opcode, int32_t dtype, uint64_t size,
     return id;
 }
 
-uint32_t et_literal(int32_t dtype, double value, uint64_t size) {
+uint32_t et_literal(int32_t dtype, uint64_t value, uint64_t size) {
     uint32_t id = ctx.ctr++;
     Variable &v = ctx.vars[id];
     v.dtype = dtype;
@@ -355,13 +358,20 @@ uint32_t et_schedule_data_ids(uint32_t *out, uint32_t cap) {
     return n;
 }
 
-// Literal values of the current schedule, in schedule order (runtime
+// Literal payloads of the current schedule, in schedule order (runtime
 // scalar inputs to the compiled program -- see the hash note above).
-uint32_t et_schedule_literal_values(double *out, uint32_t cap) {
+// Each literal is its dtype's bit pattern zero-extended to 64 bits; the
+// dtype code is returned alongside so the Python side can regroup the
+// stream into per-dtype typed arrays without truncation.
+uint32_t et_schedule_literals(uint64_t *bits, int32_t *dtypes,
+                              uint32_t cap) {
     uint32_t n = 0;
     for (const ScheduleEntry &e : sched.entries)
         if (e.is_literal) {
-            if (n < cap) out[n] = e.literal;
+            if (n < cap) {
+                bits[n] = e.literal;
+                dtypes[n] = e.dtype;
+            }
             ++n;
         }
     return n;
@@ -381,7 +391,7 @@ uint32_t et_schedule_output(uint32_t i) { return sched.outputs[i]; }
 
 void et_schedule_entry(uint32_t i, uint32_t *id, int32_t *opcode,
                        int32_t *dtype, uint64_t *size, uint32_t *dep_pos,
-                       double *literal, int32_t *is_literal,
+                       uint64_t *literal, int32_t *is_literal,
                        int32_t *is_data) {
     const ScheduleEntry &e = sched.entries[i];
     *id = e.id;

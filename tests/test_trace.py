@@ -372,3 +372,54 @@ def test_compress_lazy():
     np.testing.assert_allclose(packed.numpy()[:3], [7., 8., 9.])
     assert int(count.numpy()[0]) == 3
     np.testing.assert_allclose(packed.numpy()[3:], 0.0)
+
+
+def test_select_scalar_operands():
+    # ADVICE r1: select(m, 5.0, x) must not coerce the scalar through the
+    # mask's bool dtype (which silently yielded 1.0 on true lanes)
+    x = LazyArray(np.array([10.0, 20.0, 30.0], np.float32))
+    m = x > 15.0
+    np.testing.assert_allclose(tr.select(m, 5.0, x).numpy(), [10, 5, 5])
+    np.testing.assert_allclose(tr.select(m, x, -1.0).numpy(), [-1, 20, 30])
+    # both operands Python scalars: dtype from the scalar types
+    r = tr.select(m, 2.5, 7.0)
+    assert r.dtype == np.float32
+    np.testing.assert_allclose(r.numpy(), [7.0, 2.5, 2.5])
+    ri = tr.select(m, 1, 0)
+    assert ri.dtype == np.int32
+    np.testing.assert_array_equal(ri.numpy(), [0, 1, 1])
+
+
+def test_fmod_vs_mod_sign_semantics():
+    # lazy fmod = C fmod (sign of dividend); % = python floored mod --
+    # matching the eager ops layer (reference tests/float.cpp:285)
+    a = LazyArray(np.array([-5.0, 5.0, -5.0], np.float32))
+    b = LazyArray(np.array([3.0, -3.0, -3.0], np.float32))
+    np.testing.assert_allclose(tr.fmod(a, b).numpy(),
+                               np.fmod([-5, 5, -5], [3, -3, -3]))
+    np.testing.assert_allclose((a % b).numpy(),
+                               np.mod([-5.0, 5, -5], [3, -3, -3]))
+
+
+def test_literals_64bit_bit_exact():
+    # ADVICE r1: int64/uint64 literals >= 2^32 and f64 literals must not
+    # be squeezed through 32-bit carriers
+    import jax
+    if not jax.config.jax_enable_x64:
+        # u64 constant folded through a u32-dtype path would truncate;
+        # check the 32-bit dtypes stay exact and skip the 64-bit dtypes
+        x = LazyArray(np.array([1, 2, 3], np.uint32))
+        y = x * 0x9E3779B9
+        np.testing.assert_array_equal(
+            y.numpy(), (np.arange(1, 4, dtype=np.uint64) * 0x9E3779B9)
+            .astype(np.uint32))
+        pytest.skip("64-bit dtypes need jax_enable_x64")
+    big = 0x0123456789ABCDEF
+    x = LazyArray(np.array([0, 1], np.uint64))
+    y = x + big
+    np.testing.assert_array_equal(y.numpy(),
+                                  np.array([big, big + 1], np.uint64))
+    f = LazyArray(np.array([0.0], np.float64))
+    g = f + (1.0 + 2.0 ** -40)
+    np.testing.assert_array_equal(g.numpy(),
+                                  np.array([1.0 + 2.0 ** -40], np.float64))
