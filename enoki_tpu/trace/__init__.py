@@ -228,6 +228,8 @@ def reset():
     _SCATTER_TARGET.clear()
     _GRAD_ENABLED.clear()
     _GRADS.clear()
+    clear_tape()
+    _VERSION.clear()
     clear_cache()
     _lib.et_reset()
 
@@ -258,15 +260,37 @@ def stats() -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _build_program(entries, out_positions):
-    """Build a jax-traceable function from a schedule walk.
+class _Compiled:
+    """Everything derived from one schedule structure (per structural
+    hash): the jitted value program, plus the AD-support variants the
+    tape needs to hand out gradients of intermediate outputs."""
 
-    Called once per structural hash (cache miss); the returned function is
-    jax.jit-compiled and reused for every trace with the same structure.
+    __slots__ = ("exe", "fn", "cut_fn", "cut_slots", "depth")
+
+    def __init__(self, exe, fn, cut_fn, cut_slots, depth):
+        self.exe = exe            # jax.jit(fn)
+        self.fn = fn              # (leaf_args, lits) -> outputs
+        self.cut_fn = cut_fn      # (leaf_args, lits, cuts) -> outputs,
+        #                           downstream reads of cut outputs take
+        #                           the passed-in value
+        self.cut_slots = cut_slots  # output slots with inexact dtype
+        self.depth = depth        # max #cut-points below any output
+
+
+def _compile_schedule(entries, out_positions):
+    """Build the jax-traceable programs from a schedule walk.
+
+    Called once per structural hash (cache miss); the compiled record is
+    reused for every trace with the same structure.
     """
 
-    def program(leaf_args, lits):
+    def _body(leaf_args, lits, cut_map):
+        """Schedule interpreter. ``cut_map`` (pos -> value) substitutes
+        the value downstream consumers see at output cut points while
+        the computed value is still emitted -- this is what lets the AD
+        tape treat every externally-held output as its own node."""
         vals = [None] * len(entries)
+        emitted = [None] * len(entries)
         leaf_i = 0
         lit_i = [0] * len(_DTYPES)  # per-dtype cursor into `lits`
         for i, e in enumerate(entries):
@@ -279,21 +303,47 @@ def _build_program(entries, out_positions):
                 # program, and no program is ever fully constant-foldable.
                 # `lits` is a tuple of per-dtype streams (bit-exact; the
                 # dtype sequence is part of the structural hash)
-                vals[i] = jnp.full((size,), lits[dtype_c][lit_i[dtype_c]])
+                v = jnp.full((size,), lits[dtype_c][lit_i[dtype_c]])
                 lit_i[dtype_c] += 1
             elif is_data:
-                vals[i] = leaf_args[leaf_i]
+                v = leaf_args[leaf_i]
                 leaf_i += 1
             elif opcode == Op.IOTA:
-                vals[i] = jnp.arange(size, dtype=dt)
+                v = jnp.arange(size, dtype=dt)
             elif opcode == Op.CAST:
-                vals[i] = vals[dep_pos[0]].astype(dt)
+                v = vals[dep_pos[0]].astype(dt)
             else:
                 args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
-                vals[i] = _OP_IMPL[opcode](*args)
-        return tuple(vals[p] for p in out_positions)
+                v = _OP_IMPL[opcode](*args)
+            emitted[i] = v
+            vals[i] = cut_map[i] if i in cut_map else v
+        return tuple(emitted[p] for p in out_positions)
 
-    return program
+    def fn(leaf_args, lits):
+        return _body(leaf_args, lits, {})
+
+    # cut slots: output slots whose value is differentiable (inexact)
+    cut_slots = tuple(k for k, p in enumerate(out_positions)
+                      if entries[p][2] in (0, 1, 5))  # f32/f64/bf16
+    cut_pos = {out_positions[k]: j for j, k in enumerate(cut_slots)}
+
+    def cut_fn(leaf_args, lits, cuts):
+        return _body(leaf_args, lits,
+                     {p: cuts[j] for p, j in cut_pos.items()})
+
+    # output-dependency depth: the number of back-substitution rounds a
+    # segment VJP needs so cotangents chain through outputs that feed
+    # other outputs within the same program (nilpotent, exact)
+    od = [0] * len(entries)
+    for i, e in enumerate(entries):
+        m = 0
+        for p in e[4]:
+            if p != 0xFFFFFFFF:
+                m = max(m, od[p] + (1 if p in cut_pos else 0))
+        od[i] = m
+    depth = max((od[p] for p in cut_pos), default=0)
+
+    return _Compiled(jax.jit(fn), fn, cut_fn, cut_slots, depth)
 
 
 def _read_schedule(n_entries):
@@ -340,43 +390,62 @@ def _collect_literals(n):
 def _eval_ids(ids):
     """Evaluate the given variable ids (plus pending side effects)."""
     global _CACHE_HITS, _CACHE_MISSES
-    ids = [i for i in ids if not _lib.et_var_materialized(i)]
+    ids = [i for i in dict.fromkeys(ids)
+           if not _lib.et_var_materialized(i)]
     if not ids and _lib.et_num_side_effects() == 0:
         return
     arr = (ctypes.c_uint32 * max(len(ids), 1))(*ids)
     n = _lib.et_schedule(arr, len(ids))
     key = _lib.et_schedule_hash()
 
-    exe = _EXE_CACHE.get(key)
-    if exe is None:
+    comp = _EXE_CACHE.get(key)
+    if comp is None:
         _CACHE_MISSES += 1
         entries, out_positions = _read_schedule(n)
-        program = _build_program(entries, out_positions)
-        exe = jax.jit(program)
-        _EXE_CACHE[key] = exe
+        comp = _compile_schedule(entries, out_positions)
+        _EXE_CACHE[key] = comp
     else:
         _CACHE_HITS += 1
+    exe = comp.exe
 
     # cache-hit fast path: only the data-leaf ids (executable inputs, in
     # schedule order), literal values and output ids are needed -- three
     # bulk calls instead of an O(n)-ctypes-roundtrip schedule walk
     buf = (ctypes.c_uint32 * n)()
     n_data = _lib.et_schedule_data_ids(buf, n)
-    leaves = [_BUFFERS[buf[i]] for i in range(n_data)]
+    leaf_vids = [buf[i] for i in range(n_data)]
+    leaves = [_BUFFERS[v] for v in leaf_vids]
     lits = _collect_literals(n)
     n_out = _lib.et_schedule_output_ids(buf, n)
     out_vids = [buf[i] for i in range(n_out)]
 
     results = exe(leaves, lits)
 
+    # AD tape: if the program touches the differentiable frontier (marked
+    # leaves or outputs of earlier recorded segments), keep it as a tape
+    # segment so backward()/forward_from() can replay its VJP/JVP long
+    # after the values were materialized -- the reference's tape outlives
+    # cuda_eval the same way (autodiff.h:126, autodiff.cpp:838)
+    ad_active = bool(_GRAD_ENABLED)
+    if ad_active:
+        vleaves = [_VERSION.get(v, v) for v in leaf_vids]
+        if any(v in _GRAD_ENABLED or v in _PRODUCER for v in vleaves):
+            out_diff = tuple(jnp.issubdtype(r.dtype, jnp.inexact)
+                             for r in results)
+            seg = _Segment(comp, vleaves, leaves, lits, list(out_vids),
+                           out_diff, key)
+            si = len(_TAPE)
+            _TAPE.append(seg)
+            for slot, vid in enumerate(out_vids):
+                if vid:
+                    _PRODUCER[vid] = (si, slot)
+
     # store outputs; scatter results rebind their TARGET's buffer (enoki
     # scatters write into the target's storage; readers see the update
     # after eval -- the dirty-flag protocol, jit.cu:674,719-730)
-    out_ids = []
     for vid, r in zip(out_vids, results):
         if vid == 0:
             continue
-        out_ids.append(vid)
         tgt = _SCATTER_TARGET.pop(vid, None)
         _BUFFERS[vid] = r
         _lib.et_set_materialized(vid)
@@ -384,6 +453,12 @@ def _eval_ids(ids):
             if _lib.et_var_exists(tgt):
                 _BUFFERS[tgt] = r
                 _lib.et_set_materialized(tgt)
+            if ad_active:
+                # the scatter op IS the target's new version: later reads
+                # of the target differentiate through the scatter (the
+                # reference replaces the target's tape index the same way,
+                # autodiff.cpp:532-597)
+                _VERSION[tgt] = vid
             _lib.et_dec_ref_ext(vid)  # release the pending-rebind claim
     _lib.et_clear_side_effects()
     # drop buffers for vars the native side has already freed
@@ -393,8 +468,16 @@ def _eval_ids(ids):
 
 
 def eval(*arrays) -> None:  # noqa: A001  (mirrors enoki's cuda_eval name)
-    """Force evaluation of the given LazyArrays (or all side effects)."""
-    _eval_ids([a.index for a in arrays])
+    """Force evaluation of the given LazyArrays. With no arguments,
+    evaluates EVERY live variable plus all pending side effects --
+    cuda_eval()'s no-target semantics (jit.cu:1418-1428)."""
+    if arrays:
+        _eval_ids([a.index for a in arrays])
+        return
+    cap = _lib.et_num_vars()
+    buf = (ctypes.c_uint32 * max(cap, 1))()
+    m = _lib.et_live_vars(buf, cap)
+    _eval_ids([buf[i] for i in range(m)])
 
 
 # ---------------------------------------------------------------------------
@@ -695,30 +778,72 @@ def select(mask: LazyArray, a, b):
 # ---------------------------------------------------------------------------
 # AD over the lazy trace: the DiffArray<CUDAArray<float>> analog (FloatD).
 #
-# The reference wraps the lazy GPU array in an AD tape (autodiff.h:126):
-# requires_grad marks parameters, backward(loss) walks the tape,
-# gradient(x) reads the result. Here the recorded trace IS the tape: at
-# backward() time the C++ schedule for the loss is turned into a jax
-# program over its data leaves and differentiated with jax.vjp w.r.t. the
-# marked leaves -- one fused forward+backward XLA program, cached by the
-# same structural hash as eval (so repeated optimization steps with fresh
-# data hit the executable cache).
+# The reference wraps the lazy GPU array in an AD tape that OUTLIVES
+# evaluation (autodiff.h:126): values and derivatives are independent --
+# cuda_eval materializes values while the tape keeps every edge needed
+# for backward()/forward(), including Special gather/scatter adjoints
+# (autodiff.cpp:355-608). The same contract here: whenever an eval's
+# program touches the differentiable frontier (a requires_grad leaf, or
+# an output of an earlier recorded segment), the compiled program is
+# kept as a TAPE SEGMENT together with its input buffers. backward(loss)
+# walks segments in reverse, replaying each one's VJP (jax.vjp over the
+# cached executable -- scatter/scatter_add/gather adjoints come from
+# jax's .at[] transposes); forward_from(x) walks forward with jax.jvp.
 #
-# Contract: requires_grad() targets must be evaluated leaves (parameters
-# are; the call evals them if not), and backward(loss) must run before
-# the loss itself is evaluated -- eval() collapses the consumed subgraph
-# (jit.cu:1484-1507 releases it the same way), after which there is no
-# tape left to walk. backward() returns the primal loss value, so no
-# second eval is needed.
+# Consequences, matching the reference:
+#   * backward() may run before OR after the loss was evaluated;
+#   * gradient(x) works for any array that was materialized at an eval
+#     boundary (every externally-held var is -- et_schedule outputs all
+#     ext-referenced vars, like jit.cu:1165-1205), not just leaves;
+#   * scatters into differentiable targets are differentiable: the
+#     scatter op becomes the target's new version, so later reads chain
+#     through it (scatter-overwrite combine incl. zeroed overwritten
+#     lanes falls out of jax's .at[].set transpose, autodiff.cpp:532-597).
+#
+# Cached per structural hash, so repeated optimization steps with fresh
+# data reuse both the forward and the VJP/JVP executables.
 # ---------------------------------------------------------------------------
 
 _GRAD_ENABLED: set = set()   # var ids marked as differentiable parameters
-_GRADS: dict = {}            # var id -> gradient device buffer
+_GRADS: dict = {}            # version vid -> accumulated gradient buffer
+_TAPE: list = []             # recorded _Segments, chronological
+_PRODUCER: dict = {}         # version vid -> (segment index, output slot)
+_VERSION: dict = {}          # var id -> current version vid (scatter rebinds)
+
+
+class _Segment:
+    """One recorded eval: the compiled program record plus everything
+    needed to replay its VJP/JVP (the tape-node analog,
+    autodiff.cpp:44-105)."""
+
+    __slots__ = ("comp", "leaf_vids", "leaf_bufs", "lits", "out_vids",
+                 "out_diff", "key")
+
+    def __init__(self, comp, leaf_vids, leaf_bufs, lits, out_vids, out_diff,
+                 key):
+        self.comp = comp              # _Compiled for this structure
+        self.leaf_vids = leaf_vids    # version vids, schedule order
+        self.leaf_bufs = leaf_bufs    # input buffers at record time
+        self.lits = lits
+        self.out_vids = out_vids      # output vids (0 = dropped)
+        self.out_diff = out_diff      # per-output: inexact dtype?
+        self.key = key
+
+
+def clear_tape():
+    """Release all recorded tape segments (and their held buffers)."""
+    _TAPE.clear()
+    _PRODUCER.clear()
+
+
+def _vid(x: "LazyArray") -> int:
+    return _VERSION.get(x.index, x.index)
 
 
 def requires_grad(x: "LazyArray", flag: bool = True) -> "LazyArray":
     """Mark a (leaf) array as differentiable (set_requires_gradient,
-    autodiff.h)."""
+    autodiff.h). Recording starts at the mark: programs evaluated before
+    any array was marked are not on the tape."""
     if flag:
         if not x.materialized:
             x.eval()
@@ -733,10 +858,11 @@ def grad_enabled(x: "LazyArray") -> bool:
 
 
 def gradient(x: "LazyArray"):
-    """Gradient accumulated by the last backward()/forward_from() pass
-    (``gradient(x)``, array_router.h:702). Returns a LazyArray, zeros if
-    no gradient reached x."""
-    g = _GRADS.get(x.index)
+    """Gradient accumulated by backward()/forward_from() passes
+    (``gradient(x)``, array_router.h:702). Works for leaves AND any
+    intermediate that crossed an eval boundary (any externally-held
+    array does). Returns a LazyArray, zeros if no gradient reached x."""
+    g = _GRADS.get(_vid(x))
     if g is None:
         g = jnp.zeros((len(x),), x.dtype)
     return LazyArray(g)
@@ -746,121 +872,193 @@ def clear_gradients():
     _GRADS.clear()
 
 
-def _loss_program_and_leaves(loss: "LazyArray"):
-    if loss.materialized:
-        raise ValueError(
-            "backward()/forward_from() need the unevaluated trace: call "
-            "them before reading the loss (they return/propagate values "
-            "themselves)")
-    if _lib.et_num_side_effects():
-        _eval_ids([])  # flush pending scatters so the tape is closed
-    arr = (ctypes.c_uint32 * 1)(loss.index)
-    n = _lib.et_schedule(arr, 1)
-    entries, out_positions = _read_schedule(n)
-    key = _lib.et_schedule_hash()
-    leaf_ids = [e[0] for e in entries if e[7]]
-    return entries, out_positions, key, leaf_ids
+def _is_diff(buf) -> bool:
+    return jnp.issubdtype(buf.dtype, jnp.inexact)
 
 
-def _split_program(entries, out_positions, marked_pos, n_leaves):
-    program = _build_program(entries, out_positions)
-    mset = set(marked_pos)
-
-    def fn(marked, others, lits):
-        leaves, mi, oi = [], 0, 0
-        for k in range(n_leaves):
-            if k in mset:
-                leaves.append(marked[mi])
-                mi += 1
-            else:
-                leaves.append(others[oi])
-                oi += 1
-        return program(leaves, lits)[0]
-
-    return fn
-
-
-def backward(loss: "LazyArray", grad_out=1.0) -> jnp.ndarray:
-    """Reverse pass from ``loss`` into every requires_grad leaf
-    (``backward(loss)``, autodiff.h:1490 -> autodiff.cpp:838). Returns the
-    primal loss value (materialized as a side effect of the fused
-    forward+backward program)."""
+def _seg_vjp_exe(seg, mask, diff_pos):
+    """Jitted segment VJP: (diff_leaves, others, lits, cotangents) ->
+    (input cotangents, total output cotangents). ``mask`` marks which cut
+    slots carry external cotangents. Cotangents chain through outputs
+    that feed other outputs of the same program via back-substitution
+    over the cut program (comp.depth exact rounds -- the within-segment
+    analog of the reference's per-node reverse sweep)."""
     global _CACHE_HITS, _CACHE_MISSES
-    entries, out_positions, key, leaf_ids = _loss_program_and_leaves(loss)
-    marked_pos = [k for k, i in enumerate(leaf_ids) if i in _GRAD_ENABLED]
-    n_leaves = len(leaf_ids)
-
-    ckey = ("bwd", key, tuple(marked_pos))
+    ckey = ("segbwd", seg.key, mask, diff_pos)
     exe = _EXE_CACHE.get(ckey)
-    if exe is None:
-        _CACHE_MISSES += 1
-        fn = _split_program(entries, out_positions, marked_pos, n_leaves)
-
-        def run(marked, others, lits, ct):
-            val, vjp_fn = jax.vjp(
-                lambda m: fn(m, others, lits), marked)
-            (gs,) = vjp_fn(jnp.broadcast_to(ct, val.shape).astype(val.dtype))
-            return val, gs
-
-        exe = jax.jit(run)
-        _EXE_CACHE[ckey] = exe
-    else:
+    if exe is not None:
         _CACHE_HITS += 1
+        return exe
+    _CACHE_MISSES += 1
+    comp = seg.comp
+    n_leaves = len(seg.leaf_bufs)
+    cut_slots = comp.cut_slots
+    dset = frozenset(diff_pos)
 
-    mset = set(marked_pos)
-    marked = [_BUFFERS[leaf_ids[k]] for k in marked_pos]
-    others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k not in mset]
-    lits = _collect_literals(len(entries))
-    val, gs = exe(marked, others, lits, jnp.asarray(grad_out))
+    def run(diff_leaves, others, lits, cts):
+        def merge(dl):
+            leaves, di, oi = [], 0, 0
+            for k in range(n_leaves):
+                if k in dset:
+                    leaves.append(dl[di])
+                    di += 1
+                else:
+                    leaves.append(others[oi])
+                    oi += 1
+            return leaves
 
-    _BUFFERS[loss.index] = val
-    _lib.et_set_materialized(loss.index)
-    for k, g in zip(marked_pos, gs):
-        vid = leaf_ids[k]
+        outs = comp.fn(merge(diff_leaves), lits)
+        cuts0 = tuple(outs[k] for k in cut_slots)
+
+        def f(dl, cuts):
+            o = comp.cut_fn(merge(dl), lits, cuts)
+            return tuple(o[k] for k in cut_slots)
+
+        _, vjp_fn = jax.vjp(f, tuple(diff_leaves), cuts0)
+        ext, ci = [], 0
+        for j, m in enumerate(mask):
+            if m:
+                ext.append(cts[ci])
+                ci += 1
+            else:
+                ext.append(jnp.zeros_like(cuts0[j]))
+        t = tuple(ext)
+        for _ in range(comp.depth):  # nilpotent: exact after depth rounds
+            _, g_c = vjp_fn(t)
+            t = tuple(e + g for e, g in zip(ext, g_c))
+        g_l, _ = vjp_fn(t)
+        return g_l, t
+
+    exe = jax.jit(run)
+    _EXE_CACHE[ckey] = exe
+    return exe
+
+
+def _propagate_backward(cot: dict):
+    """Reverse sweep over the tape (Tape::backward, autodiff.cpp:838):
+    for each segment whose outputs carry cotangents, replay its VJP,
+    store total cotangents on its outputs (gradients of intermediates)
+    and accumulate into its input version vids."""
+    for seg in reversed(_TAPE):
+        cut_slots = seg.comp.cut_slots
+        mask = tuple(seg.out_vids[k] != 0 and seg.out_vids[k] in cot
+                     for k in cut_slots)
+        if not any(mask):
+            continue
+        diff_pos = tuple(k for k, b in enumerate(seg.leaf_bufs)
+                         if _is_diff(b))
+        exe = _seg_vjp_exe(seg, mask, diff_pos)
+        dset = frozenset(diff_pos)
+        diff_leaves = [seg.leaf_bufs[k] for k in diff_pos]
+        others = [b for k, b in enumerate(seg.leaf_bufs) if k not in dset]
+        cts = [cot[seg.out_vids[k]] for k, m in zip(cut_slots, mask) if m]
+        gs, touts = exe(diff_leaves, others, seg.lits, cts)
+        for k, g in zip(diff_pos, gs):
+            vid = seg.leaf_vids[k]
+            prev = cot.get(vid)
+            cot[vid] = g if prev is None else prev + g
+        for k, t in zip(cut_slots, touts):
+            vid = seg.out_vids[k]
+            if vid:
+                cot[vid] = t  # total (external + within-segment chains)
+
+
+def backward(loss: "LazyArray", grad_out=1.0, free: bool = True):
+    """Reverse pass from ``loss`` into every differentiable array on the
+    tape (``backward(loss)``, autodiff.h:1490 -> autodiff.cpp:838).
+    Evaluates the loss first if needed and returns its primal value.
+    ``free=True`` (the reference's free_graph default) releases the tape
+    afterwards; pass False to run several backward passes."""
+    if not loss.materialized:
+        loss.eval()
+    val = _BUFFERS[loss.index]
+    ct0 = jnp.broadcast_to(jnp.asarray(grad_out, val.dtype), val.shape)
+    cot = {_vid(loss): ct0}
+    _propagate_backward(cot)
+    for vid, g in cot.items():
         prev = _GRADS.get(vid)
         _GRADS[vid] = g if prev is None else prev + g
+    if free:
+        clear_tape()
     return val
 
 
-def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0):
-    """Forward mode from parameter ``x`` to ``loss`` (``forward(x)``,
-    autodiff.cpp:912): propagates a tangent and stores d loss / d x in the
-    loss's gradient slot. Returns (loss value, tangent_out)."""
+def _seg_jvp_exe(seg, in_pos, out_slots):
+    """Jitted (tan_leaves, all_leaves, lits, tangents) -> output tangents
+    for one segment, specialized on which inputs carry tangents and
+    which (float) outputs are wanted."""
     global _CACHE_HITS, _CACHE_MISSES
+    ckey = ("segfwd", seg.key, in_pos, out_slots)
+    exe = _EXE_CACHE.get(ckey)
+    if exe is not None:
+        _CACHE_HITS += 1
+        return exe
+    _CACHE_MISSES += 1
+    seg_exe = seg.comp.fn
+    n_leaves = len(seg.leaf_bufs)
+    iset = frozenset(in_pos)
+
+    def run(tan_leaves, others, lits, tans):
+        def f(dl):
+            leaves, di, oi = [], 0, 0
+            for k in range(n_leaves):
+                if k in iset:
+                    leaves.append(dl[di])
+                    di += 1
+                else:
+                    leaves.append(others[oi])
+                    oi += 1
+            outs = seg_exe(leaves, lits)
+            return tuple(outs[j] for j in out_slots)
+
+        _, out_tans = jax.jvp(f, (tuple(tan_leaves),), (tuple(tans),))
+        return out_tans
+
+    exe = jax.jit(run)
+    _EXE_CACHE[ckey] = exe
+    return exe
+
+
+def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0,
+                 free: bool = True):
+    """Forward mode from parameter ``x`` to ``loss`` (``forward(x)``,
+    autodiff.cpp:912): propagates a tangent chronologically through the
+    tape and stores d loss / d x in the loss's gradient slot. Returns
+    (loss value, tangent_out). Mark x (or call this) BEFORE building the
+    loss so the programs are recorded."""
     if x.index not in _GRAD_ENABLED:
         requires_grad(x)
-    entries, out_positions, key, leaf_ids = _loss_program_and_leaves(loss)
-    if x.index not in leaf_ids:
-        raise ValueError("forward_from: x is not a leaf of the loss trace")
-    pos = leaf_ids.index(x.index)
-    n_leaves = len(leaf_ids)
-
-    ckey = ("fwd", key, pos)
-    exe = _EXE_CACHE.get(ckey)
-    if exe is None:
-        _CACHE_MISSES += 1
-        fn = _split_program(entries, out_positions, [pos], n_leaves)
-
-        def run(xbuf, others, lits, t):
-            return jax.jvp(lambda m: fn([m], others, lits),
-                           (xbuf,),
-                           (jnp.broadcast_to(t, xbuf.shape)
-                            .astype(xbuf.dtype),))
-
-        exe = jax.jit(run)
-        _EXE_CACHE[ckey] = exe
-    else:
-        _CACHE_HITS += 1
-
-    others = [_BUFFERS[i] for k, i in enumerate(leaf_ids) if k != pos]
-    lits = _collect_literals(len(entries))
-    val, tang = exe(_BUFFERS[x.index], others, lits,
-                    jnp.asarray(tangent))
-    _BUFFERS[loss.index] = val
-    _lib.et_set_materialized(loss.index)
-    prev = _GRADS.get(loss.index)
-    _GRADS[loss.index] = tang if prev is None else prev + tang
-    return val, tang
+    if not loss.materialized:
+        loss.eval()
+    xbuf = _BUFFERS[x.index]
+    tan = {_vid(x): jnp.broadcast_to(jnp.asarray(tangent, xbuf.dtype),
+                                     xbuf.shape)}
+    for seg in _TAPE:
+        in_pos = tuple(k for k, v in enumerate(seg.leaf_vids)
+                       if v in tan and _is_diff(seg.leaf_bufs[k]))
+        if not in_pos:
+            continue
+        out_slots = tuple(k for k, v in enumerate(seg.out_vids)
+                          if v != 0 and seg.out_diff[k])
+        iset = frozenset(in_pos)
+        exe = _seg_jvp_exe(seg, in_pos, out_slots)
+        tan_leaves = [seg.leaf_bufs[k] for k in in_pos]
+        others = [b for k, b in enumerate(seg.leaf_bufs) if k not in iset]
+        tans = [tan[seg.leaf_vids[k]] for k in in_pos]
+        out_tans = exe(tan_leaves, others, seg.lits, tans)
+        for j, t in zip(out_slots, out_tans):
+            vid = seg.out_vids[j]
+            prev = tan.get(vid)
+            tan[vid] = t if prev is None else prev + t
+    lv = _vid(loss)
+    t = tan.get(lv)
+    if t is None:
+        t = jnp.zeros_like(_BUFFERS[loss.index])
+    prev = _GRADS.get(lv)
+    _GRADS[lv] = t if prev is None else prev + t
+    if free:
+        clear_tape()
+    return _BUFFERS[loss.index], t
 
 
 def _out_code(in_code, kind):

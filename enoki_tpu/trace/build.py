@@ -76,6 +76,8 @@ def load_library() -> ctypes.CDLL:
     lib.et_schedule.restype = u32
     lib.et_schedule.argtypes = [P(u32), u32]
     lib.et_schedule_hash.restype = u64
+    lib.et_live_vars.restype = u32
+    lib.et_live_vars.argtypes = [P(u32), u32]
     lib.et_schedule_data_ids.restype = u32
     lib.et_schedule_data_ids.argtypes = [P(u32), u32]
     lib.et_schedule_literals.restype = u32

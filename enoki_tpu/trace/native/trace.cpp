@@ -285,6 +285,12 @@ void dfs(uint32_t id, std::vector<uint32_t> &order,
 
 // Build a schedule for `n` output variables (plus all pending side
 // effects). Returns the number of schedule entries.
+//
+// Like cuda_eval (jit.cu:1165-1205), every *externally referenced*
+// unevaluated variable that the schedule touches becomes an additional
+// output: a Python handle held across an eval must be backed by a real
+// buffer afterwards (its producing subgraph is released), and the AD
+// tape can then hand out gradients of intermediates.
 uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
     sched.entries.clear();
     sched.outputs.clear();
@@ -295,6 +301,17 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
     std::vector<uint32_t> order;
     std::unordered_map<uint32_t, uint32_t> pos;
     for (uint32_t r : roots) dfs(r, order, pos);
+
+    std::unordered_map<uint32_t, bool> is_root;
+    for (uint32_t r : roots) is_root[r] = true;
+    for (uint32_t id : order) {
+        Variable *v = var(id);
+        if (v && v->ext_ref > 0 && !v->materialized && !v->is_literal &&
+            !is_root.count(id)) {
+            roots.push_back(id);
+            is_root[id] = true;
+        }
+    }
 
     uint64_t h = 0xcbf29ce484222325ull;
     for (uint32_t id : order) {
@@ -344,6 +361,21 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
 }
 
 uint64_t et_schedule_hash(void) { return sched.hash; }
+
+// All live (externally referenced, unevaluated, non-literal) variable
+// ids: the target set of a bare eval() -- cuda_eval with no argument
+// evaluates every live variable (jit.cu:1418-1428).
+uint32_t et_live_vars(uint32_t *out, uint32_t cap) {
+    uint32_t n = 0;
+    for (auto &kv : ctx.vars) {
+        const Variable &v = kv.second;
+        if (v.ext_ref > 0 && !v.materialized && !v.is_literal) {
+            if (n < cap) out[n] = kv.first;
+            ++n;
+        }
+    }
+    return n;
+}
 
 // Bulk accessors for the cache-hit fast path: a hit needs only the data
 // leaves (executable inputs, in schedule order) and the output variable
@@ -470,11 +502,12 @@ int32_t et_whos(char *buf, int32_t cap) {
     return (int32_t)s.size();
 }
 
-// Reset everything (tests).
+// Reset everything (tests). The id counter stays monotonic: stale Python
+// handles from before the reset may dec-ref their ids arbitrarily late
+// (GC), and reused ids would let them free unrelated new variables.
 void et_reset(void) {
     ctx.vars.clear();
     ctx.side_effects.clear();
-    ctx.ctr = 1;
     ctx.n_appends = ctx.n_evals = ctx.n_freed = ctx.peak_vars = 0;
     sched.entries.clear();
     sched.outputs.clear();

@@ -243,17 +243,87 @@ def test_backward_cache_hit_on_second_step():
     h0, m0 = tr.cache_stats()
     g2 = step(np.array([1.5, -1.5], np.float32))
     h1, m1 = tr.cache_stats()
-    assert m1 == m0 and h1 == h0 + 1
+    # step 2 reuses BOTH cached executables: the forward program and the
+    # segment-VJP program (no recompilation in an optimization loop)
+    assert m1 == m0 and h1 == h0 + 2
     np.testing.assert_allclose(g1, 2 / np.cosh([0.5, -0.5]) ** 2, rtol=1e-5)
     np.testing.assert_allclose(g2, 2 / np.cosh([1.5, -1.5]) ** 2, rtol=1e-5)
 
 
-def test_backward_after_eval_raises():
-    x = tr.requires_grad(LazyArray(np.ones(2, np.float32)))
+def test_backward_after_eval_works():
+    # the tape OUTLIVES evaluation (autodiff.h:126: values and derivatives
+    # are independent; the reference's tape survives cuda_eval)
+    x = tr.requires_grad(LazyArray(np.array([1.0, 2.0], np.float32)))
     loss = (x * x).hsum()
     loss.eval()
-    with pytest.raises(ValueError):
-        tr.backward(loss)
+    got = loss.numpy()  # reading the loss does not kill the tape either
+    np.testing.assert_allclose(got, [5.0])
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [2.0, 4.0])
+
+
+def test_gradient_of_intermediate():
+    # gradient() of a non-leaf: any externally-held array is materialized
+    # at the eval boundary and receives a cotangent (reference: gradient()
+    # of any DiffArray, autodiff.h:1410)
+    x = tr.requires_grad(LazyArray(np.array([2.0, 3.0], np.float32)))
+    y = x * x          # intermediate, handle held
+    loss = (y * 5.0).hsum()
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(y).numpy(), [5.0, 5.0])
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [20.0, 30.0])
+
+
+def test_backward_scatter_add_adjoint():
+    # d loss / d scattered-values must flow through a lazy scatter_add
+    # (Special scatter edge, autodiff.cpp:532-597)
+    x = tr.requires_grad(LazyArray(np.array([1.0, 2.0, 3.0], np.float32)))
+    tgt = LazyArray(np.zeros(4, np.float32))
+    idx = LazyArray(np.array([0, 2, 2], np.int32))
+    tgt.scatter_add(idx, x * 2.0)
+    w = LazyArray(np.array([1.0, 10.0, 100.0, 1000.0], np.float32))
+    loss = (tgt * w).hsum()
+    tr.backward(loss)
+    # d loss/d x_i = 2 * w[idx_i] = 2 * [w[0], w[2], w[2]]
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [2.0, 200.0, 200.0])
+
+
+def test_backward_scatter_overwrite_combine():
+    # scatter (overwrite) adjoint: the target's incoming gradient is
+    # zeroed at overwritten lanes, the value gets the lane gradient
+    # (overwrite-combine with zeroed weights, autodiff.cpp:532-597)
+    base = tr.requires_grad(LazyArray(np.array([1., 2., 3., 4.],
+                                               np.float32)))
+    v = tr.requires_grad(LazyArray(np.array([5.0], np.float32)))
+    tgt = base * 1.0
+    tgt.scatter(LazyArray(np.array([1], np.int32)), v)
+    loss = (tgt * tgt).hsum()
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(v).numpy(), [10.0])
+    np.testing.assert_allclose(tr.gradient(base).numpy(), [2., 0., 6., 8.])
+
+
+def test_backward_through_psum_and_compress():
+    x = tr.requires_grad(LazyArray(np.array([1.0, 2.0, 3.0], np.float32)))
+    loss = x.psum().hsum()  # sum of prefix sums: weights [3, 2, 1]
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [3.0, 2.0, 1.0])
+
+    tr.clear_gradients()
+    y = tr.requires_grad(LazyArray(np.array([4.0, 5.0, 6.0], np.float32)))
+    m = LazyArray(np.array([True, False, True]))
+    packed, _ = (y * 2.0).compress(m)
+    tr.backward(packed.hsum())
+    np.testing.assert_allclose(tr.gradient(y).numpy(), [2.0, 0.0, 2.0])
+
+
+def test_backward_twice_with_free_false():
+    x = tr.requires_grad(LazyArray(np.array([3.0], np.float32)))
+    loss = (x * x).hsum()
+    tr.backward(loss, free=False)
+    tr.backward(loss)
+    # two passes accumulate (reference backward accumulates node grads)
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [12.0])
 
 
 def test_forward_mode():
