@@ -40,6 +40,12 @@ from ..ops.horiz import partition
 from .pytree import gather_struct, scatter_struct, select_struct
 
 
+def _is_lazy(ids) -> bool:
+    """LazyArray detection without importing the trace runtime (which
+    builds the native library) for plain-jnp users."""
+    return type(ids).__module__.startswith("enoki_tpu.trace")
+
+
 def dispatch_masked(funcs: Sequence[Callable], ids, *args, default=None):
     """Evaluate ``funcs[ids[i]]`` lanewise, branch-free.
 
@@ -138,6 +144,10 @@ class InstanceRegistry:
         """Gather an attribute per lane; null ids (< 0) read 0 -- the same
         null-pointer semantics the dispatchers use
         (ENOKI_CALL_SUPPORT_GETTER, array_call.h:272)."""
+        if _is_lazy(ids):
+            from ..trace.call import registry_getter
+
+            return registry_getter(self, attr, ids)
         from ..ops.router import gather
 
         ids = jnp.asarray(ids, jnp.int32)
@@ -147,8 +157,15 @@ class InstanceRegistry:
         """Vectorized virtual call: ``ptrs->method(args...)``.
 
         Each instance's bound method is called as f(mask, *args).
+        LazyArray ids route to the lazy-trace dispatcher (partition +
+        gather/callee/scatter recorded into the trace -- the CUDAArray
+        vcall path, array_call.h:147-165), regardless of ``strategy``.
         """
         funcs = [getattr(o, method) for o in self._instances]
+        if _is_lazy(ids):
+            from ..trace.call import dispatch as dispatch_lazy
+
+            return dispatch_lazy(funcs, ids, *args)
         if strategy == "masked":
             return dispatch_masked(funcs, ids, *args)
         if strategy == "partition":

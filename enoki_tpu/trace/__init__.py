@@ -208,6 +208,11 @@ _CACHE_HITS = 0
 _CACHE_MISSES = 0
 # scatter ops pending rebind: scatter var id -> target var id
 _SCATTER_TARGET: dict = {}
+# target var id -> newest pending scatter into it (chain tail). Consecutive
+# scatters into one target CHAIN (each depends on the previous) so a
+# k-instance vcall dispatch fuses into ONE program instead of forcing
+# k eval boundaries.
+_PENDING_SCATTER: dict = {}
 
 
 def cache_stats():
@@ -224,13 +229,18 @@ def clear_cache():
 
 def reset():
     """Drop the whole trace state (tests)."""
+    import sys
     _BUFFERS.clear()
     _SCATTER_TARGET.clear()
+    _PENDING_SCATTER.clear()
     _GRAD_ENABLED.clear()
     _GRADS.clear()
     clear_tape()
     _VERSION.clear()
     clear_cache()
+    callmod = sys.modules.get(__name__ + ".call")
+    if callmod is not None:
+        callmod.clear_partition_cache()
     _lib.et_reset()
 
 
@@ -453,6 +463,7 @@ def _eval_ids(ids):
             if _lib.et_var_exists(tgt):
                 _BUFFERS[tgt] = r
                 _lib.et_set_materialized(tgt)
+                _lib.et_set_data(tgt)  # literal targets now hold data
             if ad_active:
                 # the scatter op IS the target's new version: later reads
                 # of the target differentiate through the scatter (the
@@ -461,6 +472,7 @@ def _eval_ids(ids):
                 _VERSION[tgt] = vid
             _lib.et_dec_ref_ext(vid)  # release the pending-rebind claim
     _lib.et_clear_side_effects()
+    _PENDING_SCATTER.clear()  # every pending scatter was a schedule root
     # drop buffers for vars the native side has already freed
     for vid in list(_BUFFERS):
         if not _lib.et_var_exists(vid):
@@ -717,10 +729,27 @@ class LazyArray:
     def _scatter_op(self, opcode, index, value):
         index = self._coerce(index)
         value = self._coerce(value)
-        op = LazyArray._record(opcode, self._code,
-                               len(self), self, index, value, raw=True)
+        index._ensure_clean()
+        value._ensure_clean()
+        # chain on the newest pending scatter into this target, so a
+        # sequence of scatters (a k-instance vcall dispatch) stays ONE
+        # fused program; only the chain tail rebinds the target
+        base = _PENDING_SCATTER.get(self.index, self.index)
+        idx = _lib.et_append_raw(opcode, self._code, len(self),
+                                 base, index.index, value.index, 0)
+        if idx == 0:
+            raise ValueError("scatter: invalid operands")
+        op = LazyArray(index=idx, _size=len(self), _code=self._code)
         _lib.et_mark_side_effect(op.index, self.index)
+        prev = _PENDING_SCATTER.get(self.index)
+        if prev is not None:
+            # the superseded link no longer rebinds nor needs its own
+            # output buffer; the tail's dep keeps it alive
+            _SCATTER_TARGET.pop(prev, None)
+            _lib.et_unmark_side_effect(prev)
+            _lib.et_dec_ref_ext(prev)  # release its pending-rebind claim
         _SCATTER_TARGET[op.index] = self.index
+        _PENDING_SCATTER[self.index] = op.index
         # keep the scatter result's buffer claim alive until eval rebinds
         _lib.et_inc_ref_ext(op.index)
         return op

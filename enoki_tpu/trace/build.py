@@ -70,6 +70,7 @@ def load_library() -> ctypes.CDLL:
     lib.et_num_vars.restype = u32
     lib.et_set_label.argtypes = [u32, ctypes.c_char_p]
     lib.et_mark_side_effect.argtypes = [u32, u32]
+    lib.et_unmark_side_effect.argtypes = [u32]
     lib.et_is_dirty.restype = i32
     lib.et_is_dirty.argtypes = [u32]
     lib.et_num_side_effects.restype = i32
@@ -90,6 +91,7 @@ def load_library() -> ctypes.CDLL:
     lib.et_schedule_entry.argtypes = [u32, P(u32), P(i32), P(i32), P(u64),
                                       P(u32), P(u64), P(i32), P(i32)]
     lib.et_set_materialized.argtypes = [u32]
+    lib.et_set_data.argtypes = [u32]
     lib.et_set_log_level.argtypes = [i32]
     lib.et_log_level.restype = i32
     lib.et_stats.argtypes = [P(u64)] * 5

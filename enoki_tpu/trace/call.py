@@ -1,0 +1,141 @@
+"""Vectorized method calls on the lazy trace (the CUDAArray vcall path).
+
+Parity target: the reference dispatches ``ptrs->f(args...)`` on lazy GPU
+arrays by partitioning the pointer array by instance -- a cub radix sort
++ run-length encoding (src/cuda/horiz.cu:35-123) producing per-instance
+permutation arrays that are cached on the array (cuda.h:815-842) -- then,
+per instance, gathering the arguments through the permutation, calling
+the scalar C++ method once with vector args, and scattering the results
+back (array_call.h:147-191). ``partition`` is an eval boundary there too:
+the host must know the unique instance list to pick which methods to
+call (partition_ calls cuda_eval, cuda.h:818).
+
+TPU-native design: the same shape, minus the parts XLA makes unnecessary.
+
+* ``partition(ids)`` evaluates the lazy id array once, sorts + RLEs on
+  the host (the instance list IS host data -- it selects Python callees)
+  and caches the per-instance permutations on the array id, invalidated
+  by scatter dirtying, exactly the caching contract of cuda.h:815-842.
+* ``dispatch(funcs, ids, *args)`` records per-instance gather -> callee
+  trace -> scatter INTO THE TRACE: nothing except the partition itself
+  executes until the consumer's eval, which fuses every callee into one
+  XLA program. The permutations enter as data leaves, so a retrace of
+  the same dispatch structure is a structural-hash cache hit (the
+  reference re-traces PTX and hits its kernel cache the same way).
+* Gradients flow through the recorded gathers/scatters via the tape's
+  scatter adjoints -- the reference needs Special tape edges for this
+  (autodiff.cpp:355-608); here it falls out of the trace AD.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import LazyArray, _lib, maximum as _maximum, select as _select
+
+# per-array partition cache: var id -> ((instance, perm jnp.int32), ...)
+# (cuda.h:816-842 caches the cuda_partition result on the array)
+_PARTITION_CACHE: dict = {}
+
+
+def clear_partition_cache():
+    _PARTITION_CACHE.clear()
+
+
+def partition(ids: LazyArray):
+    """Partition a lazy instance-id array (cuda_partition, horiz.cu:35).
+
+    Returns a tuple of ``(instance_id, perm)`` pairs where ``perm`` is a
+    jnp.int32 array of the lanes holding that id; the concatenation of
+    all perms is the stable sort permutation of ``ids``. Forces
+    evaluation of ``ids`` (the reference's partition_ also calls
+    cuda_eval) and caches the result on the array until a scatter
+    dirties it.
+    """
+    if _lib.et_is_dirty(ids.index):
+        _PARTITION_CACHE.pop(ids.index, None)
+    parts = _PARTITION_CACHE.get(ids.index)
+    if parts is None:
+        vals = np.asarray(ids.numpy(), np.int64)
+        order = np.argsort(vals, kind="stable").astype(np.int32)
+        sv = vals[order]
+        starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        ends = np.r_[starts[1:], sv.size]
+        parts = tuple((int(sv[b]), jnp.asarray(order[b:e]))
+                      for b, e in zip(starts, ends))
+        _PARTITION_CACHE[ids.index] = parts
+    return parts
+
+
+def _true_mask(size: int) -> LazyArray:
+    return LazyArray.literal(True, size, jnp.bool_)
+
+
+def dispatch(funcs, ids: LazyArray, *args):
+    """Vectorized virtual call on the lazy trace: gather -> callee ->
+    scatter per instance (array_call.h:147-165).
+
+    ``funcs[i]`` handles lanes where ``ids == i`` and is called as
+    ``f(mask, *gathered_args)`` (the reference threads a mask through
+    every vcall, array_call.h:238-267); it returns a LazyArray or a
+    tuple of LazyArrays (func4-style multi-results, tests/call.cpp:53).
+    Negative ids are null pointers: their lanes are skipped and produce
+    zeros (array_call.h skips null entries).
+
+    Everything this records stays lazy; one downstream eval fuses all
+    callees into a single XLA program.
+    """
+    n = len(ids)
+    parts = partition(ids)
+
+    # single-instance fast path (array_call.h:150-151): no permutation
+    if len(parts) == 1 and parts[0][0] >= 0:
+        inst = parts[0][0]
+        if inst >= len(funcs):
+            raise IndexError(f"instance id {inst} out of range")
+        res = funcs[inst](_true_mask(n), *args)
+        return res
+
+    pieces = []  # (perm LazyArray, results tuple)
+    single = None
+    for inst, perm in parts:
+        if inst < 0:
+            continue
+        if inst >= len(funcs):
+            raise IndexError(f"instance id {inst} out of range")
+        perm_l = LazyArray(perm)
+        gathered = tuple(a.gather(perm_l) for a in args)
+        r = funcs[inst](_true_mask(len(perm)), *gathered)
+        tup = r if isinstance(r, tuple) else (r,)
+        pieces.append((perm_l, tup))
+        single = single or tup
+
+    if single is None:  # all lanes null
+        return LazyArray.zeros(n)
+
+    outs = [LazyArray.zeros(n, r.dtype) for r in single]
+    for perm_l, tup in pieces:
+        for o, r in zip(outs, tup):
+            o.scatter(perm_l, r)
+    return tuple(outs) if len(outs) > 1 else outs[0]
+
+
+def getter(table, ids: LazyArray):
+    """Vectorized attribute read: ``ptrs->value`` as a lazy gather from
+    an SoA parameter table (ENOKI_CALL_SUPPORT_GETTER, array_call.h:272).
+    Null ids (< 0) read 0."""
+    t = table if isinstance(table, LazyArray) else LazyArray(table)
+    g = t.gather(_maximum(ids, 0))
+    return _select(ids >= 0, g, 0)
+
+
+def registry_dispatch(registry, method: str, ids: LazyArray, *args):
+    """InstanceRegistry dispatch over LazyArray lanes (the FloatC
+    counterpart of struct.call.InstanceRegistry.dispatch)."""
+    funcs = [getattr(o, method) for o in registry.instances]
+    return dispatch(funcs, ids, *args)
+
+
+def registry_getter(registry, attr: str, ids: LazyArray):
+    return getter(jnp.asarray(registry.stack(attr)), ids)

@@ -251,6 +251,19 @@ int32_t et_is_dirty(uint32_t id) {
     return v && v->dirty;
 }
 
+// Remove `op` from the pending side-effect list (and drop the keep-alive
+// reference the mark added). Used when a newer scatter into the same
+// target CHAINS on this one: the chain tail carries the side effect and
+// the intermediate no longer needs its own output buffer.
+void et_unmark_side_effect(uint32_t op) {
+    auto it = std::find(ctx.side_effects.begin(), ctx.side_effects.end(), op);
+    if (it == ctx.side_effects.end()) return;
+    ctx.side_effects.erase(it);
+    Variable *o = var(op);
+    if (o) o->side_effect = false;
+    dec_ref_int(op);
+}
+
 int32_t et_num_side_effects(void) { return (int32_t)ctx.side_effects.size(); }
 
 // ---- scheduling (cuda_eval's DFS, jit.cu:1385-1416) ----------------------
@@ -450,6 +463,18 @@ void et_set_materialized(uint32_t id) {
     v->subtree_size = 1;
     for (uint32_t d : deps)
         if (d) dec_ref_int(d);
+}
+
+// Demote a variable to a plain data leaf backed by a Python-held buffer.
+// Needed when a scatter rebinds a LITERAL target: the var now holds real
+// data and must stop schedule-walking as a literal (which would re-read
+// the pristine constant instead of the scattered buffer).
+void et_set_data(uint32_t id) {
+    Variable *v = var(id);
+    if (!v) return;
+    v->is_literal = false;
+    v->is_data = true;
+    v->materialized = true;
 }
 
 // Release the pending side-effect list (each held one internal ref).
