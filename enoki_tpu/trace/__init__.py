@@ -31,9 +31,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .build import load_library
+from .build import load_library, load_pymod
 
 _lib = load_library()
+_nat = load_pymod()  # fastcall hot path (same .so, see build.py)
 
 # ---------------------------------------------------------------------------
 # dtypes and opcodes (shared convention with native/trace.cpp; the native
@@ -53,15 +54,28 @@ def _code_of(dtype) -> int:
 _LIT_CARRIER = {2: np.uint16, 4: np.uint32, 8: np.uint64}
 
 
+_LIT_BITS_CACHE: dict = {}
+
+
 def _literal_bits(value, code) -> int:
     """Encode a Python scalar as its dtype bit pattern, zero-extended to
     64 bits. Bit-exact for every dtype in _DTYPES (a double carrier would
-    silently truncate int64/uint64 literals >= 2^53)."""
+    silently truncate int64/uint64 literals >= 2^53). Cached: scalar
+    constants repeat heavily in traced programs and the numpy round trip
+    costs ~2 us."""
+    k = (code, value)
+    b = _LIT_BITS_CACHE.get(k)
+    if b is not None:
+        return b
     npdt = np.dtype(_DTYPES[code])
     if npdt == np.bool_:
-        return int(bool(value))
-    v = np.asarray(value).astype(npdt)  # wraps/rounds per dtype rules
-    return int(v.view(_LIT_CARRIER[npdt.itemsize]))
+        b = int(bool(value))
+    else:
+        v = np.asarray(value).astype(npdt)  # wraps/rounds per dtype rules
+        b = int(v.view(_LIT_CARRIER[npdt.itemsize]))
+    if len(_LIT_BITS_CACHE) < (1 << 16):
+        _LIT_BITS_CACHE[k] = b
+    return b
 
 
 class Op:
@@ -401,7 +415,7 @@ def _eval_ids(ids):
     """Evaluate the given variable ids (plus pending side effects)."""
     global _CACHE_HITS, _CACHE_MISSES
     ids = [i for i in dict.fromkeys(ids)
-           if not _lib.et_var_materialized(i)]
+           if not _nat.materialized(i)]
     if not ids and _lib.et_num_side_effects() == 0:
         return
     arr = (ctypes.c_uint32 * max(len(ids), 1))(*ids)
@@ -531,7 +545,7 @@ class LazyArray:
         assert x.ndim == 1, "LazyArray is 1-D (the flat-index JIT model)"
         self._code = _code_of(x.dtype)
         self._size = x.shape[0]
-        self.index = _lib.et_data(self._code, self._size)
+        self.index = _nat.data(self._code, self._size)
         _BUFFERS[self.index] = x
 
     # -- construction ------------------------------------------------------
@@ -568,7 +582,7 @@ class LazyArray:
 
     def __del__(self):
         try:
-            _lib.et_dec_ref_ext(self.index)
+            _nat.dec_ref(self.index)
         except (TypeError, AttributeError):  # interpreter teardown
             pass
 
@@ -585,7 +599,7 @@ class LazyArray:
 
     @property
     def materialized(self):
-        return bool(_lib.et_var_materialized(self.index))
+        return bool(_nat.materialized(self.index))
 
     def label(self, name: str) -> "LazyArray":
         """set_label analog (cuda.h:957) -- names show up in whos()."""
@@ -601,42 +615,66 @@ class LazyArray:
 
     def _ensure_clean(self):
         """Reading a scatter target forces eval first (jit.cu:719-730)."""
-        if _lib.et_is_dirty(self.index):
+        if _nat.is_dirty(self.index):
             _eval_ids([self.index])
 
     @staticmethod
     def _record(opcode, dtype_code, size, *dep_arrays, raw=False):
-        for d in dep_arrays:
-            d._ensure_clean()
         deps = [d.index for d in dep_arrays] + [0] * (4 - len(dep_arrays))
-        append = _lib.et_append_raw if raw else _lib.et_append
-        idx = append(opcode, dtype_code, size, *deps)
+        idx = _nat.append(opcode, dtype_code, size, deps[0], deps[1],
+                          deps[2], deps[3], int(raw))
+        if idx == -1:  # dirty dep: eval the pending scatter, retry once
+            for d in dep_arrays:
+                d._ensure_clean()
+            idx = _nat.append(opcode, dtype_code, size, deps[0], deps[1],
+                              deps[2], deps[3], int(raw))
         if idx == 0:
             sizes = [len(d) for d in dep_arrays]
             raise ValueError(f"incompatible sizes for trace op: {sizes}")
-        return LazyArray(index=idx, _size=size, _code=dtype_code)
+        r = LazyArray.__new__(LazyArray)
+        r.index = idx
+        r._size = size
+        r._code = dtype_code
+        return r
 
     def _coerce(self, other):
         if isinstance(other, LazyArray):
             return other
         if isinstance(other, (int, float, bool)):
             code = self._code
-            bits = _literal_bits(other, code)
-            return LazyArray(index=_lib.et_literal(code, bits, 1),
-                             _size=1, _code=code)
+            r = LazyArray.__new__(LazyArray)
+            r.index = _nat.literal(code, _literal_bits(other, code), 1)
+            r._size = 1
+            r._code = code
+            return r
         return LazyArray(other)
 
     def _bin(self, other, opcode, out_dtype=None, swap=False):
         other = self._coerce(other)
         a, b = (other, self) if swap else (self, other)
-        dc = _binary_dtype(a._code,
-                           b._code) \
-            if out_dtype is None else out_dtype
-        return LazyArray._record(opcode, dc, max(len(a), len(b)), a, b)
+        dc = _PROMOTE[a._code][b._code] if out_dtype is None else out_dtype
+        sa, sb = a._size, b._size
+        size = sa if sa >= sb else sb
+        idx = _nat.append(opcode, dc, size, a.index, b.index, 0, 0, 0)
+        if idx <= 0:
+            return LazyArray._record(opcode, dc, size, a, b)
+        r = LazyArray.__new__(LazyArray)
+        r.index = idx
+        r._size = size
+        r._code = dc
+        return r
 
     def _unary(self, opcode, out_dtype=None):
         dc = self._code if out_dtype is None else out_dtype
-        return LazyArray._record(opcode, dc, len(self), self)
+        size = self._size
+        idx = _nat.append(opcode, dc, size, self.index, 0, 0, 0, 0)
+        if idx <= 0:
+            return LazyArray._record(opcode, dc, size, self)
+        r = LazyArray.__new__(LazyArray)
+        r.index = idx
+        r._size = size
+        r._code = dc
+        return r
 
     __add__ = lambda s, o: s._bin(o, Op.ADD)
     __radd__ = lambda s, o: s._bin(o, Op.ADD, swap=True)

@@ -10,12 +10,16 @@ from __future__ import annotations
 
 import ctypes
 import hashlib
+import importlib.machinery
+import importlib.util
 import os
 import subprocess
+import sysconfig
 import tempfile
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "native")
 _SRC = os.path.join(_NATIVE_DIR, "trace.cpp")
+_PYMOD_SRC = os.path.join(_NATIVE_DIR, "pymod.cpp")
 
 
 def _build_dir() -> str:
@@ -28,18 +32,34 @@ def _build_dir() -> str:
 
 
 def build_library() -> str:
-    """Compile trace.cpp if needed; return the shared-library path."""
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    """Compile the native runtime if needed; return the shared-object
+    path. One .so carries BOTH the plain C ABI (ctypes, cold paths) and
+    the CPython fastcall module `_etnative` (the append hot path)."""
+    h = hashlib.sha256()
+    for src in (_SRC, _PYMOD_SRC):
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     out = os.path.join(_build_dir(), f"libenoki_trace_{tag}.so")
     if os.path.exists(out):
         return out
     tmp = out + ".tmp"
-    cmd = ["g++", "-std=c++17", "-O2", "-fPIC", "-shared", _SRC, "-o", tmp]
+    inc = sysconfig.get_paths()["include"]
+    cmd = ["g++", "-std=c++17", "-O2", "-fPIC", "-shared",
+           f"-I{inc}", _SRC, _PYMOD_SRC, "-o", tmp]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(tmp, out)
     return out
+
+
+def load_pymod():
+    """Import the fastcall extension from the built shared object."""
+    path = build_library()
+    loader = importlib.machinery.ExtensionFileLoader("_etnative", path)
+    spec = importlib.util.spec_from_loader("_etnative", loader, origin=path)
+    mod = importlib.util.module_from_spec(spec)
+    loader.exec_module(mod)
+    return mod
 
 
 def load_library() -> ctypes.CDLL:

@@ -270,28 +270,64 @@ int32_t et_num_side_effects(void) { return (int32_t)ctx.side_effects.size(); }
 
 namespace {
 
-void dfs(uint32_t id, std::vector<uint32_t> &order,
+// Iterative post-order DFS (a fused chain can be 10^5+ ops deep; native
+// recursion would overflow the C stack). Children are visited larger
+// subtree first so register pressure in the fused program stays low --
+// the subtree-size-priority child ordering of the reference scheduler
+// (jit.cu:1385-1416).
+void dfs(uint32_t root, std::vector<uint32_t> &order,
          std::unordered_map<uint32_t, uint32_t> &pos) {
-    if (pos.count(id)) return;
-    Variable *v = var(id);
-    if (!v) return;
-    if (!(v->materialized || v->is_literal)) {
-        // visit larger subtrees first so register pressure in the fused
-        // program stays low -- the subtree-size-priority child ordering
-        // of the reference scheduler (jit.cu:1385-1416)
-        uint32_t order_idx[kMaxDeps] = {0, 1, 2, 3};
-        std::sort(order_idx, order_idx + kMaxDeps, [&](uint32_t a, uint32_t b) {
-            Variable *va = v->dep[a] ? var(v->dep[a]) : nullptr;
-            Variable *vb = v->dep[b] ? var(v->dep[b]) : nullptr;
-            uint64_t sa = va ? va->subtree_size : 0;
-            uint64_t sb = vb ? vb->subtree_size : 0;
-            return sa > sb;
-        });
-        for (uint32_t k : order_idx)
-            if (v->dep[k]) dfs(v->dep[k], order, pos);
+    struct Frame { uint32_t id; uint8_t next; uint32_t kids[kMaxDeps];
+                   uint8_t n_kids; };
+    static std::vector<Frame> stack;  // reused across calls
+    stack.clear();
+
+    auto push = [&](uint32_t id) -> bool {
+        if (pos.count(id)) return false;
+        Variable *v = var(id);
+        if (!v) return false;
+        pos[id] = ~0u;  // visiting marker: one push per node, even in
+                        // diamond-shaped graphs (overwritten at emit)
+        Frame f;
+        f.id = id;
+        f.next = 0;
+        f.n_kids = 0;
+        if (!(v->materialized || v->is_literal)) {
+            // collect + order children by descending subtree size
+            // (insertion sort over <= 4 entries)
+            uint64_t sz[kMaxDeps];
+            for (uint32_t k = 0; k < kMaxDeps; ++k) {
+                uint32_t d = v->dep[k];
+                if (!d) continue;
+                Variable *vd = var(d);
+                uint64_t s = vd ? vd->subtree_size : 0;
+                uint32_t j = f.n_kids;
+                while (j > 0 && sz[j - 1] < s) {
+                    f.kids[j] = f.kids[j - 1];
+                    sz[j] = sz[j - 1];
+                    --j;
+                }
+                f.kids[j] = d;
+                sz[j] = s;
+                ++f.n_kids;
+            }
+        }
+        stack.push_back(f);
+        return true;
+    };
+
+    if (!push(root)) return;
+    while (!stack.empty()) {
+        Frame &f = stack.back();
+        if (f.next < f.n_kids) {
+            uint32_t child = f.kids[f.next++];
+            push(child);  // no-op if already placed
+        } else {
+            pos[f.id] = (uint32_t)order.size();
+            order.push_back(f.id);
+            stack.pop_back();
+        }
     }
-    pos[id] = (uint32_t)order.size();
-    order.push_back(id);
 }
 
 }  // namespace
