@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import polys as P
+from . import polys64 as P64
 from .router import ldexp as _ldexp, frexp as _frexp, mulsign as _mulsign, copysign as _copysign
 
 _NATIVE = "native"
@@ -75,8 +76,13 @@ def _is64(x):
 # ---------------------------------------------------------------------------
 
 # pi/4 split into exactly-representable parts for extended-precision
-# range reduction (Cody-Waite), f32 and f64 variants.
-_DP_F32 = (0.78515625, 2.4187564849853515625e-4, 3.77489497744594108e-8)
+# range reduction (Cody-Waite). The f32 split uses FOUR 10-significant-bit
+# chunks (tools/fit_math_f64.py): with |x| < 8192 the quotient j <= 10430
+# needs 14 bits, so every j*chunk product is EXACT in f32 (10+14 <= 24
+# mantissa bits) and the reduction residual is ~j*2^-54 -- this is what
+# holds the large-|x| sin/cos tail under the reference's 19/47-ulp bounds
+# (a 3-term 24-bit split loses exactness in j*dp2 and tails at ~100 ulp).
+_DP4_F32 = P64._DP4_F32
 _DP_F64 = (7.85398125648498535156e-1, 3.77489470793079817668e-8,
            2.69515142907905952645e-15)
 
@@ -101,8 +107,12 @@ def _sincos_reduce(x):
     odd = (qi & 1).astype(bool)
     qi = jnp.where(odd, qi + 1, qi)
     q = jnp.where(odd, q + 1.0, q)
-    dp1, dp2, dp3 = _DP_F64 if _is64(x) else _DP_F32
-    r = ((xa - q * dp1) - q * dp2) - q * dp3
+    if _is64(x):
+        dp1, dp2, dp3 = _DP_F64
+        r = ((xa - q * dp1) - q * dp2) - q * dp3
+    else:
+        c1, c2, c3, c4 = _DP4_F32
+        r = (((xa - q * c1) - q * c2) - q * c3) - q * c4
     return qi, r
 
 
@@ -163,16 +173,20 @@ def tan(x, impl=_NATIVE):
     if impl == _NATIVE:
         return jnp.tan(x)
     if _is64(x):
-        s, c = sincos(x, impl)
-        return s / c
+        qi, r = _sincos_reduce(x)
+        z = r * r
+        t = r + r * z * P.horner(z, P64._TAN64)
+        flip = (qi & 2).astype(bool)
+        t = jnp.where(flip, -1.0 / t, t)
+        return _mulsign(t, x)
     xa = jnp.abs(x)
     q = jnp.floor(xa * (4.0 / jnp.pi))
     qi = q.astype(jnp.int32)
     odd = (qi & 1).astype(bool)
     qi = jnp.where(odd, qi + 1, qi)
     q = jnp.where(odd, q + 1.0, q)
-    dp1, dp2, dp3 = _DP_F32
-    r = ((xa - q * dp1) - q * dp2) - q * dp3
+    c1, c2, c3, c4 = _DP4_F32
+    r = (((xa - q * c1) - q * c2) - q * c3) - q * c4
     z = r * r
     t = P.poly5(z, *reversed(_TANCOF_F32))
     t = r + r * z * t
@@ -197,11 +211,48 @@ _ASINCOF_F32 = (4.2163199048e-2, 2.4181311049e-2, 4.5470025998e-2,
                 7.4953002686e-2, 1.6666752422e-1)
 
 
+def _asin_kernel64(xx, z):
+    """asin on the reduced argument: xx + xx*z*K(z), z = xx^2 <= 0.25."""
+    return xx + xx * z * P.horner(z, P64._ASIN64)
+
+
+def _asin64(x):
+    """f64 asin: |x| <= 0.5 direct kernel; |x| > 0.5 via the half-angle
+    identity asin(a) = pi/2 - 2 asin(sqrt((1-a)/2)) with a two-part pi/2
+    (the same branch split as the f32 path / array_math.h asin)."""
+    a = jnp.abs(x)
+    big = a > 0.5
+    zb = 0.5 * (1.0 - a)
+    z = jnp.where(big, zb, a * a)
+    xx = jnp.where(big, jnp.sqrt(zb), a)
+    p = _asin_kernel64(xx, z)
+    rb = P64._PIO2_HI_64 - (2.0 * p - P64._PIO2_LO_64)
+    r = jnp.where(big, rb, p)
+    return _mulsign(r, x)
+
+
+def _acos64(x):
+    """f64 acos: pi/2 - asin for |x| <= 0.5; 2 asin(sqrt((1-x)/2)) for
+    x > 0.5 and pi - that for x < -0.5 (exact at the endpoints)."""
+    a = jnp.abs(x)
+    big = a > 0.5
+    zb = 0.5 * (1.0 - a)
+    z = jnp.where(big, zb, a * a)
+    xx = jnp.where(big, jnp.sqrt(zb), a)
+    p = _asin_kernel64(xx, z)
+    small_v = P64._PIO2_HI_64 - (_mulsign(p, x) - P64._PIO2_LO_64)
+    big_pos = 2.0 * p
+    big_v = jnp.where(x < 0, 2.0 * P64._PIO2_HI_64 - (big_pos - 2.0 * P64._PIO2_LO_64), big_pos)
+    return jnp.where(big, big_v, small_v)
+
+
 @_bf16_safe
 def asin(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.arcsin(x)
+    if _is64(x):
+        return _asin64(x)
     a = jnp.abs(x)
     big = a > 0.5
     z1 = 0.5 * (1.0 - a)
@@ -220,8 +271,10 @@ def asin(x, impl=_NATIVE):
 @_bf16_safe
 def acos(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.arccos(x)
+    if _is64(x):
+        return _acos64(x)
     # acos(x) = pi/2 - asin(x), with the |x|>0.5 branch rewritten for accuracy
     a = jnp.abs(x)
     big = a > 0.5
@@ -242,9 +295,19 @@ _ATANCOF_F32 = (8.05374449538e-2, -1.38776856032e-1, 1.99777106478e-1,
 @_bf16_safe
 def atan(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.arctan(x)
     a = jnp.abs(x)
+    if _is64(x):
+        t3 = a > 2.414213562373095049  # tan(3*pi/8) = 1 + sqrt(2)
+        t1 = (a > 0.4142135623730950488) & ~t3  # tan(pi/8) = sqrt(2) - 1
+        y_hi = jnp.where(t3, P64._PIO2_HI_64, jnp.where(t1, P64._PIO4_HI_64, 0.0))
+        y_lo = jnp.where(t3, P64._PIO2_LO_64, jnp.where(t1, P64._PIO4_LO_64, 0.0))
+        xr = jnp.where(t3, -1.0 / jnp.maximum(a, 1e-300),
+                       jnp.where(t1, (a - 1.0) / (a + 1.0), a))
+        z = xr * xr
+        r = y_hi + (xr + xr * z * P.horner(z, P64._ATAN64) + y_lo)
+        return _mulsign(r, x)
     t3 = a > 2.414213562373095  # tan(3*pi/8)
     t1 = (a > 0.4142135623730950) & ~t3  # tan(pi/8)
     y = jnp.where(t3, jnp.pi / 2, jnp.where(t1, jnp.pi / 4, 0.0))
@@ -432,14 +495,17 @@ _SINHCOF_F32 = (2.03721912945e-4, 8.33028376239e-3, 1.66667160211e-1)
 @_bf16_safe
 def sinh(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.sinh(x)
     a = jnp.abs(x)
     big = a > 1.0
     e = exp(a, impl)
     big_v = 0.5 * (e - 1.0 / e)
     z = x * x
-    small_v_abs = jnp.abs(x + x * z * P.poly2(z, *reversed(_SINHCOF_F32)))
+    if _is64(x):
+        small_v_abs = jnp.abs(x + x * z * P.horner(z, P64._SINH64))
+    else:
+        small_v_abs = jnp.abs(x + x * z * P.poly2(z, *reversed(_SINHCOF_F32)))
     r = jnp.where(big, big_v, small_v_abs)
     return _mulsign(r, x)
 
@@ -447,7 +513,7 @@ def sinh(x, impl=_NATIVE):
 @_bf16_safe
 def cosh(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.cosh(x)
     e = exp(jnp.abs(x), impl)
     return 0.5 * (e + 1.0 / e)
@@ -466,15 +532,18 @@ _TANHCOF_F32 = (-5.70498872745e-3, 2.06390887954e-2, -5.37397155531e-2,
 @_bf16_safe
 def tanh(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.tanh(x)
     a = jnp.abs(x)
     big = a > 0.625
     big_v = 1.0 - 2.0 / (exp(2.0 * a, impl) + 1.0)
     z = x * x
-    small_v = jnp.abs(x + x * z * P.poly4(z, *reversed(_TANHCOF_F32)))
+    if _is64(x):
+        small_v = jnp.abs(x + x * z * P.horner(z, P64._TANH64))
+    else:
+        small_v = jnp.abs(x + x * z * P.poly4(z, *reversed(_TANHCOF_F32)))
     r = jnp.where(big, big_v, small_v)
-    r = jnp.where(a > 10.0, 1.0, r)
+    r = jnp.where(a > (20.0 if _is64(x) else 10.0), 1.0, r)
     return _mulsign(r, x)
 
 
@@ -485,14 +554,17 @@ _ASINHCOF_F32 = (2.0122003309e-2, -4.2699340972e-2, 7.4847586088e-2,
 @_bf16_safe
 def asinh(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.arcsinh(x)
     a = jnp.abs(x)
-    huge = a > 1500.0
+    huge = a > (1e8 if _is64(x) else 1500.0)
     big = (a > 0.5) & ~huge
     z = x * x
-    small_v = a + a * z * P.poly3(z, *reversed(_ASINHCOF_F32))
-    big_v = log(a + jnp.sqrt(z + 1.0), impl)
+    if _is64(x):
+        small_v = a + a * z * P.horner(z, P64._ASINH64)
+    else:
+        small_v = a + a * z * P.poly3(z, *reversed(_ASINHCOF_F32))
+    big_v = log(a + jnp.sqrt(jnp.minimum(z, jnp.finfo(x.dtype).max) + 1.0), impl)
     huge_v = log(jnp.maximum(a, 1.0), impl) + 0.6931471805599453
     r = jnp.where(huge, huge_v, jnp.where(big, big_v, small_v))
     return _mulsign(r, x)
@@ -505,14 +577,19 @@ _ACOSHCOF_F32 = (1.4142135263e0, -1.1784741703e-1, 2.6454905019e-2,
 @_bf16_safe
 def acosh(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.arccosh(x)
     z = x - 1.0
-    huge = x > 1500.0
+    huge = x > (1e8 if _is64(x) else 1500.0)
     small = (z < 0.5) & ~huge
     zs = jnp.maximum(z, 0.0)
-    small_v = jnp.sqrt(zs) * P.horner(zs, list(_ACOSHCOF_F32))
-    big_v = log(x + jnp.sqrt(jnp.maximum(x * x - 1.0, 0.0)), impl)
+    if _is64(x):
+        # acosh(1+z) = sqrt(2z) * C(z) (own fit, tools/fit_math_f64.py)
+        small_v = jnp.sqrt(2.0 * zs) * P.horner(zs, P64._ACOSH64)
+    else:
+        small_v = jnp.sqrt(zs) * P.horner(zs, list(_ACOSHCOF_F32))
+    xc = jnp.minimum(x, jnp.sqrt(jnp.finfo(x.dtype).max))
+    big_v = log(xc + jnp.sqrt(jnp.maximum(xc * xc - 1.0, 0.0)), impl)
     huge_v = log(jnp.maximum(x, 1.0), impl) + 0.6931471805599453
     r = jnp.where(huge, huge_v, jnp.where(small, small_v, big_v))
     return jnp.where(x < 1.0, jnp.nan, r)
@@ -525,12 +602,15 @@ _ATANHCOF_F32 = (1.81740078349e-1, 8.24370301058e-2, 1.46691431730e-1,
 @_bf16_safe
 def atanh(x, impl=_NATIVE):
     x = _f(x)
-    if impl == _NATIVE or _is64(x):
+    if impl == _NATIVE:
         return jnp.arctanh(x)
     a = jnp.abs(x)
     big = a >= 0.5
     z = x * x
-    small_v = x + x * z * P.poly4(z, *reversed(_ATANHCOF_F32))
+    if _is64(x):
+        small_v = x + x * z * P.horner(z, P64._ATANH64)
+    else:
+        small_v = x + x * z * P.poly4(z, *reversed(_ATANHCOF_F32))
     big_v = _mulsign(0.5 * log((1.0 + a) / jnp.maximum(1.0 - a, jnp.finfo(x.dtype).tiny), impl), x)
     r = jnp.where(big, big_v, small_v)
     r = jnp.where(a >= 1.0, _mulsign(jnp.asarray(jnp.inf, x.dtype), x), r)

@@ -123,7 +123,28 @@ def erfinv(x, impl=_NATIVE):
     w2 = jnp.sqrt(jnp.maximum(w, 0.0)) - 3.0
     p1 = P.poly8(w1, *_ERFINV_P1)
     p2 = P.poly8(w2, *_ERFINV_P2)
-    return jnp.where(w < 5.0, p1, p2) * x
+    y = jnp.where(w < 5.0, p1, p2) * x
+    if x.dtype == jnp.float64:
+        # f64 path (special.h:222 has a double-precision branch): the
+        # Giles fit is a ~1e-7 seed; two Newton steps square the error
+        # to full double precision. TPU-first: a 9-term seed + 2 fused
+        # steps instead of the reference's long rational tables. In the
+        # tail (|x| > 0.5) Newton runs on the COMPLEMENTARY equation
+        # erfc(y) = 1-|x| -- the direct form cancels catastrophically
+        # when erf(y) and x are both ~1.
+        half_sqrt_pi = 0.8862269254527580137
+        a = jnp.abs(x)
+        c = 1.0 - a  # exact for a in [0.5, 1] (Sterbenz)
+        tail = a > 0.5
+        ya = jnp.abs(y)
+        for _ in range(2):
+            scale = half_sqrt_pi * jnp.exp(ya * ya)
+            step_mid = -(jsp.erf(ya) - a) * scale
+            step_tail = (jsp.erfc(ya) - c) * scale
+            ya = ya + jnp.where(tail, step_tail, step_mid)
+        y = jnp.where(a == 1.0, jnp.inf, ya)
+        y = jnp.copysign(y, x)
+    return y
 
 
 # ---------------------------------------------------------------------------

@@ -32,14 +32,16 @@ def _j(fn, **kw):
 
 
 def test_sin_f32():
-    # baseline: 0.25 avg / 19 max -- we measure ~0.25 / ~5 (beats max)
+    # baseline: 0.25 avg / 19 max. The 4-chunk exact reduction (r2)
+    # measures ~0.38 avg / ~2.4 max -- bound at 5 for sampling slack.
     check_accuracy(_j(M.sin), np.sin, -8192.0, 8192.0,
-                   max_ulp=19, mean_ulp=0.3)
+                   max_ulp=5, mean_ulp=0.45)
 
 
 def test_cos_f32():
+    # baseline: 0.25 avg / 47 max -- we beat the max bound ~20x
     check_accuracy(_j(M.cos), np.cos, -8192.0, 8192.0,
-                   max_ulp=50, mean_ulp=0.3)
+                   max_ulp=5, mean_ulp=0.45)
 
 
 def test_sincos_consistent():
@@ -50,8 +52,10 @@ def test_sincos_consistent():
 
 
 def test_tan_f32():
+    # baseline: 0.42 avg / 30 max -- measured ~0.52 / ~3.5 with the
+    # 4-chunk reduction
     check_accuracy(_j(M.tan), np.tan, -8192.0, 8192.0,
-                   max_ulp=30, mean_ulp=0.6)
+                   max_ulp=7, mean_ulp=0.6)
 
 
 def test_asin_f32():
@@ -155,11 +159,45 @@ def test_f64_log():
 def test_f64_sincos():
     with jax.enable_x64():
         check_accuracy(lambda x: M.sin(jnp.asarray(x, jnp.float64), POLY),
-                       np.sin, -8192.0, 8192.0, max_ulp=20.0, mean_ulp=0.5,
+                       np.sin, -8192.0, 8192.0, max_ulp=2.0, mean_ulp=0.5,
                        dtype=np.float64)
         check_accuracy(lambda x: M.cos(jnp.asarray(x, jnp.float64), POLY),
-                       np.cos, -8192.0, 8192.0, max_ulp=50.0, mean_ulp=0.5,
+                       np.cos, -8192.0, 8192.0, max_ulp=2.0, mean_ulp=0.5,
                        dtype=np.float64)
+
+
+def test_f64_inverse_trig():
+    # r2: own double-precision kernels (tools/fit_math_f64.py) -- no
+    # more native fallback on _is64
+    with jax.enable_x64():
+        def j64(fn):
+            return lambda x: fn(jnp.asarray(x, jnp.float64), POLY)
+        check_accuracy(j64(M.asin), np.arcsin, -1.0, 1.0, max_ulp=3.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.acos), np.arccos, -1.0, 1.0, max_ulp=3.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.atan), np.arctan, -1000.0, 1000.0, max_ulp=2.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.tan), np.tan, -8192.0, 8192.0, max_ulp=3.0,
+                       mean_ulp=0.6, dtype=np.float64)
+
+
+def test_f64_hyperbolic():
+    with jax.enable_x64():
+        def j64(fn):
+            return lambda x: fn(jnp.asarray(x, jnp.float64), POLY)
+        check_accuracy(j64(M.sinh), np.sinh, -700.0, 700.0, max_ulp=3.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.cosh), np.cosh, -700.0, 700.0, max_ulp=3.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.tanh), np.tanh, -20.0, 20.0, max_ulp=3.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.asinh), np.arcsinh, -30.0, 30.0, max_ulp=3.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.acosh), np.arccosh, 1.0, 1000.0, max_ulp=2.0,
+                       mean_ulp=0.5, dtype=np.float64)
+        check_accuracy(j64(M.atanh), np.arctanh, -0.999, 0.999, max_ulp=2.0,
+                       mean_ulp=0.5, dtype=np.float64)
 
 
 def test_misc():

@@ -48,6 +48,23 @@ def test_erfinv_native():
     assert np.abs(got - want).max() < 5e-6
 
 
+def test_erfinv_f64_poly():
+    # f64 path (special.h:222's double branch): Giles seed + 2 Newton
+    # steps on the complementary equation in the tail -- full double
+    # precision, measured <= 8 ulp central / <= 2 ulp tail
+    import jax
+
+    with jax.enable_x64():
+        rng = np.random.default_rng(7)
+        x = rng.uniform(-0.99999999999, 0.99999999999, 100000)
+        got = np.asarray(S.erfinv(jnp.asarray(x, jnp.float64), POLY))
+        want = sp.erfinv(x)
+        ulp = np.abs(got - want) / np.spacing(np.abs(want))
+        assert ulp.max() < 12.0 and ulp.mean() < 1.0
+        assert np.isposinf(S.erfinv(jnp.float64(1.0), POLY))
+        assert np.isneginf(S.erfinv(jnp.float64(-1.0), POLY))
+
+
 def test_i0e():
     x = _sweep(-50, 50)
     got = np.asarray(S.i0e(jnp.asarray(x), POLY), np.float64)
