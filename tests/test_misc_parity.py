@@ -122,3 +122,22 @@ def test_stochastic_round_pallas_hardware():
     ups = (out > 1.0 + 1.0 / 256).mean()
     assert 0.2 < ups < 0.3
     assert abs(out.mean() - float(x[0])) < 2e-4
+
+
+def test_kernel_printf_inside_pallas():
+    # cuda_printf analog inside the fused kernel (array_router.h:972):
+    # must be legal in a pallas_call body (interpret mode on CPU)
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from enoki_tpu import runtime
+
+    def kernel(x_ref, o_ref):
+        runtime.kernel_printf("tile max {}", jnp.max(x_ref[:, :]))
+        o_ref[:, :] = x_ref[:, :] * 2.0
+
+    x = jnp.ones((8, 128), jnp.float32)
+    out = pl.pallas_call(
+        kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        interpret=True)(x)
+    assert float(out[0, 0]) == 2.0
