@@ -1,0 +1,236 @@
+"""Scaling-efficiency harness for the distributed train step (config 5).
+
+North star (BASELINE.json): >= 90% scaling efficiency on >= 2 hosts.
+Two complementary measurements:
+
+* ``collective_stats`` -- compile the N-device shard_map train step and
+  extract, from the ACTUAL post-SPMD HLO, every all-reduce payload and
+  the per-device flop count. This is the ground truth of what goes on
+  the wire: for this model family (pixel tiles sharded, 9 scalar scene
+  params replicated) the payload must be O(sizeof(params)) per step,
+  NOT O(pixels/device). A regression that reintroduces per-pixel
+  collectives (e.g. the psum_invariant-before-contraction transpose
+  this harness caught in r2) fails the asserted bound.
+
+* ``predicted_efficiency`` -- an analytic roofline for N real chips:
+  measured single-chip step time scaled by work/device, plus a ring
+  all-reduce wire model over ICI (conservative: zero compute/comm
+  overlap). With a constant-byte collective this is >= 99% at any pod
+  size; the function exists so the claim is a computation over the
+  compiled program's real payload, not an assertion.
+
+* ``measured_weak_scaling`` -- wall-clock per-device throughput at
+  1/2/4/8 devices with constant per-device work. Only meaningful when
+  the host has at least one core per virtual device (the CI box has
+  ONE core, where 8 "devices" timeshare it -- the function refuses and
+  reports why rather than printing garbage).
+
+Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+     python -m enoki_tpu.dist.bench_scaling
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import re
+import time
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+# v5e interconnect model (public figures, jax-ml.github.io/scaling-book):
+# ~4.5e10 B/s per ICI link per direction, ~1 us per-hop latency.
+ICI_BYTES_PER_S = 4.5e10
+ICI_HOP_LATENCY_S = 1e-6
+# measured single-chip fwd+bwd step time for the 1024^2, 64-step march
+# (bench.py on TPU v5e; docs/benchmarks.md)
+MEASURED_STEP_S_1024 = 2.3e-4
+
+_DT_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "f64": 8, "s32": 4, "u32": 4,
+             "s64": 8, "u64": 8, "pred": 1, "s8": 1, "u8": 1}
+
+
+def _shape_bytes(shape: str) -> int:
+    m = re.match(r"([a-z0-9]+)\[([0-9,]*)\]", shape.strip())
+    if not m or m.group(1) not in _DT_BYTES:
+        return 0
+    n = 1
+    for d in m.group(2).split(","):
+        if d:
+            n *= int(d)
+    return _DT_BYTES[m.group(1)] * n
+
+
+@dataclasses.dataclass
+class CollectiveStats:
+    n: int                      # frame is n x n pixels
+    n_devices: int
+    flops_per_device: float     # XLA cost analysis of the SPMD module
+    allreduce_bytes: int        # total all-reduce payload per step
+    allreduce_shapes: list      # raw operand shape strings
+
+
+def collective_stats(n: int, n_devices: Optional[int] = None,
+                     renderer=None) -> CollectiveStats:
+    """Compile the shard_map train step for an ``n_devices`` mesh and
+    read the collective payloads out of the optimized HLO."""
+    import optax
+
+    from .mesh import make_mesh, image_sharding
+    from .render import make_train_step_shardmap
+    from ..render.sphere import SphereScene
+
+    mesh = make_mesh(n_devices)
+    nd = mesh.devices.size
+    opt = optax.adam(1e-2)
+    kwargs = {} if renderer is None else {"renderer": renderer}
+    step = make_train_step_shardmap(n, mesh, opt, **kwargs)
+    scene = SphereScene.reference()
+    target = jax.device_put(jnp.zeros((n, n), jnp.float32),
+                            image_sharding(mesh))
+    compiled = step.lower(scene, target, opt.init(scene)).compile()
+
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+
+    shapes = []
+    for line in compiled.as_text().splitlines():
+        m = re.search(r"= (\([^)]*\)|\S+\[[^\]]*\]\S*) all-reduce", line)
+        if not m:
+            continue
+        group = m.group(1).strip("()")
+        shapes.extend(s.split("{")[0] for s in group.split(", "))
+    shapes = [s for s in shapes if not s.startswith("/*")]
+    total = sum(_shape_bytes(s) for s in shapes)
+    return CollectiveStats(n, nd, flops, total, shapes)
+
+
+def _torus_allreduce_s(nbytes: int, n_devices: int) -> float:
+    """Ring all-reduce decomposed over the axes of the (near-)square 2-D
+    torus the mesh maps onto: per axis, 2(a-1)/a bandwidth steps and
+    2(a-1) latency hops (the standard reduce-scatter + all-gather)."""
+    from .mesh import _factor2
+
+    t = 0.0
+    for a in _factor2(n_devices):
+        if a <= 1:
+            continue
+        t += (2.0 * (a - 1) / a * nbytes / ICI_BYTES_PER_S
+              + 2.0 * (a - 1) * ICI_HOP_LATENCY_S)
+    return t
+
+
+def predicted_efficiency(n: int, n_devices: int,
+                         allreduce_bytes: Optional[int] = None,
+                         step_s_1024: float = MEASURED_STEP_S_1024,
+                         overlap: float = 0.0,
+                         mode: str = "strong") -> float:
+    """Analytic scaling efficiency on N real chips.
+
+    ``mode="strong"``: one n x n frame split over N devices (the latency
+    of the final scalar reduction eventually dominates -- physics, for
+    any 9-parameter model). ``mode="weak"``: each device owns an n x n
+    tile (the production regime: bigger frames / more frames per step).
+    t_compute = measured single-chip step time scaled by pixels/device;
+    t_comm = torus all-reduce of the compiled payload (conservative
+    ``overlap=0``; XLA's scheduler hides most of a constant-byte
+    reduction in practice).
+    """
+    if n_devices <= 1:
+        return 1.0
+    if allreduce_bytes is None:
+        probe = min(n_devices, jax.device_count())
+        allreduce_bytes = collective_stats(256, probe).allreduce_bytes
+    per_dev_pixels = (n * n / n_devices) if mode == "strong" else (n * n)
+    t_compute = step_s_1024 * per_dev_pixels / (1024.0 * 1024.0)
+    t_comm = _torus_allreduce_s(allreduce_bytes, n_devices) * (1.0 - overlap)
+    return t_compute / (t_compute + t_comm)
+
+
+def measured_weak_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
+                          tile: int = 128, iters: int = 10):
+    """Wall-clock weak scaling on the available devices: per-device
+    throughput with constant per-device work. Returns a list of
+    (n_devices, n, rays_per_s_per_device, efficiency) or raises
+    RuntimeError when the host cannot support it (fewer cores than
+    devices -- virtual CPU devices timeshare and the number would be
+    meaningless)."""
+    import optax
+
+    from .mesh import make_mesh, image_sharding
+    from .render import make_train_step_shardmap
+    from ..render.sphere import SphereScene
+
+    cores = os.cpu_count() or 1
+    if jax.default_backend() == "cpu" and cores < max(device_counts):
+        raise RuntimeError(
+            f"weak scaling needs >= {max(device_counts)} cores for "
+            f"{max(device_counts)} virtual devices (host has {cores}); "
+            "use collective_stats + predicted_efficiency instead")
+
+    rows = []
+    base = None
+    for nd in device_counts:
+        if nd > jax.device_count():
+            break
+        mesh = make_mesh(nd)
+        dp, sp = mesh.devices.shape
+        n = tile * max(dp, sp)  # per-device tile area stays ~tile^2
+        opt = optax.adam(1e-2)
+        step = make_train_step_shardmap(n, mesh, opt)
+        scene = SphereScene.reference()
+        target = jax.device_put(jnp.zeros((n, n), jnp.float32),
+                                image_sharding(mesh))
+        state = opt.init(scene)
+        scene1, state1, loss = step(scene, target, state)  # compile
+        jax.block_until_ready(loss)
+        t0 = time.perf_counter()
+        s, st = scene, state
+        for _ in range(iters):
+            s, st, loss = step(s, target, st)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / iters
+        per_dev = n * n / dt / nd
+        if base is None:
+            base = per_dev
+        rows.append((nd, n, per_dev, per_dev / base))
+    return rows
+
+
+def main():
+    nd = jax.device_count()
+    print(f"devices: {nd} ({jax.default_backend()})")
+    st = collective_stats(256, nd)
+    print(f"compiled {st.n_devices}-device step: "
+          f"{st.flops_per_device:.3g} flops/device, "
+          f"all-reduce payload {st.allreduce_bytes} B "
+          f"({len(st.allreduce_shapes)} tensors: {st.allreduce_shapes})")
+    st2 = collective_stats(512, nd)
+    grows = st2.allreduce_bytes > st.allreduce_bytes
+    print(f"payload at 4x pixels: {st2.allreduce_bytes} B "
+          f"({'GROWS -- per-pixel collective regression!' if grows else 'constant, resolution-independent'})")
+    print("\npredicted efficiency (measured 1-chip compute + ICI torus"
+          " model, zero overlap):")
+    for mode, n in (("strong", 1024), ("strong", 4096), ("weak", 1024)):
+        for ndev in (2, 4, 8, 16, 64, 256):
+            eff = predicted_efficiency(n, ndev, st.allreduce_bytes,
+                                       mode=mode)
+            label = f"{n}^2 frame" if mode == "strong" else f"{n}^2/device"
+            print(f"  {mode:6s} {label:13s} devices={ndev:4d}  "
+                  f"efficiency={eff:7.4f}")
+    try:
+        rows = measured_weak_scaling()
+        print("\nmeasured weak scaling (per-device throughput):")
+        for nd_, n, tput, eff in rows:
+            print(f"  devices={nd_}  n={n:5d}  {tput/1e6:8.2f} Mpix/s/dev  "
+                  f"eff={eff:6.3f}")
+    except RuntimeError as e:
+        print(f"\nmeasured weak scaling: skipped ({e})")
+
+
+if __name__ == "__main__":
+    main()

@@ -118,17 +118,20 @@ def make_train_step_shardmap(n: int, mesh: Mesh, optimizer,
         col0 = lax.axis_index("sp")
         loss, grads = jax.value_and_grad(local_loss)(scene, target_tile,
                                                      row0, col0)
-        # The gradient all-reduce is inserted by AD itself: ``scene`` enters
-        # unvarying (replicated, P()), so the transpose of its broadcast is
-        # a psum -- issued right after the local backward, overlapped by
-        # XLA's async collectives. Only the (varying) loss scalar needs an
-        # explicit reduction.
+        # Reduce the scene grads EXPLICITLY, after the local backward has
+        # contracted them to scalars. (With check_vma=True the transpose
+        # of the replicated scene inserts psum_invariant over the sp axis
+        # BEFORE the local tile contraction -- a per-PIXEL all-reduce,
+        # O(n^2/N) bytes/step. Explicit scalar psums keep the wire
+        # payload at sizeof(params) regardless of resolution; verified by
+        # dist/bench_scaling.collective_stats.)
+        grads = lax.psum(grads, axis_name=("dp", "sp"))
         loss = lax.psum(loss, axis_name=("dp", "sp"))
         return grads, loss
 
     smapped = shard_map(_step, mesh=mesh,
                         in_specs=(P(), P("dp", "sp")),
-                        out_specs=(P(), P()))
+                        out_specs=(P(), P()), check_vma=False)
 
     @jax.jit
     def train_step(scene, target, opt_state):

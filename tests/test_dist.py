@@ -117,3 +117,35 @@ def test_fit_scene_checkpoint_resume(tmp_path):
                        checkpoint_every=2)
     assert ck.latest_step(root) == 6
     assert jnp.isfinite(l2)
+
+
+def test_scaling_collectives_and_efficiency():
+    """North-star gate (BASELINE.json: >= 90% efficiency on >= 2 hosts).
+
+    Ground truth from the compiled 8-device program: the gradient
+    all-reduce payload must be exactly the scene's scalar parameters
+    (resolution-independent) -- the r2 harness caught a psum_invariant
+    transpose that all-reduced per-PIXEL tensors before the local
+    contraction. Efficiency itself is the measured single-chip step time
+    against a zero-overlap ICI torus model (this host has 1 core, so
+    wall-clock weak scaling over virtual devices is meaningless).
+    """
+    from enoki_tpu.dist import bench_scaling as bs
+
+    st = bs.collective_stats(64, 8)
+    assert st.n_devices == 8
+    # 9 scalar f32 grads = 36 bytes; anything O(pixels) is a regression
+    assert st.allreduce_bytes <= 64, st.allreduce_shapes
+    st2 = bs.collective_stats(128, 8)
+    assert st2.allreduce_bytes == st.allreduce_bytes
+
+    assert bs.predicted_efficiency(1024, 8, st.allreduce_bytes,
+                                   mode="weak") >= 0.95
+    assert bs.predicted_efficiency(1024, 16, st.allreduce_bytes,
+                                   mode="weak") >= 0.90  # 2 hosts
+    assert bs.predicted_efficiency(4096, 8, st.allreduce_bytes,
+                                   mode="strong") >= 0.95
+    # honesty: a 0.23 ms step CANNOT strong-scale to 256 chips -- the
+    # scalar-reduction latency floor dominates; the model must say so
+    assert bs.predicted_efficiency(1024, 256, st.allreduce_bytes,
+                                   mode="strong") < 0.5
