@@ -1,0 +1,169 @@
+"""Backend-generic op dispatch for composite types.
+
+The reference's composite types are generic over the execution backend
+-- ``Complex<FloatP>``, ``Complex<FloatC>``, ``Quaternion<FloatD>`` all
+instantiate from the same source because every op routes through L2 free
+functions that dispatch on the element type (the 5-way dispatch macro,
+array_math.h:121-150; SURVEY §1 "the same user source compiles against
+all backends").
+
+``ns_of(*elements)`` is that dispatch point here: it returns the op
+namespace matching the element type -- jnp/XLA for eager arrays,
+``enoki_tpu.trace`` for LazyArray -- so ``types/complex.py``,
+``types/quaternion.py`` and ``render/vec.py`` are written once and run
+eagerly, lazily (the Complex<FloatC> analog, fused by one eval), and
+differentiably on either path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def is_lazy(x) -> bool:
+    """LazyArray detection without importing the trace runtime (which
+    builds the native library) for plain-jnp users."""
+    return type(x).__module__.startswith("enoki_tpu.trace")
+
+
+class _JnpNS:
+    """Eager namespace (XLA's native lowerings)."""
+
+    sqrt = staticmethod(jnp.sqrt)
+    rsqrt = staticmethod(jax.lax.rsqrt)
+    exp = staticmethod(jnp.exp)
+    log = staticmethod(jnp.log)
+    sin = staticmethod(jnp.sin)
+    cos = staticmethod(jnp.cos)
+    tan = staticmethod(jnp.tan)
+    asin = staticmethod(jnp.arcsin)
+    acos = staticmethod(jnp.arccos)
+    atan = staticmethod(jnp.arctan)
+    atan2 = staticmethod(jnp.arctan2)
+    sinh = staticmethod(jnp.sinh)
+    cosh = staticmethod(jnp.cosh)
+    tanh = staticmethod(jnp.tanh)
+    abs = staticmethod(jnp.abs)
+    maximum = staticmethod(jnp.maximum)
+    minimum = staticmethod(jnp.minimum)
+    sign = staticmethod(jnp.sign)
+    floor = staticmethod(jnp.floor)
+
+    @staticmethod
+    def select(m, a, b):
+        return jnp.where(m, a, b)
+
+    @staticmethod
+    def sincos(x):
+        return jnp.sin(x), jnp.cos(x)
+
+
+class _LazyNS:
+    """Lazy namespace: forwards to enoki_tpu.trace's functional API
+    (records opcodes; one downstream eval fuses everything)."""
+
+    def __getattr__(self, name):
+        import enoki_tpu.trace as tr
+
+        fn = getattr(tr, name)
+        setattr(self, name, fn)  # cache for next lookup
+        return fn
+
+
+_JNP = _JnpNS()
+_LAZY = _LazyNS()
+
+
+def ns_of(*xs):
+    """The op namespace for the given element arrays (the array_router
+    dispatch point): lazy if ANY element is a LazyArray."""
+    for x in xs:
+        if is_lazy(x):
+            return _LAZY
+    return _JNP
+
+
+class _EagerMath:
+    """Eager math with the ops.math impl selector (native | poly)."""
+
+    def __init__(self, impl: str):
+        self._impl = impl
+
+    def __getattr__(self, name):
+        from . import math as M
+
+        fn = getattr(M, name)
+        impl = self._impl
+
+        def wrapped(*args):
+            return fn(*args, impl)
+
+        return wrapped
+
+    # functions without an impl selector
+    @staticmethod
+    def sqrt(x):
+        return jnp.sqrt(x)
+
+    @staticmethod
+    def maximum(a, b):
+        return jnp.maximum(a, b)
+
+    @staticmethod
+    def select(m, a, b):
+        return jnp.where(m, a, b)
+
+    @staticmethod
+    def hypot(a, b):
+        from . import math as M
+
+        return M.hypot(a, b)
+
+    @staticmethod
+    def rsqrt(x):
+        return jax.lax.rsqrt(x)
+
+
+class _TraceMath:
+    """Lazy math: trace opcodes (impl selector does not apply -- the
+    fused program uses XLA's lowerings, the trace analog of 'native')."""
+
+    def __getattr__(self, name):
+        import enoki_tpu.trace as tr
+
+        fn = getattr(tr, name)
+        setattr(self, name, fn)
+        return fn
+
+    @staticmethod
+    def sincosh(x):
+        import enoki_tpu.trace as tr
+
+        return tr.sinh(x), tr.cosh(x)
+
+    @staticmethod
+    def hypot(a, b):
+        import enoki_tpu.trace as tr
+
+        # scaled form (overflow-safe like ops.math.hypot)
+        aa, bb = abs(a), abs(b)
+        mx = tr.maximum(aa, bb)
+        mn = tr.minimum(aa, bb)
+        t = mn / tr.maximum(mx, 1e-38)
+        return mx * tr.sqrt(t * t + 1.0)
+
+
+_TRACE_MATH = _TraceMath()
+_EAGER_NATIVE = _EagerMath("native")
+
+
+def math_ns(x, impl: str = "native"):
+    """Math-function namespace for element ``x``: trace ops for
+    LazyArray, ops.math(impl=...) for eager arrays. The dispatch point
+    that makes types/complex.py and types/quaternion.py backend-generic
+    (Complex<FloatC> instantiates from the same source as
+    Complex<FloatP> in the reference)."""
+    if is_lazy(x):
+        return _TRACE_MATH
+    return _EAGER_NATIVE if impl == "native" else _EagerMath(impl)

@@ -5,6 +5,11 @@ three wide arrays (tests/sphere.cpp:36-39). The TPU-native equivalent is a
 pytree struct of per-component arrays -- each component is a full VPU-wide
 array, every vector op is straight-line elementwise code, and nothing
 fights the (8,128) tile layout the way a trailing axis of 3 would.
+
+Backend-generic: components may be eager jnp arrays or lazy
+``trace.LazyArray``s (the ``Vector3fC = Array<FloatC, 3>`` analog,
+docs/gpu.rst:74) -- arithmetic is operator-based and norm/normalize
+dispatch through ops.backend.
 """
 
 from __future__ import annotations
@@ -13,6 +18,8 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+
+from ..ops import backend as B
 
 
 @jax.tree_util.register_dataclass
@@ -42,6 +49,10 @@ class Vec3:
 
     @staticmethod
     def of(x, y, z) -> "Vec3":
+        if B.is_lazy(x) or B.is_lazy(y) or B.is_lazy(z):
+            ref = x if B.is_lazy(x) else y if B.is_lazy(y) else z
+            lift = lambda v: v if B.is_lazy(v) else ref * 0.0 + v
+            return Vec3(lift(x), lift(y), lift(z))
         x = jnp.asarray(x, jnp.result_type(x, 1.0))
         return Vec3(x, jnp.asarray(y, x.dtype), jnp.asarray(z, x.dtype))
 
@@ -85,8 +96,8 @@ def cross3(a: Vec3, b: Vec3) -> Vec3:
 
 
 def norm3(a: Vec3):
-    return jnp.sqrt(dot3(a, a))
+    return B.math_ns(a.x).sqrt(dot3(a, a))
 
 
 def normalize3(a: Vec3) -> Vec3:
-    return a * jax.lax.rsqrt(dot3(a, a))
+    return a * B.math_ns(a.x).rsqrt(dot3(a, a))

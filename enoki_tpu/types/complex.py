@@ -6,6 +6,11 @@ with full complex algebra incl. exp/log/sqrt/trig (complex.h:27,136-230).
 TPU-native design: instead of jnp's complex64 dtype (limited TPU support,
 no bf16), we store separate re/im arrays -- every op is plain VPU
 elementwise code, works in f32/bf16, differentiates, vmaps, shards.
+
+Backend-generic (the reference's Complex<T> instantiates for FloatP AND
+FloatC from one source): elements may be eager jnp arrays or lazy
+``trace.LazyArray``s -- ops dispatch through ops.backend.math_ns, so a
+Complex over LazyArrays records into the trace and fuses at eval.
 """
 
 from __future__ import annotations
@@ -15,6 +20,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops import backend as B
 from ..ops import math as M
 
 
@@ -28,6 +34,12 @@ class Complex:
 
     @staticmethod
     def of(re, im=0.0) -> "Complex":
+        if B.is_lazy(re) or B.is_lazy(im):
+            if not B.is_lazy(im):
+                im = re * 0.0 + im
+            if not B.is_lazy(re):
+                re = im * 0.0 + re
+            return Complex(re, im)
         re = jnp.asarray(re, jnp.result_type(re, 1.0))
         im = jnp.broadcast_to(jnp.asarray(im, re.dtype), jnp.shape(re)) \
             if jnp.ndim(im) == 0 else jnp.asarray(im, re.dtype)
@@ -76,9 +88,13 @@ class Complex:
         return (self.re != o.re) | (self.im != o.im)
 
 
-def _c(x) -> Complex:
+def _c(x, like=None) -> Complex:
     if isinstance(x, Complex):
         return x
+    if B.is_lazy(x):
+        return Complex(x, x * 0.0)
+    if like is not None and B.is_lazy(like.re):
+        return Complex(like.re * 0.0 + x, like.re * 0.0)
     x = jnp.asarray(x)
     return Complex(x, jnp.zeros_like(x))
 
@@ -100,11 +116,11 @@ def squared_norm(z: Complex):
 
 
 def abs_(z: Complex):
-    return M.hypot(z.re, z.im)
+    return B.math_ns(z.re).hypot(z.re, z.im)
 
 
 def arg(z: Complex):
-    return jnp.arctan2(z.im, z.re)
+    return B.math_ns(z.re).atan2(z.im, z.re)
 
 
 def rcp(z: Complex) -> Complex:
@@ -115,43 +131,49 @@ def rcp(z: Complex) -> Complex:
 
 def sqrt(z: Complex) -> Complex:
     """Principal square root (complex.h sqrt)."""
+    g = B.math_ns(z.re)
     r = abs_(z)
-    re = jnp.sqrt(0.5 * (r + z.re))
-    im_mag = jnp.sqrt(jnp.maximum(0.5 * (r - z.re), 0.0))
-    im = jnp.where(z.im < 0, -im_mag, im_mag)
+    re = g.sqrt(0.5 * (r + z.re))
+    im_mag = g.sqrt(g.maximum(0.5 * (r - z.re), 0.0))
+    im = g.select(z.im < 0, -im_mag, im_mag)
     return Complex(re, im)
 
 
 def exp(z: Complex, impl="native") -> Complex:
-    e = M.exp(z.re, impl)
-    s, c = M.sincos(z.im, impl)
+    g = B.math_ns(z.re, impl)
+    e = g.exp(z.re)
+    s, c = g.sincos(z.im)
     return Complex(e * c, e * s)
 
 
 def log(z: Complex, impl="native") -> Complex:
-    return Complex(0.5 * M.log(squared_norm(z), impl), arg(z))
+    g = B.math_ns(z.re, impl)
+    return Complex(0.5 * g.log(squared_norm(z)), arg(z))
 
 
 def pow(z: Complex, w, impl="native") -> Complex:
-    w = _c(w)
+    w = _c(w, like=z)
     return exp(w * log(z, impl), impl)
 
 
 def sin(z: Complex, impl="native") -> Complex:
-    s, c = M.sincos(z.re, impl)
-    sh, ch = M.sincosh(z.im, impl)
+    g = B.math_ns(z.re, impl)
+    s, c = g.sincos(z.re)
+    sh, ch = g.sincosh(z.im)
     return Complex(s * ch, c * sh)
 
 
 def cos(z: Complex, impl="native") -> Complex:
-    s, c = M.sincos(z.re, impl)
-    sh, ch = M.sincosh(z.im, impl)
+    g = B.math_ns(z.re, impl)
+    s, c = g.sincos(z.re)
+    sh, ch = g.sincosh(z.im)
     return Complex(c * ch, -s * sh)
 
 
 def sincos(z: Complex, impl="native"):
-    s, c = M.sincos(z.re, impl)
-    sh, ch = M.sincosh(z.im, impl)
+    g = B.math_ns(z.re, impl)
+    s, c = g.sincos(z.re)
+    sh, ch = g.sincosh(z.im)
     return Complex(s * ch, c * sh), Complex(c * ch, -s * sh)
 
 
@@ -161,14 +183,16 @@ def tan(z: Complex, impl="native") -> Complex:
 
 
 def sinh(z: Complex, impl="native") -> Complex:
-    sh, ch = M.sincosh(z.re, impl)
-    s, c = M.sincos(z.im, impl)
+    g = B.math_ns(z.re, impl)
+    sh, ch = g.sincosh(z.re)
+    s, c = g.sincos(z.im)
     return Complex(sh * c, ch * s)
 
 
 def cosh(z: Complex, impl="native") -> Complex:
-    sh, ch = M.sincosh(z.re, impl)
-    s, c = M.sincos(z.im, impl)
+    g = B.math_ns(z.re, impl)
+    sh, ch = g.sincosh(z.re)
+    s, c = g.sincos(z.im)
     return Complex(ch * c, sh * s)
 
 
@@ -179,7 +203,7 @@ def tanh(z: Complex, impl="native") -> Complex:
 def asin(z: Complex, impl="native") -> Complex:
     """asin z = -i log(i z + sqrt(1 - z^2)) (complex.h)."""
     i_z = Complex(-z.im, z.re)
-    s = sqrt(_c(1.0) - z * z)
+    s = sqrt(_c(1.0, like=z) - z * z)
     l = log(i_z + s, impl)
     return Complex(l.im, -l.re)
 
@@ -192,7 +216,8 @@ def acos(z: Complex, impl="native") -> Complex:
 def atan(z: Complex, impl="native") -> Complex:
     """atan z = i/2 (log(1 - iz) - log(1 + iz))."""
     i_z = Complex(-z.im, z.re)
-    l = log((_c(1.0) - i_z) / (_c(1.0) + i_z), impl)
+    one = _c(1.0, like=z)
+    l = log((one - i_z) / (one + i_z), impl)
     return Complex(-0.5 * l.im, 0.5 * l.re)
 
 

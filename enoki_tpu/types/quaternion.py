@@ -13,6 +13,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
+from ..ops import backend as B
 from ..ops import math as M
 from ..ops.router import mulsign, safe_sqrt, safe_acos
 
@@ -85,11 +86,11 @@ def squared_norm(q: Quaternion):
 
 
 def abs_(q: Quaternion):
-    return jnp.sqrt(squared_norm(q))
+    return B.math_ns(q.x).sqrt(squared_norm(q))
 
 
 def normalize(q: Quaternion) -> Quaternion:
-    inv = jax.lax.rsqrt(squared_norm(q))
+    inv = B.math_ns(q.x).rsqrt(squared_norm(q))
     return q * inv
 
 
@@ -104,20 +105,30 @@ def dot(a: Quaternion, b: Quaternion):
 
 def exp(q: Quaternion, impl="native") -> Quaternion:
     """exp(q) (quaternion.h:165): e^w (cos|v|, sin|v| v/|v|)."""
-    vn = jnp.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
-    ew = M.exp(q.w, impl)
-    s, c = M.sincos(vn, impl)
-    scale = ew * jnp.where(vn == 0.0, 1.0, s / jnp.where(vn == 0.0, 1.0, vn))
+    g = B.math_ns(q.x, impl)
+    vn = g.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
+    ew = g.exp(q.w)
+    s, c = g.sincos(vn)
+    scale = ew * g.select(vn == 0.0, vn * 0.0 + 1.0,
+                          s / g.select(vn == 0.0, vn * 0.0 + 1.0, vn))
     return Quaternion(q.x * scale, q.y * scale, q.z * scale, ew * c)
 
 
 def log(q: Quaternion, impl="native") -> Quaternion:
     """log(q) (quaternion.h:178)."""
+    g = B.math_ns(q.x, impl)
     qn = abs_(q)
-    vn = jnp.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
-    t = safe_acos(q.w / jnp.where(qn == 0.0, 1.0, qn))
-    scale = jnp.where(vn == 0.0, 0.0, t / jnp.where(vn == 0.0, 1.0, vn))
-    return Quaternion(q.x * scale, q.y * scale, q.z * scale, M.log(qn, impl))
+    vn = g.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
+    one_qn = g.select(qn == 0.0, qn * 0.0 + 1.0, qn)
+    one_vn = g.select(vn == 0.0, vn * 0.0 + 1.0, vn)
+    if B.is_lazy(q.x):
+        import enoki_tpu.trace as tr
+
+        t = tr.acos(tr.clamp(q.w / one_qn, -1.0, 1.0))
+    else:
+        t = safe_acos(q.w / one_qn)
+    scale = g.select(vn == 0.0, vn * 0.0, t / one_vn)
+    return Quaternion(q.x * scale, q.y * scale, q.z * scale, g.log(qn))
 
 
 def pow(q: Quaternion, beta, impl="native") -> Quaternion:
@@ -128,11 +139,13 @@ def pow(q: Quaternion, beta, impl="native") -> Quaternion:
 
 def sqrt(q: Quaternion, impl="native") -> Quaternion:
     """Principal square root (quaternion.h sqrt): complex-style on (w, |v|)."""
+    g = B.math_ns(q.x, impl)
     ri = abs_(q)
-    re = jnp.sqrt(0.5 * (ri + q.w))
-    im_mag = jnp.sqrt(jnp.maximum(0.5 * (ri - q.w), 0.0))
-    vn = jnp.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
-    scale = jnp.where(vn == 0.0, 0.0, im_mag / jnp.where(vn == 0.0, 1.0, vn))
+    re = g.sqrt(0.5 * (ri + q.w))
+    im_mag = g.sqrt(g.maximum(0.5 * (ri - q.w), ri * 0.0))
+    vn = g.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
+    one_vn = g.select(vn == 0.0, vn * 0.0 + 1.0, vn)
+    scale = g.select(vn == 0.0, vn * 0.0, im_mag / one_vn)
     return Quaternion(q.x * scale, q.y * scale, q.z * scale, re)
 
 

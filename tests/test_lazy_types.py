@@ -1,0 +1,125 @@
+"""Backend-generic composite types over the lazy trace.
+
+The reference's type zoo instantiates the same composite types over
+every backend -- Complex<FloatP> AND Complex<FloatC>, Vector3fC =
+Array<FloatC, 3> (docs/gpu.rst:74, SURVEY type table). These tests pin
+the TPU analog: enoki_tpu.types.Complex / Quaternion and render.Vec3
+over trace.LazyArray elements record into the trace (nothing executes),
+fuse into one program at eval, match the eager jnp instantiation, and
+differentiate through the tape.
+"""
+
+import numpy as np
+import pytest
+
+import enoki_tpu.trace as tr
+from enoki_tpu.render.vec import Vec3, cross3, dot3, norm3, normalize3
+from enoki_tpu.trace import LazyArray
+from enoki_tpu.types import complex as C
+from enoki_tpu.types import quaternion as Q
+
+
+@pytest.fixture(autouse=True)
+def _fresh():
+    tr.reset()
+    yield
+    tr.reset()
+
+
+def _lz(a):
+    return LazyArray(np.asarray(a, np.float32))
+
+
+def test_complex_lazy_matches_eager():
+    re = np.linspace(-2.0, 2.0, 64).astype(np.float32)
+    im = np.linspace(1.0, 3.0, 64).astype(np.float32)
+    zl = C.Complex(_lz(re), _lz(im))
+    ze = C.Complex.of(re, im)
+
+    wl = C.exp(C.log(zl * zl + 1.0) * 0.5)
+    we = C.exp(C.log(ze * ze + 1.0) * 0.5)
+    assert not wl.re.materialized  # still lazy: the whole chain recorded
+    evals_before = tr.stats()["n_evals"]
+    tr.eval()  # bare eval: ALL live vars in one program (jit.cu:1418)
+    assert tr.stats()["n_evals"] == evals_before + 1
+    assert wl.re.materialized and wl.im.materialized
+    got_re, got_im = wl.re.numpy(), wl.im.numpy()
+    np.testing.assert_allclose(got_re, np.asarray(we.re), rtol=2e-6,
+                               atol=1e-6)
+    np.testing.assert_allclose(got_im, np.asarray(we.im), rtol=2e-6,
+                               atol=1e-6)
+
+
+def test_complex_lazy_full_surface():
+    re = np.linspace(0.3, 1.4, 32).astype(np.float32)
+    im = np.linspace(-0.8, 0.9, 32).astype(np.float32)
+    zl = C.Complex(_lz(re), _lz(im))
+    ze = C.Complex.of(re, im)
+    for fn in (C.sqrt, C.sin, C.cos, C.sinh, C.cosh, C.asin, C.atan,
+               C.rcp, C.conj):
+        wl, we = fn(zl), fn(ze)
+        np.testing.assert_allclose(wl.re.numpy(), np.asarray(we.re),
+                                   rtol=3e-5, atol=3e-6,
+                                   err_msg=fn.__name__)
+        np.testing.assert_allclose(wl.im.numpy(), np.asarray(we.im),
+                                   rtol=3e-5, atol=3e-6,
+                                   err_msg=fn.__name__)
+    np.testing.assert_allclose(C.abs_(zl).numpy(),
+                               np.asarray(C.abs_(ze)), rtol=1e-5)
+    np.testing.assert_allclose(C.arg(zl).numpy(),
+                               np.asarray(C.arg(ze)), rtol=1e-5)
+
+
+def test_complex_lazy_gradient():
+    # d/d re of |exp(z)|^2 through the tape
+    re = np.array([0.25, 0.5], np.float32)
+    im = np.array([0.1, 0.2], np.float32)
+    re_l = tr.requires_grad(_lz(re))
+    z = C.Complex(re_l, _lz(im))
+    w = C.exp(z)
+    loss = (w.re * w.re + w.im * w.im).hsum()  # = exp(2 re)
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(re_l).numpy(),
+                               2.0 * np.exp(2.0 * re), rtol=1e-5)
+
+
+def test_quaternion_lazy_matches_eager():
+    rng = np.random.default_rng(3)
+    comps = rng.normal(size=(4, 16)).astype(np.float32)
+    ql = Q.Quaternion(*[_lz(c) for c in comps])
+    qe = Q.Quaternion(*comps)
+    for fn in (Q.normalize, Q.exp, Q.sqrt, Q.rcp, Q.conj):
+        wl, we = fn(ql), fn(qe)
+        for comp in "xyzw":
+            np.testing.assert_allclose(
+                getattr(wl, comp).numpy(), np.asarray(getattr(we, comp)),
+                rtol=3e-5, atol=3e-6, err_msg=f"{fn.__name__}.{comp}")
+    np.testing.assert_allclose(Q.abs_(ql).numpy(), np.asarray(Q.abs_(qe)),
+                               rtol=1e-5)
+    # log on normalized quaternions (acos domain)
+    wl, we = Q.log(Q.normalize(ql)), Q.log(Q.normalize(qe))
+    for comp in "xyzw":
+        np.testing.assert_allclose(
+            getattr(wl, comp).numpy(), np.asarray(getattr(we, comp)),
+            rtol=1e-4, atol=1e-5, err_msg=f"log.{comp}")
+
+
+def test_vec3_lazy_is_vector3fc():
+    a = Vec3.of(_lz([1.0, 2.0]), _lz([0.0, 1.0]), _lz([2.0, -1.0]))
+    b = Vec3.of(_lz([0.5, 0.5]), _lz([1.0, 0.0]), _lz([0.0, 3.0]))
+    c = cross3(a, b)
+    n = normalize3(a + b * 2.0)
+    d = dot3(a, b)
+    # all still lazy; one read fuses
+    assert not d.materialized
+    np.testing.assert_allclose(d.numpy(), [0.5 + 0 + 0, 1.0 + 0 - 3.0])
+    np.testing.assert_allclose(
+        c.x.numpy(), np.cross([[1, 0, 2], [2, 1, -1]],
+                              [[0.5, 1, 0], [0.5, 0, 3]])[:, 0])
+    nn = np.asarray([n.x.numpy(), n.y.numpy(), n.z.numpy()])
+    np.testing.assert_allclose((nn ** 2).sum(0), [1.0, 1.0], rtol=1e-6)
+    np.testing.assert_allclose(norm3(a).numpy(), [np.sqrt(5.0),
+                                                  np.sqrt(6.0)], rtol=1e-6)
+    # Vec3.of lifts python scalars against lazy components
+    s = Vec3.of(_lz([1.0, 1.0]), 2.0, 3.0)
+    np.testing.assert_allclose(s.z.numpy(), [3.0, 3.0])
