@@ -67,10 +67,98 @@ _ERFC_BIG_F32 = (0.5641894915108899, -0.2820770813080498, 0.4219410805387515,
                  13.853756360566171, -11.556587251550912)  # low -> high, |x| > 2
 
 
+# ERF64_SMALL: deg 15, max abs err 4.9e-25 (monomial, low -> high)
+_ERF64_SMALL = (
+    1.1283791670955126, -0.37612638903183754, 0.11283791670955126,
+    -0.026866170645131252, 0.005223977625442175, -0.0008548327023449497,
+    0.00012055332981694495, -1.4925650353787866e-05, 1.6462114205798046e-06,
+    -1.6365840648222765e-07, 1.4807117719731329e-08, -1.2289529419960295e-09,
+    9.412558594992829e-11, -6.639294901316118e-12, 4.117309460970657e-13,
+    -1.746609279318069e-14,
+)
+# ERFC64_BIG: 28 Chebyshev terms on [0.0013417595835178253, 0.25], max abs err 2.92e-19 (a0 pre-halved)
+_ERFC64_BIG = (
+    0.5355952668668763, -0.026347322309570733, 0.0016866118873189477,
+    -0.00016010840260293128, 1.926335135759567e-05, -2.731940453529889e-06,
+    4.3835667186741077e-07, -7.753747974149442e-08, 1.4852720144476457e-08,
+    -3.041902222792052e-09, 6.597082644206111e-10, -1.5038023481338093e-10,
+    3.581728411606054e-11, -8.871052181034189e-12, 2.2757310991203797e-12,
+    -6.026889105556514e-13, 1.6431396350039202e-13, -4.600679548039466e-14,
+    1.3201826124509799e-14, -3.875468212257644e-15, 1.1619877827187225e-15,
+    -3.5534884221884737e-16, 1.1069793970299305e-16, -3.508828155937958e-17,
+    1.1303886548351901e-17, -3.693631650914469e-18, 1.211430955680132e-18,
+    -3.6486707176552197e-19,
+)
+# ERFC64_MID: 28 Chebyshev terms on [0.25, 1.0], max abs err 1.99e-20 (a0 pre-halved)
+_ERFC64_MID = (
+    0.46519932669884523, -0.04110133936262089, 0.003914495866689627,
+    -0.0004906395650548979, 7.157479001377036e-05, -1.1530716341312328e-05,
+    1.9946705902019974e-06, -3.642666471599223e-07, 6.944372610005012e-08,
+    -1.371220902104366e-08, 2.7883896610071373e-09, -5.814164724331161e-10,
+    1.2389204917527532e-10, -2.6906391453067435e-11, 5.9426143508479106e-12,
+    -1.3323867357581193e-12, 3.0280468061771217e-13, -6.966648814940638e-14,
+    1.620854541052417e-14, -3.809934465192936e-15, 9.040487813771914e-16,
+    -2.164006186597287e-16, 5.222101905990895e-17, -1.269728330557074e-17,
+    3.10909599028495e-18, -7.661827010872778e-19, 1.893216257909702e-19,
+    -4.4422037200364615e-20,
+)
+_ERFC64_Q_MIN = 0.0013417595835178253
+
+
+def _expx2_neg(x):
+    """exp(-x^2) without the quadratic error amplification: rounding
+    x*x costs ~x^2 * ulp relative error (2000+ ulp at x = 27), so split
+    hi = round(128 x)/128 (hi^2 is exactly representable) and use
+    exp(-x^2) = exp(-hi^2) * exp(-m), m = (x-hi)(x+hi) -- the Cephes
+    expx2 technique, rebuilt branch-free."""
+    hi = jnp.round(x * 128.0) * (1.0 / 128.0)
+    m = (x - hi) * (x + hi)
+    return jnp.exp(-hi * hi) * jnp.exp(-m)
+
+
+def _chebeval(t, coeffs):
+    """Clenshaw evaluation of sum_k coeffs[k] T_k(t) (coeffs[0] is the
+    already-halved a_0 of the interpolation). Chebyshev basis because
+    the degree-27 tail fits have |monomial coefficients| ~ 1e13 --
+    catastrophic cancellation in f64; Chebyshev coefficients stay O(1)."""
+    b1 = b2 = jnp.zeros_like(t)
+    for c in coeffs[:0:-1]:
+        b1, b2 = 2.0 * t * b1 - b2 + c, b1
+    return t * b1 - b2 + coeffs[0]
+
+
+def _erfc64_pos(a):
+    """f64 erfc for a >= 0 (own fits, tools/fit_special_f64.py)."""
+    z = a * a
+    small = 1.0 - a * P.horner(z, _ERF64_SMALL)
+    q = 1.0 / jnp.maximum(z, 1.0)
+    q = jnp.maximum(q, _ERFC64_Q_MIN)
+    t_big = (2.0 * q - (_ERFC64_Q_MIN + 0.25)) / (0.25 - _ERFC64_Q_MIN)
+    t_mid = (2.0 * q - 1.25) / 0.75
+    kq = jnp.where(a > 2.0, _chebeval(t_big, _ERFC64_BIG),
+                   _chebeval(t_mid, _ERFC64_MID))
+    tail = _expx2_neg(jnp.minimum(a, 28.0)) / jnp.maximum(a, 1.0) * kq
+    # underflow at the smallest NORMAL: XLA flushes f64 denormals to
+    # zero on CPU and TPU (the reference's GPU path is ftz throughout,
+    # cuda.h:341), so erfc's denormal range x in (26.55, 27.3] is
+    # unrepresentable by construction
+    tail = jnp.where(a > 26.55, 0.0, tail)
+    return jnp.where(a <= 1.0, small, tail)
+
+
+def _erf64(x):
+    a = jnp.abs(x)
+    r = jnp.where(a <= 1.0, a * P.horner(a * a, _ERF64_SMALL),
+                  1.0 - _erfc64_pos(a))
+    return jnp.where(x < 0, -r, r)
+
+
 def erf(x, impl=_NATIVE):
     x = _f(x)
     if impl == _NATIVE:
         return jsp.erf(x)
+    if x.dtype == jnp.float64:
+        return _erf64(x)
     a = jnp.abs(x)
     # |x| < 1: direct series erf(x) = x * poly(x^2)
     z = x * x
@@ -82,6 +170,9 @@ def erfc(x, impl=_NATIVE):
     x = _f(x)
     if impl == _NATIVE:
         return jsp.erfc(x)
+    if x.dtype == jnp.float64:
+        r = _erfc64_pos(jnp.abs(x))
+        return jnp.where(x < 0, 2.0 - r, r)
     a = jnp.abs(x)
     z = x * x
     small = 1.0 - x * P.horner(z, list(reversed(_ERF_SMALL_F32)))
@@ -284,8 +375,12 @@ def _lgamma_pos(y):
 
 
 def lgamma(x, impl=_NATIVE):
+    # NOTE: the factored-zero fits are single-precision; on f64 inputs
+    # the poly path delegates to XLA's lowering (a dedicated f64
+    # factored-zero refit is future work -- the f32 fits would be ~1e6
+    # f64 ulp, silently wrong)
     x = _f(x)
-    if impl == _NATIVE:
+    if impl == _NATIVE or x.dtype == jnp.float64:
         return jsp.gammaln(x)
     reflect = x < 0.5
     # both branches evaluated on safe inputs, then selected (mask

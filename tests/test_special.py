@@ -248,3 +248,32 @@ def test_lgamma_ulp_bound():
     ulp = (np.abs(got - w32.astype(np.float64))
            / np.spacing(np.abs(w32)).astype(np.float64))[keep]
     assert ulp.mean() < 1.5 and ulp.max() < 64, (ulp.mean(), ulp.max())
+
+
+def test_erf_erfc_f64_poly():
+    # own double-precision fits (tools/fit_special_f64.py): Chebyshev
+    # tail kernels + expx2 argument splitting; measured <= 5 ulp over
+    # the full normal range (underflow at the smallest normal -- XLA
+    # flushes f64 denormals like the reference's ftz GPU path)
+    import jax
+
+    with jax.enable_x64():
+        # all references via mpmath: scipy's own f64 erfc is 8-12 ulp
+        # off near x ~ 0.9 and drifts ~x^2*ulp in the tail (naive
+        # exp(-x^2) squaring; ~500 ulp at x = 24) -- ours tracks mpmath
+        import mpmath as mp
+
+        mp.mp.dps = 40
+        rng = np.random.default_rng(11)
+        x = np.concatenate([rng.uniform(-2, 2, 400),
+                            rng.uniform(2, 26.5, 300),
+                            rng.uniform(-26.5, -2, 200)])
+        for fn, ref in [(S.erf, mp.erf), (S.erfc, mp.erfc)]:
+            got = np.asarray(fn(jnp.asarray(x, jnp.float64), POLY))
+            want = np.array([float(ref(v)) for v in x])
+            keep = np.abs(want) > 2.3e-308
+            ulp = (np.abs(got - want)[keep]
+                   / np.spacing(np.abs(want))[keep])
+            assert ulp.max() <= 8.0 and ulp.mean() < 1.0, fn.__name__
+        assert float(S.erfc(jnp.float64(27.5), POLY)) == 0.0
+        assert float(S.erf(jnp.float64(-30.0), POLY)) == -1.0

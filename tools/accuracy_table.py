@@ -2,12 +2,14 @@
 published tables (docs/reference.rst:1285-1527, BASELINE.md §A).
 
 Sweeps each function over the same domain the reference documents,
-measures mean/max ULP error of the f32 polynomial path ("poly") and the
-XLA-native path against float64 references, and prints a markdown table.
-Methodology = probe_accuracy (reference tests/test.h:206-307): the
-correctly-rounded f32 answer scores 0 ULP.
+measures mean/max ULP error of the polynomial path ("poly") and the
+XLA-native path against high-precision references, and prints markdown
+tables for BOTH precisions (the reference publishes f32 and f64 rows,
+docs/reference.rst:1285-1527). Methodology = probe_accuracy (reference
+tests/test.h:206-307): the correctly-rounded answer scores 0 ULP. The
+f64 rows use mpmath at 40 digits as the reference.
 
-Run: python tools/accuracy_table.py [n_samples]   (CPU f64 references)
+Run: python tools/accuracy_table.py [n_samples]   (CPU references)
 """
 
 import sys
@@ -29,9 +31,9 @@ from enoki_tpu.ops import math as m
 from enoki_tpu.ops import special as sp
 
 
-def ulp_error(result, reference):
+def ulp_error(result, reference, dtype=np.float32):
     result = np.asarray(result, np.float64)
-    want = np.asarray(reference, np.float64).astype(np.float32)
+    want = np.asarray(reference, np.float64).astype(dtype)
     spacing = np.spacing(np.abs(want)).astype(np.float64)
     return np.abs(result - want.astype(np.float64)) / spacing
 
@@ -70,30 +72,54 @@ CASES = [
 ]
 
 
-def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+def _table(n, dtype):
     rng = np.random.default_rng(0)
+    print(f"\n### {np.dtype(dtype).name}\n")
     print("| function | domain | poly avg/max ulp | native avg/max ulp | "
-          "reference avg/max |")
+          "reference avg/max (f32) |")
     print("|---|---|---|---|---|")
+    if dtype == np.float64:
+        import mpmath as mp
+
+        mp.mp.dps = 40
+        refs64 = {"sin": mp.sin, "cos": mp.cos, "tan": mp.tan,
+                  "asin": mp.asin, "acos": mp.acos, "atan": mp.atan,
+                  "exp": mp.exp, "log": mp.log, "sinh": mp.sinh,
+                  "cosh": mp.cosh, "tanh": mp.tanh, "erf": mp.erf,
+                  "erfinv": lambda v: mp.erfinv(v),
+                  "lgamma": lambda v: mp.loggamma(v)}
     for name, fn, ref_fn, lo, hi, log_space, claimed in CASES:
         if log_space:
             xs = np.exp(rng.uniform(np.log(lo), np.log(hi), n))
         else:
             xs = rng.uniform(lo, hi, n)
-        xs = xs.astype(np.float32)
-        want = ref_fn(xs.astype(np.float64))
+        xs = xs.astype(dtype)
+        if dtype == np.float64:
+            import mpmath as mp
+
+            want = np.array([float(refs64[name](mp.mpf(float(v))))
+                             for v in xs])
+        else:
+            want = ref_fn(xs.astype(np.float64))
         finite = np.isfinite(want) & (want != 0)
         cols = []
         for impl in ("poly", "native"):
             try:
                 got = np.asarray(fn(xs, impl), np.float64)
-                err = ulp_error(got[finite], want[finite])
+                err = ulp_error(got[finite], want[finite], dtype)
                 cols.append(f"{err.mean():.4f} / {err.max():.0f}")
             except TypeError:
                 cols.append("=")  # special fns have one implementation
         dom = f"[{lo:g}, {hi:g}]"
         print(f"| {name} | {dom} | {cols[0]} | {cols[1]} | {claimed} |")
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
+    _table(n, np.float32)
+    jax.config.update("jax_enable_x64", True)
+    # f64 rows: mpmath references are slow -- subsample
+    _table(min(n, 20_000), np.float64)
 
 
 if __name__ == "__main__":
