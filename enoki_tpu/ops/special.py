@@ -105,6 +105,66 @@ _ERFC64_MID = (
 _ERFC64_Q_MIN = 0.0013417595835178253
 
 
+# DAWSON64_SMALL: 52 Chebyshev terms on [1e-24, 36.0], max abs err 1.42e-26 (a0 pre-halved)
+_DAWSON64_SMALL = (
+    0.14770448757545968, -0.2398534195953638, 0.18738428379289465,
+    -0.1405735842044173, 0.10110742050985852, -0.06964467346926513,
+    0.04590988329500305, -0.02895173024979205, 0.0174644950526268,
+    -0.010079038005053508, 0.005566956686151923, -0.002944252141863637,
+    0.001491992791298386, -0.0007249529727323651, 0.00033802670350880964,
+    -0.00015137628877812196, 6.516457662067448e-05, -2.6989888383368587e-05,
+    1.0765104660981909e-05, -4.138606994983442e-06, 1.5349573638158337e-06,
+    -5.497005653471848e-07, 1.9024697513594356e-07, -6.368486439414856e-08,
+    2.0636551037394904e-08, -6.4783696160122245e-09, 1.9717723508003027e-09,
+    -5.822831808514027e-10, 1.6695958271124255e-10, -4.651474041283174e-11,
+    1.2599809550972456e-11, -3.3205739664337557e-12, 8.519414744000667e-13,
+    -2.129196119792782e-13, 5.186606757621425e-14, -1.2321287100163802e-14,
+    2.856067855293235e-15, -6.463188451211329e-16, 1.428594748374242e-16,
+    -3.085784084744163e-17, 6.51657152088065e-18, -1.3460640196934718e-18,
+    2.7207844847479764e-19, -5.383774790706026e-20, 1.0433262702697108e-20,
+    -1.980907289349781e-21, 3.68623850763235e-22, -6.725693101589979e-23,
+    1.2035901308576106e-23, -2.113240830989033e-24, 3.6391316145499683e-25,
+    -5.994533914033278e-26,
+)
+# DAWSON64_TAIL: 20 Chebyshev terms on [1e-24, 0.027777777777777776], max abs err 3.79e-22 (a0 pre-halved)
+_DAWSON64_TAIL = (
+    1.0071752259291502, 0.007254579074193654, 8.086455588294951e-05,
+    1.5531562229740045e-06, 4.328531758315656e-08, 1.6123107664377305e-09,
+    7.658641739865628e-11, 4.5073774093624016e-12, 3.2301123783078815e-13,
+    2.7957319878989467e-14, 2.925190652004896e-15, 3.7253963988471424e-16,
+    5.750901823018001e-17, 1.0260765854504379e-17, 1.883246018711638e-18,
+    2.7898517307755096e-19, 2.6364862855584663e-21, -2.010576353629126e-20,
+    -9.476498985572715e-21, -2.5697120693366522e-21,
+)
+# I0E64_A: 34 Chebyshev terms on [1e-24, 8.0], max abs err 1.42e-22 (a0 pre-halved)
+_I0E64_A = (
+    0.33839763720473803, -0.3046826723431984, 0.17162090152220877,
+    -0.09490109704804764, 0.04930528423967071, -0.02373741480589947,
+    0.010546460394594998, -0.004324309995050576, 0.0016394756169413357,
+    -0.0005763755745385824, 0.00018850288509584165, -5.754195010082104e-05,
+    1.6448448070728896e-05, -4.4167383584587505e-06, 1.1173875391201037e-06,
+    -2.670793853940612e-07, 6.046995022541919e-08, -1.300025009986248e-08,
+    2.6598237246823866e-09, -5.189795601635263e-10, 9.675809035373237e-11,
+    -1.726826291441556e-11, 2.95505266312964e-12, -4.856446783111929e-13,
+    7.676185498604936e-14, -1.1685332877993451e-14, 1.7153912855551317e-15,
+    -2.431279846547818e-16, 3.330794518807876e-17, -4.4153416450074414e-18,
+    5.669177859703422e-19, -7.057086331113794e-20, 8.523183862892743e-21,
+    -9.87404944735617e-22,
+)
+# I0E64_B: 26 Chebyshev terms on [1e-24, 0.125], max abs err 1.81e-18 (a0 pre-halved)
+_I0E64_B = (
+    0.4022452055070544, 0.0033691164782556943, 6.889758346916825e-05,
+    2.8913705208347567e-06, 2.0489185894690638e-07, 2.266668990498178e-08,
+    3.396232025708386e-09, 4.940602388224974e-10, 1.1889147107846069e-11,
+    -3.149916527963373e-11, -1.3215811840444411e-11, -1.7941785315052209e-12,
+    7.180124451217564e-13, 3.8527783828690237e-13, 1.540086223622408e-14,
+    -4.150569359939181e-14, -9.554846849041664e-15, 3.8116814243351245e-15,
+    1.77256012037355e-15, -3.4255224890000575e-16, -2.8275912723664775e-16,
+    3.4628248226046367e-17, 4.4627353687004704e-17, -4.894951052917917e-18,
+    -7.039337842458663e-18, 1.2410185249324504e-18,
+)
+
+
 def _expx2_neg(x):
     """exp(-x^2) without the quadratic error amplification: rounding
     x*x costs ~x^2 * ulp relative error (2000+ ulp at x = 27), so split
@@ -277,6 +337,15 @@ def i0e(x, impl=_NATIVE):
     if impl == _NATIVE:
         return jsp.i0e(x)
     a = jnp.abs(x)
+    if x.dtype == jnp.float64:
+        # own full-precision Chebyshev fits (tools/fit_special_f64.py);
+        # the f32 tables below are truncated Cephes sets (~1e-8)
+        t_a = (2.0 * jnp.minimum(a, 8.0) - 8.0) / 8.0
+        small = _chebeval(t_a, _I0E64_A)
+        q = 1.0 / jnp.maximum(a, 8.0)
+        t_b = (2.0 * q - 0.125) / 0.125
+        big = _chebeval(t_b, _I0E64_B) * lax.rsqrt(jnp.maximum(a, 8.0))
+        return jnp.where(a > 8.0, big, small)
     small = _chbevl(a * 0.5 - 2.0, _I0E_A)
     big = _chbevl(32.0 / jnp.maximum(a, 8.0) - 2.0, _I0E_B) * lax.rsqrt(jnp.maximum(a, 8.0))
     return jnp.where(a > 8.0, big, small)
@@ -297,10 +366,28 @@ _DAWSON_Q = (1.0, 0.7593552421380568, 0.2820196233023268, 0.06844432775483446,
              5.5820259368201406e-05, 3.1818534282458186e-05)
 
 
+def _dawson64(x):
+    """f64 Dawson (own Chebyshev fits, tools/fit_special_f64.py):
+    |x| <= 6 direct kernel in z = x^2; beyond, the 1/(2x) * K(1/x^2)
+    asymptotic kernel."""
+    a = jnp.abs(x)
+    z = jnp.minimum(a * a, 36.0)
+    t_small = (2.0 * z - 36.0) / 36.0
+    small = a * _chebeval(t_small, _DAWSON64_SMALL)
+    q = 1.0 / jnp.maximum(a * a, 36.0)
+    t_tail = (2.0 * q - (1.0 / 36.0)) * 36.0
+    tail = _chebeval(t_tail, _DAWSON64_TAIL) / (2.0 * jnp.maximum(a, 1.0))
+    r = jnp.where(a <= 6.0, small, tail)
+    return _mulsign(r, x)
+
+
 def dawson(x, impl=_POLY):
     """Dawson's integral e^{-x^2} \\int_0^x e^{t^2} dt. No jax-native impl
-    exists; the polynomial path is the only one."""
+    exists; the polynomial paths are the only ones (f32: own rational
+    fit; f64: own Chebyshev kernels, full double precision)."""
     x = _f(x)
+    if x.dtype == jnp.float64:
+        return _dawson64(x)
     x2 = x * x
     num = P.poly6(x2, *_DAWSON_P)
     den = P.poly7(x2, *_DAWSON_Q)
@@ -309,9 +396,17 @@ def dawson(x, impl=_POLY):
 
 def erfi(x, impl=_POLY):
     """Imaginary error function erfi(x) = 2/sqrt(pi) e^{x^2} D(x)
-    (special.h:268)."""
+    (special.h:268). The f64 path splits the e^{x^2} argument exactly
+    (the positive-exponent twin of _expx2_neg) -- naive squaring costs
+    ~x^2 ulp of relative error."""
     x = _f(x)
     two_over_sqrt_pi = 1.1283791670955126
+    if x.dtype == jnp.float64:
+        a = jnp.abs(x)
+        hi = jnp.round(a * 128.0) * (1.0 / 128.0)
+        m = (a - hi) * (a + hi)
+        e = jnp.exp(hi * hi) * jnp.exp(m)  # inf for a > 26.65 (erfi range)
+        return _mulsign(two_over_sqrt_pi * _dawson64(a) * e, x)
     e = jnp.exp(x * x) if impl == _NATIVE else M.exp(x * x, _POLY)
     return two_over_sqrt_pi * dawson(x, impl) * e
 

@@ -277,3 +277,35 @@ def test_erf_erfc_f64_poly():
             assert ulp.max() <= 8.0 and ulp.mean() < 1.0, fn.__name__
         assert float(S.erfc(jnp.float64(27.5), POLY)) == 0.0
         assert float(S.erf(jnp.float64(-30.0), POLY)) == -1.0
+
+
+def test_dawson_erfi_i0e_f64():
+    # f64 paths: own Chebyshev kernels (tools/fit_special_f64.py) --
+    # dawson <= ~25 ulp (52-term Clenshaw cancellation at the small/tail
+    # boundary), i0e <= 3, erfi <= ~12 (exp split + dawson compounding);
+    # previously these ran the f32-grade fits on f64 input (~1e9 ulp)
+    import jax
+    import mpmath as mp
+
+    mp.mp.dps = 40
+    with jax.enable_x64():
+        rng = np.random.default_rng(5)
+        x = np.concatenate([rng.uniform(-6, 6, 300),
+                            rng.uniform(-60, 60, 300)])
+        got = np.asarray(S.dawson(jnp.asarray(x)))
+        want = np.array([float(mp.sqrt(mp.pi) / 2 * mp.exp(-mp.mpf(v) ** 2)
+                               * mp.erfi(mp.mpf(v))) for v in x])
+        ulp = np.abs(got - want) / np.spacing(np.abs(want))
+        assert ulp.max() <= 40.0 and ulp.mean() < 4.0
+
+        got = np.asarray(S.i0e(jnp.asarray(x), POLY))
+        want = np.array([float(mp.besseli(0, float(v))
+                               * mp.exp(-abs(float(v)))) for v in x])
+        ulp = np.abs(got - want) / np.spacing(np.abs(want))
+        assert ulp.max() <= 6.0
+
+        xe = rng.uniform(-26, 26, 300)
+        got = np.asarray(S.erfi(jnp.asarray(xe)))
+        want = np.array([float(mp.erfi(float(v))) for v in xe])
+        ulp = np.abs(got - want) / np.spacing(np.abs(want))
+        assert ulp.max() <= 20.0

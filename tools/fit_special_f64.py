@@ -69,3 +69,24 @@ Q_MIN = float(1 / mp.mpf("27.3") ** 2)
 emit_chebyshev("ERFC64_BIG", K, Q_MIN, 0.25, 28)   # x in [2, 27.3]
 emit_chebyshev("ERFC64_MID", K, 0.25, 1.0, 28)     # x in [1, 2]
 print(f"_ERFC64_Q_MIN = {Q_MIN!r}")
+
+
+# ---- dawson / i0e double-precision kernels (r2 additions) ---------------
+
+def _dawson(x):
+    return mp.sqrt(mp.pi) / 2 * mp.exp(-x * x) * mp.erfi(x)
+
+
+emit_chebyshev("DAWSON64_SMALL",
+               lambda z: _dawson(mp.sqrt(z)) / mp.sqrt(z),
+               1e-24, 36.0, 52)          # F(x)/x in z = x^2, |x| <= 6
+emit_chebyshev("DAWSON64_TAIL",
+               lambda q: 2 / mp.sqrt(q) * _dawson(1 / mp.sqrt(q)),
+               1e-24, float(1 / mp.mpf(36)), 20)  # 2xF in q = 1/x^2, x > 6
+emit_chebyshev("I0E64_A",
+               lambda x: mp.besseli(0, x) * mp.exp(-x),
+               1e-24, 8.0, 34)           # i0e on [0, 8]
+emit_chebyshev("I0E64_B",
+               lambda q: mp.besseli(0, 1 / q) * mp.exp(-1 / q)
+               * mp.sqrt(1 / q),
+               1e-24, 0.125, 26)         # i0e(x) sqrt(x) in q = 1/x, x > 8
