@@ -86,7 +86,8 @@ class Op:
      GE, AND, OR, XOR, NOT, SELECT, CAST, IOTA, GATHER, SCATTER, SCATTER_ADD,
      HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
      POPCNT, CBRT, SIGN, COPYSIGN, LOG1P, EXPM1, ASINH, ACOSH, ATANH,
-     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS, FMOD) = range(77)
+     ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS, FMOD,
+     BITCAST) = range(78)
 
 
 def _bcast(a, b):
@@ -336,6 +337,8 @@ def _compile_schedule(entries, out_positions):
                 v = jnp.arange(size, dtype=dt)
             elif opcode == Op.CAST:
                 v = vals[dep_pos[0]].astype(dt)
+            elif opcode == Op.BITCAST:
+                v = jax.lax.bitcast_convert_type(vals[dep_pos[0]], dt)
             else:
                 args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
                 v = _OP_IMPL[opcode](*args)
@@ -598,6 +601,10 @@ class LazyArray:
         return jnp.dtype(_DTYPES[self._code])
 
     @property
+    def shape(self):
+        return (self._size,)  # 1-D by construction (flat-index model)
+
+    @property
     def materialized(self):
         return bool(_nat.materialized(self.index))
 
@@ -707,6 +714,14 @@ class LazyArray:
 
     def cast(self, dtype):
         return self._unary(Op.CAST, _code_of(dtype))
+
+    # jnp-style alias so generic (eager/lazy) code can call .astype
+    astype = cast
+
+    def bitcast(self, dtype):
+        """Reinterpret the bits as ``dtype`` (same itemsize) -- the
+        reinterpret_array analog (array_router.h memcpy_cast)."""
+        return self._unary(Op.BITCAST, _code_of(dtype))
 
     # -- horizontal ops: stay lazy (XLA fuses reductions; the reference has
     # to break the kernel at every cub call, src/cuda/horiz.cu) -----------
@@ -1168,6 +1183,11 @@ def sincos(x):
     return sin(x), cos(x)  # noqa: F821
 
 
+def bitcast(x, dtype):
+    """Lazy bit reinterpretation (ops.reinterpret analog)."""
+    return x.bitcast(dtype)
+
+
 def fmod(x, y):
     """C fmod: remainder with the sign of the dividend (array_math.h
     fmod, std::fmod semantics). Distinct from ``x % y`` (floored)."""
@@ -1191,4 +1211,4 @@ __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
            "clear_cache", "reset", "set_log_level", "Op", "requires_grad",
            "grad_enabled", "gradient", "clear_gradients", "backward",
            "forward_from", "isnan", "isinf", "isfinite", "clamp",
-           "lerp", "sincos", "fmod"] + list(_MATH_OPS)
+           "lerp", "sincos", "fmod", "bitcast"] + list(_MATH_OPS)

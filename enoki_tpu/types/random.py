@@ -16,6 +16,13 @@ Parity checked in tests/test_random.py against a numpy uint64
 implementation of the reference algorithm (state update random.h:73,
 output permutation random.h:74-76, float bit-tricks random.h:118,136,
 advance random.h:265-285, bounded sampling random.h:165-216).
+
+Backend-generic core: the generator also instantiates over lazy
+``trace.LazyArray`` lanes (the reference's PCG32<UInt64C> over
+CUDAArray, random.h over cuda.h) -- ``PCG32.create_lazy(n)`` /
+next_uint32/next_uint64/next_float32 record into the trace and fuse
+with their consumers. The while_loop-based methods (bounded sampling,
+advance, shuffle) are eager-only: they need host-visible convergence.
 """
 
 from __future__ import annotations
@@ -27,6 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import u64 as U
+from ..ops import backend as B
 
 PCG32_DEFAULT_STATE = 0x853C49E6748FEA9B
 PCG32_DEFAULT_STREAM = 0xDA3E39CB94B95BDB
@@ -67,11 +75,35 @@ class PCG32(NamedTuple):
         return PCG32._seed(st, seq)
 
     @staticmethod
+    def create_lazy(n: int, initstate: int = PCG32_DEFAULT_STATE,
+                    initseq: Optional[int] = None) -> "PCG32":
+        """PCG32 over lazy-trace lanes (the PCG32<UInt64C> analog): the
+        whole seed/generate pipeline records into the trace and fuses
+        with its consumers; sequences are bit-exact with the eager
+        generator (same reference seeding, random.h:51-68)."""
+        from ..trace import LazyArray
+
+        lane = LazyArray.arange(n, jnp.uint32)
+        if initseq is None:
+            base = U.from_py(PCG32_DEFAULT_STREAM, like=lane)
+            seq = U.add(base, U.U64(lane * 0, lane))
+        else:
+            seq = U.add(U.from_py(initseq, like=lane),
+                        U.U64(lane * 0, lane * 0))
+        st = U.add(U.from_py(initstate, like=lane), U.U64(lane * 0,
+                                                          lane * 0))
+        return PCG32._seed(st, seq)
+
+    @staticmethod
     def _seed(initstate: U.U64, initseq: U.U64) -> "PCG32":
         """seed() (random.h:62-68): state=0; inc=(initseq<<1)|1; round;
         state+=initstate; round."""
-        inc = U.or_(U.shl(initseq, 1), U.from_py(1, initseq.lo.shape))
-        gen = PCG32(U.zeros(initseq.lo.shape), inc)
+        one = U.from_py(1, like=initseq.lo) if B.is_lazy(initseq.lo) \
+            else U.from_py(1, initseq.lo.shape)
+        inc = U.or_(U.shl(initseq, 1), one)
+        zero = U.U64(initseq.lo * 0, initseq.lo * 0) \
+            if B.is_lazy(initseq.lo) else U.zeros(initseq.lo.shape)
+        gen = PCG32(zero, inc)
         _, gen = gen.next_uint32()
         gen = PCG32(U.add(gen.state, initstate), gen.inc)
         _, gen = gen.next_uint32()
@@ -86,13 +118,13 @@ class PCG32(NamedTuple):
     def _step(self) -> Tuple[jnp.ndarray, U.U64]:
         """One LCG step + XSH-RR output permutation (random.h:71-77)."""
         oldstate = self.state
-        mult = U.from_py(PCG32_MULT, self.shape)
+        mult = U.from_py(PCG32_MULT, self.shape, like=oldstate.lo)
         new_state = U.add(U.mul(oldstate, mult), self.inc)
         # xorshifted = uint32(((oldstate >> 18) ^ oldstate) >> 27)
         xs = U.shr(U.xor(U.shr(oldstate, 18), oldstate), 27).lo
         rot = U.shr(oldstate, 59).lo
         out = (xs >> rot) | (xs << ((32 - rot) & 31))
-        out = jnp.where(rot == 0, xs, out)
+        out = B.ns_of(xs).select(rot == 0, xs, out)
         return out, new_state
 
     def next_uint32(self, mask=None) -> Tuple[jnp.ndarray, "PCG32"]:
@@ -111,7 +143,10 @@ class PCG32(NamedTuple):
     def next_float32(self, mask=None) -> Tuple[jnp.ndarray, "PCG32"]:
         """[0,1) via the (x >> 9) | 0x3f800000 bit trick (random.h:118)."""
         bits, gen = self.next_uint32(mask)
-        f = lax.bitcast_convert_type((bits >> 9) | jnp.uint32(0x3F800000),
+        pattern = (bits >> 9) | 0x3F800000
+        if B.is_lazy(bits):
+            return pattern.bitcast(jnp.float32) - 1.0, gen
+        f = lax.bitcast_convert_type(pattern.astype(jnp.uint32),
                                      jnp.float32)
         return f - 1.0, gen
 

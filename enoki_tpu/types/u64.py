@@ -8,6 +8,11 @@ xor, shifts -- built from 32-bit lanes so they run natively on the VPU.
 
 All functions take/return ``U64 = (hi: uint32, lo: uint32)`` tuples of equal
 shape. Ops are branch-free and jit/vmap/Pallas-safe.
+
+Backend-generic: components may also be lazy ``trace.LazyArray``s (the
+UInt64C analog -- the reference's PCG32 state rides CUDAArray<uint64_t>,
+random.h:329); the arithmetic is operator-based and the few jnp helpers
+dispatch through ops.backend.
 """
 
 from __future__ import annotations
@@ -16,6 +21,8 @@ from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
 
+from ..ops import backend as B
+
 
 class U64(NamedTuple):
     hi: jnp.ndarray
@@ -23,17 +30,30 @@ class U64(NamedTuple):
 
 
 def u64(hi, lo) -> U64:
+    if B.is_lazy(hi):
+        return U64(hi, lo)
     return U64(jnp.asarray(hi, jnp.uint32), jnp.asarray(lo, jnp.uint32))
 
 
-def from_py(value: int, shape=()) -> U64:
+def from_py(value: int, shape=(), like=None) -> U64:
+    """64-bit constant; pass a lazy ``like`` component to build lazy
+    literal halves instead of jnp arrays."""
     value &= (1 << 64) - 1
+    if like is not None and B.is_lazy(like):
+        from ..trace import LazyArray
+
+        n = len(like)
+        return U64(LazyArray.literal((value >> 32) & 0xFFFFFFFF, n,
+                                     jnp.uint32),
+                   LazyArray.literal(value & 0xFFFFFFFF, n, jnp.uint32))
     hi = jnp.full(shape, (value >> 32) & 0xFFFFFFFF, jnp.uint32)
     lo = jnp.full(shape, value & 0xFFFFFFFF, jnp.uint32)
     return U64(hi, lo)
 
 
 def from_u32(x) -> U64:
+    if B.is_lazy(x):
+        return U64(x * 0, x)
     x = jnp.asarray(x, jnp.uint32)
     return U64(jnp.zeros_like(x), x)
 
@@ -54,7 +74,8 @@ def add(a: U64, b: U64) -> U64:
 
 
 def add_u32(a: U64, b) -> U64:
-    b = jnp.asarray(b, jnp.uint32)
+    if not B.is_lazy(b) and not B.is_lazy(a.lo):
+        b = jnp.asarray(b, jnp.uint32)
     lo = a.lo + b
     carry = (lo < a.lo).astype(jnp.uint32)
     return U64(a.hi + carry, lo)
@@ -88,7 +109,8 @@ def mul(a: U64, b: U64) -> U64:
 
 
 def mul_u64_u32(a: U64, b) -> U64:
-    b = jnp.asarray(b, jnp.uint32)
+    if not B.is_lazy(b) and not B.is_lazy(a.lo):
+        b = jnp.asarray(b, jnp.uint32)
     hi, lo = _mul32_full(a.lo, b)
     return U64(hi + a.hi * b, lo)
 
@@ -110,10 +132,10 @@ def shr(a: U64, k: int) -> U64:
     if k == 0:
         return a
     if k >= 64:
-        z = jnp.zeros_like(a.lo)
+        z = a.lo * 0
         return U64(z, z)
     if k >= 32:
-        return U64(jnp.zeros_like(a.hi), a.hi >> (k - 32))
+        return U64(a.hi * 0, a.hi >> (k - 32))
     return U64(a.hi >> k, (a.lo >> k) | (a.hi << (32 - k)))
 
 
@@ -121,28 +143,31 @@ def shl(a: U64, k: int) -> U64:
     if k == 0:
         return a
     if k >= 64:
-        z = jnp.zeros_like(a.lo)
+        z = a.lo * 0
         return U64(z, z)
     if k >= 32:
-        return U64(a.lo << (k - 32), jnp.zeros_like(a.lo))
+        return U64(a.lo << (k - 32), a.lo * 0)
     return U64((a.hi << k) | (a.lo >> (32 - k)), a.lo << k)
 
 
 def shr_dyn(a: U64, k) -> U64:
     """Right shift by a per-lane dynamic amount in [0, 63]."""
-    k = jnp.asarray(k, jnp.uint32)
+    sel = B.ns_of(a.lo, k).select
+    if not B.is_lazy(k) and not B.is_lazy(a.lo):
+        k = jnp.asarray(k, jnp.uint32)
     big = k >= 32
-    ks = jnp.where(big, k - 32, k)
+    ks = sel(big, k - 32, k)
     # shift within word; (32 - ks) can be 32 -> mask to avoid UB-ish shifts
-    lo_small = (a.lo >> ks) | jnp.where(ks == 0, 0, a.hi << ((32 - ks) & 31))
+    lo_small = (a.lo >> ks) | sel(ks == 0, ks * 0, a.hi << ((32 - ks) & 31))
     hi_small = a.hi >> ks
     lo_big = a.hi >> ks
-    hi_big = jnp.zeros_like(a.hi)
-    return U64(jnp.where(big, hi_big, hi_small), jnp.where(big, lo_big, lo_small))
+    hi_big = a.hi * 0
+    return U64(sel(big, hi_big, hi_small), sel(big, lo_big, lo_small))
 
 
 def where(mask, a: U64, b: U64) -> U64:
-    return U64(jnp.where(mask, a.hi, b.hi), jnp.where(mask, a.lo, b.lo))
+    sel = B.ns_of(a.hi, b.hi).select
+    return U64(sel(mask, a.hi, b.hi), sel(mask, a.lo, b.lo))
 
 
 def eq(a: U64, b: U64):

@@ -123,3 +123,40 @@ def test_vec3_lazy_is_vector3fc():
     # Vec3.of lifts python scalars against lazy components
     s = Vec3.of(_lz([1.0, 1.0]), 2.0, 3.0)
     np.testing.assert_allclose(s.z.numpy(), [3.0, 3.0])
+
+
+def test_pcg32_lazy_bit_exact():
+    # PCG32 over lazy lanes (the PCG32<UInt64C> analog, random.h over
+    # cuda.h): same sequences as the eager generator, fully fused
+    from enoki_tpu.types.random import PCG32
+
+    gl = PCG32.create_lazy(8)
+    ge = PCG32.create(8)
+    ul, gl = gl.next_uint32()
+    ue, ge = ge.next_uint32()
+    fl, gl = gl.next_float32()
+    fe, ge = ge.next_float32()
+    u64l, gl = gl.next_uint64()
+    u64e, ge = ge.next_uint64()
+    assert not ul.materialized  # everything above is ONE lazy program
+    np.testing.assert_array_equal(ul.numpy(), np.asarray(ue))
+    np.testing.assert_array_equal(fl.numpy(), np.asarray(fe))
+    np.testing.assert_array_equal(u64l.hi.numpy(), np.asarray(u64e.hi))
+    np.testing.assert_array_equal(u64l.lo.numpy(), np.asarray(u64e.lo))
+    # state carried lazily: another draw still matches
+    ul2, _ = gl.next_uint32()
+    ue2, _ = ge.next_uint32()
+    np.testing.assert_array_equal(ul2.numpy(), np.asarray(ue2))
+
+
+def test_pcg32_lazy_feeds_pipeline():
+    # the reference idiom: RNG -> transform -> histogram, all lazy
+    from enoki_tpu.types.random import PCG32
+
+    g = PCG32.create_lazy(64)
+    f, g = g.next_float32()
+    y = tr.sqrt(f * 2.0 + 0.5)
+    evals = tr.stats()["n_evals"]
+    v = y.numpy()
+    assert tr.stats()["n_evals"] == evals + 1  # seed+draw+math: one program
+    assert (v >= np.sqrt(0.5)).all() and (v < np.sqrt(2.5)).all()
