@@ -913,9 +913,14 @@ class _Segment:
 
 
 def clear_tape():
-    """Release all recorded tape segments (and their held buffers)."""
+    """Release all recorded tape segments (and their held buffers).
+    Version entries of collected variables are pruned too (scatter
+    versioning would otherwise accumulate across optimization steps)."""
     _TAPE.clear()
     _PRODUCER.clear()
+    for k in list(_VERSION):
+        if not _lib.et_var_exists(k):
+            del _VERSION[k]
 
 
 def _vid(x: "LazyArray") -> int:

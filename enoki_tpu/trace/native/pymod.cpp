@@ -92,14 +92,20 @@ PyObject *py_inc_ref(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
 }
 
 PyObject *py_is_dirty(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
-    if (nargs != 1) return nullptr;
+    if (nargs != 1) {
+        PyErr_SetString(PyExc_TypeError, "is_dirty expects 1 int");
+        return nullptr;
+    }
     return PyLong_FromLong(
         et_is_dirty((uint32_t)PyLong_AsUnsignedLong(args[0])));
 }
 
 PyObject *py_materialized(PyObject *, PyObject *const *args,
                           Py_ssize_t nargs) {
-    if (nargs != 1) return nullptr;
+    if (nargs != 1) {
+        PyErr_SetString(PyExc_TypeError, "materialized expects 1 int");
+        return nullptr;
+    }
     return PyLong_FromLong(
         et_var_materialized((uint32_t)PyLong_AsUnsignedLong(args[0])));
 }

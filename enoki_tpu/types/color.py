@@ -12,18 +12,24 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops import backend as B
+
 from ..ops import math as M
 
 
 def linear_to_srgb(x, impl="native"):
-    x = jnp.asarray(x)
+    if not B.is_lazy(x):
+        x = jnp.asarray(x)
+    g = B.math_ns(x, impl)
     lin = x * 12.92
-    nonlin = 1.055 * M.pow(jnp.maximum(x, 1e-8), 1.0 / 2.4, impl) - 0.055
-    return jnp.where(x <= 0.0031308, lin, nonlin)
+    nonlin = 1.055 * g.pow(g.maximum(x, 1e-8), 1.0 / 2.4) - 0.055
+    return g.select(x <= 0.0031308, lin, nonlin)
 
 
 def srgb_to_linear(x, impl="native"):
-    x = jnp.asarray(x)
+    if not B.is_lazy(x):
+        x = jnp.asarray(x)
+    g = B.math_ns(x, impl)
     lin = x * (1.0 / 12.92)
-    nonlin = M.pow(jnp.maximum((x + 0.055) * (1.0 / 1.055), 1e-8), 2.4, impl)
-    return jnp.where(x <= 0.04045, lin, nonlin)
+    nonlin = g.pow(g.maximum((x + 0.055) * (1.0 / 1.055), 1e-8), 2.4)
+    return g.select(x <= 0.04045, lin, nonlin)

@@ -17,6 +17,8 @@ from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 
+from ..ops import backend as B
+
 
 def _morton_magic(dim: int, level: int, n_bits: int = 32) -> int:
     """Python port of the mask generator (morton.h:28-46)."""
@@ -44,7 +46,7 @@ def _scatter_bits(x, dim: int, n_bits: int = 32):
         shift = (1 << (lv - 1)) * (dim - 1)
         if shift < n_bits:
             x = x | (x << shift)
-        x = x & jnp.uint32(magic)
+        x = x & magic
     return x
 
 
@@ -57,7 +59,7 @@ def _gather_bits(x, dim: int, n_bits: int = 32):
         ilevel = level - lv + 1
         magic = _morton_magic(dim, ilevel, n_bits)
         shift = (1 << (ilevel - 1)) * (dim - 1)
-        x = x & jnp.uint32(magic)
+        x = x & magic
         if shift < n_bits:
             x = x | (x >> shift)
     return x
@@ -66,7 +68,8 @@ def _gather_bits(x, dim: int, n_bits: int = 32):
 def morton_encode(coords: Sequence) -> jnp.ndarray:
     """Interleave N uint32 coordinate arrays into Morton codes
     (morton.h:135-143). ``coords[0]`` holds the least-significant bits."""
-    coords = [jnp.asarray(c, jnp.uint32) for c in coords]
+    if not any(B.is_lazy(c) for c in coords):
+        coords = [jnp.asarray(c, jnp.uint32) for c in coords]
     dim = len(coords)
     out = _scatter_bits(coords[0], dim)
     for i in range(1, dim):
@@ -77,5 +80,6 @@ def morton_encode(coords: Sequence) -> jnp.ndarray:
 def morton_decode(value, dim: int) -> Tuple[jnp.ndarray, ...]:
     """De-interleave Morton codes into ``dim`` coordinate arrays
     (morton.h:146-150)."""
-    value = jnp.asarray(value, jnp.uint32)
+    if not B.is_lazy(value):
+        value = jnp.asarray(value, jnp.uint32)
     return tuple(_gather_bits(value >> i, dim) for i in range(dim))

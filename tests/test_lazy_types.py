@@ -160,3 +160,24 @@ def test_pcg32_lazy_feeds_pipeline():
     v = y.numpy()
     assert tr.stats()["n_evals"] == evals + 1  # seed+draw+math: one program
     assert (v >= np.sqrt(0.5)).all() and (v < np.sqrt(2.5)).all()
+
+
+def test_morton_color_lazy():
+    from enoki_tpu.types.morton import morton_encode, morton_decode
+    from enoki_tpu.types.color import linear_to_srgb, srgb_to_linear
+
+    xs = np.array([3, 5, 1000], np.uint32)
+    ys = np.array([7, 2, 999], np.uint32)
+    ml = morton_encode([LazyArray(xs), LazyArray(ys)])
+    me = morton_encode([xs, ys])
+    np.testing.assert_array_equal(ml.numpy(), np.asarray(me))
+    dx, dy = morton_decode(ml, 2)
+    np.testing.assert_array_equal(dx.numpy(), xs)
+    np.testing.assert_array_equal(dy.numpy(), ys)
+
+    v = np.linspace(0.0, 1.0, 32).astype(np.float32)
+    sl = linear_to_srgb(LazyArray(v))
+    se = linear_to_srgb(v)
+    np.testing.assert_allclose(sl.numpy(), np.asarray(se), rtol=1e-6)
+    rl = srgb_to_linear(sl)
+    np.testing.assert_allclose(rl.numpy(), v, rtol=1e-5, atol=1e-7)
