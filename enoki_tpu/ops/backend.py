@@ -146,12 +146,15 @@ class _TraceMath:
     def hypot(a, b):
         import enoki_tpu.trace as tr
 
-        # scaled form (overflow-safe like ops.math.hypot)
+        # scaled form, exact zero guard (same structure as
+        # ops.math.hypot -- a fixed 1e-38 clamp would be wrong for f64
+        # subnormal-range inputs)
         aa, bb = abs(a), abs(b)
         mx = tr.maximum(aa, bb)
         mn = tr.minimum(aa, bb)
-        t = mn / tr.maximum(mx, 1e-38)
-        return mx * tr.sqrt(t * t + 1.0)
+        zero = mx == 0.0
+        t = mn / tr.select(zero, mx * 0.0 + 1.0, mx)
+        return tr.select(zero, mx * 0.0, mx * tr.sqrt(t * t + 1.0))
 
 
 _TRACE_MATH = _TraceMath()

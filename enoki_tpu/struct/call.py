@@ -40,10 +40,7 @@ from ..ops.horiz import partition
 from .pytree import gather_struct, scatter_struct, select_struct
 
 
-def _is_lazy(ids) -> bool:
-    """LazyArray detection without importing the trace runtime (which
-    builds the native library) for plain-jnp users."""
-    return type(ids).__module__.startswith("enoki_tpu.trace")
+from ..ops.backend import is_lazy as _is_lazy
 
 
 def dispatch_masked(funcs: Sequence[Callable], ids, *args, default=None):

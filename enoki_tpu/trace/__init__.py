@@ -25,6 +25,7 @@ reference must break the kernel at every cub call, src/cuda/horiz.cu).
 from __future__ import annotations
 
 import ctypes
+import math
 from typing import Optional
 
 import jax
@@ -63,7 +64,10 @@ def _literal_bits(value, code) -> int:
     silently truncate int64/uint64 literals >= 2^53). Cached: scalar
     constants repeat heavily in traced programs and the numpy round trip
     costs ~2 us."""
-    k = (code, value)
+    # -0.0 and 0.0 are equal (same dict key) but have different bit
+    # patterns: disambiguate float keys by their sign
+    k = (code, value, math.copysign(1.0, value)) \
+        if isinstance(value, float) else (code, value)
     b = _LIT_BITS_CACHE.get(k)
     if b is not None:
         return b
@@ -721,6 +725,11 @@ class LazyArray:
     def bitcast(self, dtype):
         """Reinterpret the bits as ``dtype`` (same itemsize) -- the
         reinterpret_array analog (array_router.h memcpy_cast)."""
+        if jnp.dtype(dtype).itemsize != self.dtype.itemsize:
+            raise TypeError(
+                f"bitcast {self.dtype} -> {jnp.dtype(dtype)}: itemsize "
+                "must match (a narrowing bitcast would break the 1-D "
+                "flat-index model)")
         return self._unary(Op.BITCAST, _code_of(dtype))
 
     # -- horizontal ops: stay lazy (XLA fuses reductions; the reference has
@@ -780,6 +789,13 @@ class LazyArray:
                                  len(index), self, index, raw=True)
 
     def _scatter_op(self, opcode, index, value):
+        import sys
+        callmod = sys.modules.get(__name__ + ".call")
+        if callmod is not None:
+            # a scatter invalidates any cached partition of the target
+            # NOW -- the dirty flag alone is insufficient, since an
+            # unrelated eval clears it before the next partition()
+            callmod._PARTITION_CACHE.pop(self.index, None)
         index = self._coerce(index)
         value = self._coerce(value)
         index._ensure_clean()
@@ -1117,9 +1133,16 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0,
         requires_grad(x)
     if not loss.materialized:
         loss.eval()
+    xv = _vid(x)
+    if not any(xv in seg.leaf_vids for seg in _TAPE):
+        raise ValueError(
+            "forward_from: x does not appear on the tape -- mark it with "
+            "requires_grad (or call forward_from) BEFORE building and "
+            "evaluating the loss (the reference errors the same way when "
+            "x is not a leaf of the trace)")
     xbuf = _BUFFERS[x.index]
-    tan = {_vid(x): jnp.broadcast_to(jnp.asarray(tangent, xbuf.dtype),
-                                     xbuf.shape)}
+    tan = {xv: jnp.broadcast_to(jnp.asarray(tangent, xbuf.dtype),
+                                xbuf.shape)}
     for seg in _TAPE:
         in_pos = tuple(k for k, v in enumerate(seg.leaf_vids)
                        if v in tan and _is_diff(seg.leaf_bufs[k]))

@@ -57,6 +57,12 @@ def partition(ids: LazyArray):
         _PARTITION_CACHE.pop(ids.index, None)
     parts = _PARTITION_CACHE.get(ids.index)
     if parts is None:
+        if len(_PARTITION_CACHE) >= 256:
+            # bounded: ids are monotonic, oldest entries first (the
+            # reference caches on the array and frees with it,
+            # cuda.h:815-842; a module dict needs explicit eviction)
+            for k in sorted(_PARTITION_CACHE)[:128]:
+                del _PARTITION_CACHE[k]
         vals = np.asarray(ids.numpy(), np.int64)
         order = np.argsort(vals, kind="stable").astype(np.int32)
         sv = vals[order]
@@ -108,10 +114,16 @@ def dispatch(funcs, ids: LazyArray, *args):
         gathered = tuple(a.gather(perm_l) for a in args)
         r = funcs[inst](_true_mask(len(perm)), *gathered)
         tup = r if isinstance(r, tuple) else (r,)
+        if single is not None and len(tup) != len(single):
+            raise ValueError(
+                f"dispatch: callees disagree on result arity "
+                f"({len(single)} vs {len(tup)})")
         pieces.append((perm_l, tup))
-        single = single or tup
+        if single is None:
+            single = tup
 
-    if single is None:  # all lanes null
+    if single is None:  # all lanes null: zeros, single f32 result by
+        #                 convention (no callee ran to define the arity)
         return LazyArray.zeros(n)
 
     outs = [LazyArray.zeros(n, r.dtype) for r in single]

@@ -344,8 +344,17 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
     sched.entries.clear();
     sched.outputs.clear();
 
-    std::vector<uint32_t> roots(outs, outs + n);
-    for (uint32_t se : ctx.side_effects) roots.push_back(se);
+    // dedup: an explicitly requested id may also be a pending side
+    // effect (a held scatter handle under eval-all-live); a duplicate
+    // output slot would double its cotangent in the AD tape
+    std::vector<uint32_t> roots;
+    {
+        std::unordered_map<uint32_t, bool> seen;
+        for (uint32_t i = 0; i < n; ++i)
+            if (!seen.count(outs[i])) { seen[outs[i]] = true; roots.push_back(outs[i]); }
+        for (uint32_t se : ctx.side_effects)
+            if (!seen.count(se)) { seen[se] = true; roots.push_back(se); }
+    }
 
     std::vector<uint32_t> order;
     std::unordered_map<uint32_t, uint32_t> pos;

@@ -185,3 +185,32 @@ def test_scatter_chain_fuses():
     got = tgt.numpy()
     assert tr.stats()["n_evals"] == evals_before + 1
     np.testing.assert_allclose(got, [1.5, 30, 40, 0, 0, 0])
+
+
+def test_partition_invalidated_at_scatter_not_dirty_flag():
+    # review r2: an eval between the scatter and the next partition()
+    # clears the dirty flag; the cache must be invalidated AT the scatter
+    ids = _ids([0, 0, 1, 1])
+    p1 = tc.partition(ids)
+    ids.scatter(LazyArray(np.array([0, 1, 2, 3], np.int32)),
+                LazyArray(np.array([1, 1, 1, 1], np.int32)))
+    tr.eval()  # flushes the scatter, CLEARS the dirty flag
+    p2 = tc.partition(ids)
+    assert p2 is not p1
+    assert {i for i, _ in p2} == {1}
+
+
+def test_held_scatter_handle_gradient_not_doubled():
+    # review r2: a scatter op that is BOTH explicitly evaluated (held
+    # handle, eval-all-live) and a pending side effect must appear as
+    # ONE output slot, or its cotangent doubles
+    x = tr.requires_grad(LazyArray(np.array([1.0, 2.0], np.float32)))
+    tgt = LazyArray(np.zeros(2, np.float32))
+    op = tgt._scatter_op(tr.Op.SCATTER_ADD,
+                         LazyArray(np.array([0, 1], np.int32)), x * 3.0)
+    tr.eval()  # op is live (held) AND a side effect
+    loss = (tgt * tgt).hsum()
+    tr.backward(loss)
+    # d/dx sum((3x)^2) = 18 x -- doubling would give 36 x
+    np.testing.assert_allclose(tr.gradient(x).numpy(), 18.0 * np.array([1.0, 2.0]))
+    del op
