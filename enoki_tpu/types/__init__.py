@@ -11,6 +11,7 @@ from . import complex as complex_  # noqa: F401
 from .quaternion import Quaternion  # noqa: F401
 from . import quaternion  # noqa: F401
 from . import matrix  # noqa: F401
+from . import matrix_soa  # noqa: F401
 from . import transform  # noqa: F401
 from . import color  # noqa: F401
 from . import sh  # noqa: F401

@@ -181,3 +181,55 @@ def test_morton_color_lazy():
     np.testing.assert_allclose(sl.numpy(), np.asarray(se), rtol=1e-6)
     rl = srgb_to_linear(sl)
     np.testing.assert_allclose(rl.numpy(), v, rtol=1e-5, atol=1e-7)
+
+
+def test_matrix_soa_lazy_and_dense_agree():
+    # the Matrix<FloatC> form: N^2 scalar lazy arrays (matrix.h:33)
+    from enoki_tpu.types import matrix as MD
+    from enoki_tpu.types import matrix_soa as MS
+
+    rng = np.random.default_rng(9)
+    for n in (1, 2, 3, 4):
+        a = rng.normal(size=(5, n, n)).astype(np.float32)
+        a += np.eye(n, dtype=np.float32) * 3.0  # well-conditioned
+        lazy = tuple(tuple(LazyArray(a[:, i, j]) for j in range(n))
+                     for i in range(n))
+        inv_l = MS.inverse(lazy)
+        det_l = MS.det(lazy)
+        inv_d = np.asarray(MD.inverse(a))
+        det_d = np.asarray(MD.det(a))
+        np.testing.assert_allclose(det_l.numpy(), det_d, rtol=2e-5,
+                                   atol=1e-6)
+        for i in range(n):
+            for j in range(n):
+                np.testing.assert_allclose(inv_l[i][j].numpy(),
+                                           inv_d[:, i, j], rtol=4e-4,
+                                           atol=2e-5, err_msg=f"n={n}")
+        # matmul(m, inverse(m)) == I, all lazy, one fused program
+        prod = MS.matmul(lazy, inv_l)
+        evals = tr.stats()["n_evals"]
+        tr.eval()
+        assert tr.stats()["n_evals"] == evals + 1
+        for i in range(n):
+            for j in range(n):
+                np.testing.assert_allclose(
+                    prod[i][j].numpy(), np.full(5, 1.0 if i == j else 0.0),
+                    atol=2e-4)
+
+
+def test_matrix_soa_dense_roundtrip_and_ops():
+    from enoki_tpu.types import matrix_soa as MS
+
+    a = np.arange(12, dtype=np.float32).reshape(3, 2, 2) + 1
+    m = MS.from_dense(a)
+    np.testing.assert_allclose(MS.to_dense(m), a)
+    np.testing.assert_allclose(MS.to_dense(MS.transpose(m)),
+                               np.swapaxes(a, -1, -2))
+    np.testing.assert_allclose(np.asarray(MS.trace(m)),
+                               np.trace(a, axis1=-2, axis2=-1))
+    np.testing.assert_allclose(np.asarray(MS.frob(m)),
+                               (a * a).sum((-2, -1)))
+    v = (a[..., 0, 0], a[..., 1, 1])
+    got = MS.matvec(m, v)
+    want = np.einsum("bij,bj->bi", a, np.stack(v, -1))
+    np.testing.assert_allclose(np.stack(got, -1), want, rtol=1e-6)
