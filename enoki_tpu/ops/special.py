@@ -405,8 +405,14 @@ def erfi(x, impl=_POLY):
         a = jnp.abs(x)
         hi = jnp.round(a * 128.0) * (1.0 / 128.0)
         m = (a - hi) * (a + hi)
-        e = jnp.exp(hi * hi) * jnp.exp(m)  # inf for a > 26.65 (erfi range)
-        return _mulsign(two_over_sqrt_pi * _dawson64(a) * e, x)
+        # two half-exponentials: exp(hi^2) alone would overflow at
+        # hi^2 > 709.8 (a ~ 26.64) while erfi itself stays finite up to
+        # a ~ 26.71. 0.5*hi*hi is EXACT (hi^2 is exactly representable,
+        # halving is a scale), so the split costs no exponent rounding;
+        # the correction exp(m) stays its own factor.
+        half = jnp.exp(0.5 * hi * hi)
+        r = ((two_over_sqrt_pi * _dawson64(a) * jnp.exp(m)) * half) * half
+        return _mulsign(r, x)
     e = jnp.exp(x * x) if impl == _NATIVE else M.exp(x * x, _POLY)
     return two_over_sqrt_pi * dawson(x, impl) * e
 

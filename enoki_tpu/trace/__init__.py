@@ -1134,12 +1134,15 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0,
     if not loss.materialized:
         loss.eval()
     xv = _vid(x)
-    if not any(xv in seg.leaf_vids for seg in _TAPE):
+    if not _TAPE:
         raise ValueError(
-            "forward_from: x does not appear on the tape -- mark it with "
-            "requires_grad (or call forward_from) BEFORE building and "
-            "evaluating the loss (the reference errors the same way when "
-            "x is not a leaf of the trace)")
+            "forward_from: the tape is empty -- mark x with requires_grad "
+            "(or call forward_from) BEFORE building and evaluating the "
+            "loss (the reference errors the same way when x is not a leaf "
+            "of the trace)")
+    # x absent from a NON-empty tape = the loss is independent of x:
+    # the tangent is legitimately zero (gradient-checking loops rely on
+    # this; only the empty-tape mis-ordering is an error)
     xbuf = _BUFFERS[x.index]
     tan = {xv: jnp.broadcast_to(jnp.asarray(tangent, xbuf.dtype),
                                 xbuf.shape)}

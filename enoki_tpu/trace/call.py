@@ -58,10 +58,10 @@ def partition(ids: LazyArray):
     parts = _PARTITION_CACHE.get(ids.index)
     if parts is None:
         if len(_PARTITION_CACHE) >= 256:
-            # bounded: ids are monotonic, oldest entries first (the
-            # reference caches on the array and frees with it,
-            # cuda.h:815-842; a module dict needs explicit eviction)
-            for k in sorted(_PARTITION_CACHE)[:128]:
+            # bounded FIFO by dict insertion order (the reference caches
+            # on the array and frees with it, cuda.h:815-842; a module
+            # dict needs explicit eviction)
+            for k in list(_PARTITION_CACHE)[:128]:
                 del _PARTITION_CACHE[k]
         vals = np.asarray(ids.numpy(), np.int64)
         order = np.argsort(vals, kind="stable").astype(np.int32)
@@ -114,10 +114,17 @@ def dispatch(funcs, ids: LazyArray, *args):
         gathered = tuple(a.gather(perm_l) for a in args)
         r = funcs[inst](_true_mask(len(perm)), *gathered)
         tup = r if isinstance(r, tuple) else (r,)
-        if single is not None and len(tup) != len(single):
-            raise ValueError(
-                f"dispatch: callees disagree on result arity "
-                f"({len(single)} vs {len(tup)})")
+        if single is not None:
+            if len(tup) != len(single):
+                raise ValueError(
+                    f"dispatch: callees disagree on result arity "
+                    f"({len(single)} vs {len(tup)})")
+            for a, b in zip(single, tup):
+                if a.dtype != b.dtype:
+                    raise ValueError(
+                        f"dispatch: callees disagree on result dtype "
+                        f"({a.dtype} vs {b.dtype}) -- the scatter into "
+                        "the shared output would cast silently")
         pieces.append((perm_l, tup))
         if single is None:
             single = tup

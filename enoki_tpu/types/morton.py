@@ -68,7 +68,16 @@ def _gather_bits(x, dim: int, n_bits: int = 32):
 def morton_encode(coords: Sequence) -> jnp.ndarray:
     """Interleave N uint32 coordinate arrays into Morton codes
     (morton.h:135-143). ``coords[0]`` holds the least-significant bits."""
-    if not any(B.is_lazy(c) for c in coords):
+    if any(B.is_lazy(c) for c in coords):
+        # lazy lanes must still be uint32: Op.SHR on int32 is an
+        # arithmetic shift (sign smear); eager members of a mixed list
+        # are lifted to lazy leaves
+        from ..trace import LazyArray
+
+        coords = [c.cast(jnp.uint32) if B.is_lazy(c)
+                  else LazyArray(jnp.asarray(c, jnp.uint32))
+                  for c in coords]
+    else:
         coords = [jnp.asarray(c, jnp.uint32) for c in coords]
     dim = len(coords)
     out = _scatter_bits(coords[0], dim)
@@ -80,6 +89,8 @@ def morton_encode(coords: Sequence) -> jnp.ndarray:
 def morton_decode(value, dim: int) -> Tuple[jnp.ndarray, ...]:
     """De-interleave Morton codes into ``dim`` coordinate arrays
     (morton.h:146-150)."""
-    if not B.is_lazy(value):
+    if B.is_lazy(value):
+        value = value.cast(jnp.uint32)  # arithmetic >> on int32 smears
+    else:
         value = jnp.asarray(value, jnp.uint32)
     return tuple(_gather_bits(value >> i, dim) for i in range(dim))

@@ -152,8 +152,13 @@ class PCG32(NamedTuple):
 
     def next_float64(self, mask=None):
         """[0,1) with 32 mantissa bits (random.h:133-138). Only meaningful
-        under jax_enable_x64; provided for parity."""
+        under jax_enable_x64; provided for parity. Eager-only (the lazy
+        trace would need x64 lanes for the u64 bit assembly)."""
         bits, gen = self.next_uint32(mask)
+        if B.is_lazy(bits):
+            raise NotImplementedError(
+                "next_float64 is eager-only (needs 64-bit lanes); use "
+                "next_float32 or next_uint64 on lazy generators")
         hi = (bits.astype(jnp.uint64) << 20) | jnp.uint64(0x3FF0000000000000)
         f = lax.bitcast_convert_type(hi, jnp.float64)
         return f - 1.0, gen

@@ -233,3 +233,17 @@ def test_matrix_soa_dense_roundtrip_and_ops():
     got = MS.matvec(m, v)
     want = np.einsum("bij,bj->bi", a, np.stack(v, -1))
     np.testing.assert_allclose(np.stack(got, -1), want, rtol=1e-6)
+
+
+def test_morton_lazy_int32_coerced():
+    # review r2: lazy int32 codes must be shifted logically (uint32), not
+    # arithmetically; mixed eager/lazy coordinate lists are lifted
+    from enoki_tpu.types.morton import morton_encode, morton_decode
+
+    x = np.array([40000, 1], np.uint32)  # encode sets bit 31 of the code
+    y = np.array([60000, 2], np.uint32)
+    code = morton_encode([LazyArray(x.astype(np.int32)).cast(np.int32),
+                          y])  # mixed: lazy int32 + eager numpy
+    dx, dy = morton_decode(code.cast(np.int32), 2)  # decode from int32
+    np.testing.assert_array_equal(dx.numpy(), x)
+    np.testing.assert_array_equal(dy.numpy(), y)

@@ -214,3 +214,16 @@ def test_held_scatter_handle_gradient_not_doubled():
     # d/dx sum((3x)^2) = 18 x -- doubling would give 36 x
     np.testing.assert_allclose(tr.gradient(x).numpy(), 18.0 * np.array([1.0, 2.0]))
     del op
+
+
+def test_dispatch_dtype_disagreement_raises():
+    def f_int(mask, x):
+        return x.cast(np.int32)
+
+    def f_float(mask, x):
+        return x * 0.5
+
+    ids = _ids([0, 1])
+    x = LazyArray(np.array([1.0, 2.0], np.float32))
+    with pytest.raises(ValueError, match="dtype"):
+        tc.dispatch([f_int, f_float], ids, x)
