@@ -378,18 +378,31 @@ def _compile_schedule(entries, out_positions):
 
 
 def _read_schedule(n_entries):
+    """Bulk schedule fetch (one C call + numpy views; a per-entry ctypes
+    walk costs ~17 us/entry, 178 ms for a 10k-op first eval)."""
+    n = max(n_entries, 1)
     u32, i32, u64 = ctypes.c_uint32, ctypes.c_int32, ctypes.c_uint64
-    entries = []
-    for i in range(n_entries):
-        vid, opc, dtc, size = u32(), i32(), i32(), u64()
-        deps = (u32 * 4)()
-        lit, isl, isd = u64(), i32(), i32()
-        _lib.et_schedule_entry(i, ctypes.byref(vid), ctypes.byref(opc),
-                               ctypes.byref(dtc), ctypes.byref(size), deps,
-                               ctypes.byref(lit), ctypes.byref(isl),
-                               ctypes.byref(isd))
-        entries.append((vid.value, opc.value, dtc.value, size.value,
-                        tuple(deps), lit.value, isl.value, isd.value))
+    ids_b = (u32 * n)()
+    opc_b = (i32 * n)()
+    dtc_b = (i32 * n)()
+    siz_b = (u64 * n)()
+    dep_b = (u32 * (4 * n))()
+    lit_b = (u64 * n)()
+    flg_b = (ctypes.c_uint8 * n)()
+    got = _lib.et_schedule_read(ids_b, opc_b, dtc_b, siz_b, dep_b, lit_b,
+                                flg_b, n)
+    assert got == n_entries, (got, n_entries)
+    ids = np.frombuffer(ids_b, np.uint32, n_entries)
+    opcs = np.frombuffer(opc_b, np.int32, n_entries)
+    dtcs = np.frombuffer(dtc_b, np.int32, n_entries)
+    sizes = np.frombuffer(siz_b, np.uint64, n_entries)
+    deps = np.frombuffer(dep_b, np.uint32, 4 * n_entries).reshape(-1, 4)
+    lits = np.frombuffer(lit_b, np.uint64, n_entries)
+    flags = np.frombuffer(flg_b, np.uint8, n_entries)
+    entries = [(int(ids[i]), int(opcs[i]), int(dtcs[i]), int(sizes[i]),
+                tuple(int(d) for d in deps[i]), int(lits[i]),
+                int(flags[i] & 1), int(flags[i] >> 1))
+               for i in range(n_entries)]
     n_out = _lib.et_schedule_num_outputs()
     outs = [_lib.et_schedule_output(i) for i in range(n_out)]
     return entries, outs

@@ -110,6 +110,10 @@ def load_library() -> ctypes.CDLL:
     lib.et_schedule_output.argtypes = [u32]
     lib.et_schedule_entry.argtypes = [u32, P(u32), P(i32), P(i32), P(u64),
                                       P(u32), P(u64), P(i32), P(i32)]
+    lib.et_schedule_read.restype = u32
+    lib.et_schedule_read.argtypes = [P(u32), P(i32), P(i32), P(u64),
+                                     P(u32), P(u64),
+                                     ctypes.POINTER(ctypes.c_uint8), u32]
     lib.et_set_materialized.argtypes = [u32]
     lib.et_set_data.argtypes = [u32]
     lib.et_set_log_level.argtypes = [i32]

@@ -494,6 +494,28 @@ void et_schedule_entry(uint32_t i, uint32_t *id, int32_t *opcode,
     *is_data = e.is_data;
 }
 
+// Bulk schedule read for the compile path: one call filling parallel
+// arrays instead of an O(n) per-entry ctypes walk (178 ms -> ~1 ms for
+// a 10,444-op schedule). flags bit0 = is_literal, bit1 = is_data.
+uint32_t et_schedule_read(uint32_t *ids, int32_t *opcodes, int32_t *dtypes,
+                          uint64_t *sizes, uint32_t *dep_pos,
+                          uint64_t *literals, uint8_t *flags,
+                          uint32_t cap) {
+    uint32_t n = (uint32_t)sched.entries.size();
+    if (n > cap) return n;
+    for (uint32_t i = 0; i < n; ++i) {
+        const ScheduleEntry &e = sched.entries[i];
+        ids[i] = e.id;
+        opcodes[i] = e.opcode;
+        dtypes[i] = e.dtype;
+        sizes[i] = e.size;
+        std::memcpy(dep_pos + 4 * i, e.dep_pos, sizeof(e.dep_pos));
+        literals[i] = e.literal;
+        flags[i] = (uint8_t)(e.is_literal | (e.is_data << 1));
+    }
+    return n;
+}
+
 // After eval: mark a variable materialized and release its dependency
 // references (jit.cu:1484-1507 releases inner refs of evaluated vars so
 // the consumed subgraph can be collected).

@@ -41,9 +41,12 @@ def sh_eval(x, y, z, order: int):
     """
     if order > 9:
         raise ValueError("sh_eval(): order too high (max 9, sh.h:37)")
-    x = jnp.asarray(x)
-    y = jnp.asarray(y)
-    z = jnp.asarray(z, x.dtype)
+    from ..ops import backend as B
+
+    if not (B.is_lazy(x) or B.is_lazy(y) or B.is_lazy(z)):
+        x = jnp.asarray(x)
+        y = jnp.asarray(y)
+        z = jnp.asarray(z, x.dtype)
 
     n = (order + 1) ** 2
     out = [None] * n
@@ -54,11 +57,11 @@ def sh_eval(x, y, z, order: int):
     # into the incremental (cos m phi, sin m phi) pair:
     #   c_m + i s_m = (x + i y)^m  == sin^m(theta) (cos m phi + i sin m phi)
     # exactly Sloan's trick, which avoids trig entirely.
-    one = jnp.ones_like(z)
+    one = z * 0.0 + 1.0
 
     # incremental (x + iy)^m
     cm = one  # (x+iy)^0 real
-    sm = jnp.zeros_like(z)  # imag
+    sm = z * 0.0  # imag
 
     # pmm = Pb_m^m (scalar recurrence factor), tracked as python float
     pmm_scale = 1.0

@@ -247,3 +247,19 @@ def test_morton_lazy_int32_coerced():
     dx, dy = morton_decode(code.cast(np.int32), 2)  # decode from int32
     np.testing.assert_array_equal(dx.numpy(), x)
     np.testing.assert_array_equal(dy.numpy(), y)
+
+
+def test_sh_lazy_matches_eager():
+    from enoki_tpu.types.sh import sh_eval
+
+    rng = np.random.default_rng(2)
+    v = rng.normal(size=(3, 16)).astype(np.float32)
+    v /= np.linalg.norm(v, axis=0)
+    lazy = sh_eval(LazyArray(v[0]), LazyArray(v[1]), LazyArray(v[2]), 4)
+    eager = sh_eval(v[0], v[1], v[2], 4)
+    evals = tr.stats()["n_evals"]
+    tr.eval()  # all 25 coefficients in ONE fused program
+    assert tr.stats()["n_evals"] == evals + 1
+    for a, b in zip(lazy, eager):
+        np.testing.assert_allclose(a.numpy(), np.asarray(b), rtol=2e-5,
+                                   atol=1e-6)
