@@ -29,6 +29,12 @@ class Config:
     log_level: int = int(os.environ.get("ENOKI_TPU_LOG_LEVEL", "0"))
     approx: bool = os.environ.get("ENOKI_TPU_APPROX", "1") == "1"
     default_dtype: str = os.environ.get("ENOKI_TPU_DTYPE", "float32")
+    # Debug bounds mode for UNMASKED scatter/scatter_add: the fast default
+    # (promise_in_bounds, matching the reference's UB for out-of-range
+    # st.global) becomes deterministic "drop" so an out-of-range index
+    # cannot silently corrupt memory. Read at TRACE time: flip it before
+    # (re)jitting. Env: ENOKI_TPU_DEBUG_BOUNDS=1.
+    debug_bounds: bool = os.environ.get("ENOKI_TPU_DEBUG_BOUNDS", "0") == "1"
     # Pre-eval hooks, analog of cuda_register_callback (jit.cu:1552): callables
     # run by runtime.eval_hooks() call sites (e.g. before a benchmark step).
     eval_callbacks: List[Callable[[], None]] = dataclasses.field(default_factory=list)

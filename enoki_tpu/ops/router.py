@@ -312,6 +312,16 @@ def _bcast_mask(mask, like):
     return mask
 
 
+def _oob_mode():
+    """Unmasked-scatter out-of-range mode. The reference is UB there
+    (raw st.global); the fast default matches it (promise_in_bounds),
+    and ``config.debug_bounds`` turns silent corruption into a
+    deterministic drop -- read at trace time."""
+    from ..config import config
+
+    return "drop" if config.debug_bounds else "promise_in_bounds"
+
+
 def scatter(target, value, index, mask=None):
     """``scatter(ptr, value, index, mask)`` (array_router.h:1113).
 
@@ -325,7 +335,7 @@ def scatter(target, value, index, mask=None):
         # Redirect masked-off lanes to a dropped out-of-range index.
         index = jnp.where(mask, index, target.shape[0])
         return target.at[index].set(value, mode="drop")
-    return target.at[index].set(value, mode="promise_in_bounds")
+    return target.at[index].set(value, mode=_oob_mode())
 
 
 def scatter_add(target, value, index, mask=None):
@@ -363,7 +373,7 @@ def scatter_add(target, value, index, mask=None):
         oob = (index < 0) | ~jnp.asarray(mask)
         index = jnp.where(oob, target.shape[0], index)
         return target.at[index].add(value, mode="drop")
-    return target.at[index].add(value, mode="promise_in_bounds")
+    return target.at[index].add(value, mode=_oob_mode())
 
 
 def transform(target, index, func, *args, mask=None):

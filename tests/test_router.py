@@ -208,3 +208,22 @@ def test_scatter_add_dense_fast_path_matches_scatter():
             want2[idx[i]] += val[i]
     np.testing.assert_allclose(np.asarray(small), want2, rtol=1e-5,
                                atol=1e-5)
+
+
+def test_debug_bounds_mode_drops_oob_scatter():
+    # r1 review: unmasked scatter with an out-of-range index is UB in the
+    # reference and promise_in_bounds here; config.debug_bounds turns it
+    # into a deterministic drop (trace-time knob)
+    from enoki_tpu.config import config
+
+    tgt = jnp.zeros(4, jnp.float32)
+    idx = jnp.array([1, 7], jnp.int32)  # 7 is out of range
+    val = jnp.array([5.0, 9.0], jnp.float32)
+    config.debug_bounds = True
+    try:
+        out = ops.scatter(tgt, val, idx)
+        np.testing.assert_array_equal(out, [0, 5, 0, 0])
+        out = ops.scatter_add(tgt, val, idx)
+        np.testing.assert_array_equal(out, [0, 5, 0, 0])
+    finally:
+        config.debug_bounds = False
