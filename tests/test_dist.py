@@ -58,10 +58,8 @@ def test_train_step_gspmd_and_shardmap_agree():
 
     from enoki_tpu.dist.render import mse_loss
     g1 = jax.grad(lambda s: mse_loss(s, target, n))(init)
-    import functools
-    g2_fn = make_train_step_shardmap(n, mesh, optax.sgd(0.0))
-    # grads via shardmap: recompute with value_and_grad inside -- reuse the
-    # internal step by probing with sgd(lr) and reading the param delta
+    # grads via shardmap: with sgd(lr) the param delta is EXACTLY -lr*g,
+    # so one probing step recovers the psum'd gradient bit-for-bit
     lr = 1.0
     s2b = make_train_step_shardmap(n, mesh, optax.sgd(lr))
     sc2, _, _ = s2b(init, tgt, optax.sgd(lr).init(init))
