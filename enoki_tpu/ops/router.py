@@ -335,7 +335,13 @@ def scatter(target, value, index, mask=None):
         # Redirect masked-off lanes to a dropped out-of-range index.
         index = jnp.where(mask, index, target.shape[0])
         return target.at[index].set(value, mode="drop")
-    return target.at[index].set(value, mode=_oob_mode())
+    mode = _oob_mode()
+    if mode == "drop":
+        # .at[] wraps negative indices BEFORE the mode applies -- redirect
+        # them to the dropped slot or the debug mode would miss exactly
+        # the corruption it exists to catch
+        index = jnp.where(index < 0, target.shape[0], index)
+    return target.at[index].set(value, mode=mode)
 
 
 def scatter_add(target, value, index, mask=None):
@@ -373,7 +379,10 @@ def scatter_add(target, value, index, mask=None):
         oob = (index < 0) | ~jnp.asarray(mask)
         index = jnp.where(oob, target.shape[0], index)
         return target.at[index].add(value, mode="drop")
-    return target.at[index].add(value, mode=_oob_mode())
+    mode = _oob_mode()
+    if mode == "drop":
+        index = jnp.where(index < 0, target.shape[0], index)
+    return target.at[index].add(value, mode=mode)
 
 
 def transform(target, index, func, *args, mask=None):

@@ -391,17 +391,19 @@ def _read_schedule(n_entries):
     flg_b = (ctypes.c_uint8 * n)()
     got = _lib.et_schedule_read(ids_b, opc_b, dtc_b, siz_b, dep_b, lit_b,
                                 flg_b, n)
-    assert got == n_entries, (got, n_entries)
-    ids = np.frombuffer(ids_b, np.uint32, n_entries)
-    opcs = np.frombuffer(opc_b, np.int32, n_entries)
-    dtcs = np.frombuffer(dtc_b, np.int32, n_entries)
-    sizes = np.frombuffer(siz_b, np.uint64, n_entries)
-    deps = np.frombuffer(dep_b, np.uint32, 4 * n_entries).reshape(-1, 4)
-    lits = np.frombuffer(lit_b, np.uint64, n_entries)
-    flags = np.frombuffer(flg_b, np.uint8, n_entries)
-    entries = [(int(ids[i]), int(opcs[i]), int(dtcs[i]), int(sizes[i]),
-                tuple(int(d) for d in deps[i]), int(lits[i]),
-                int(flags[i] & 1), int(flags[i] >> 1))
+    if got != n_entries:  # explicit: bare asserts vanish under -O
+        raise RuntimeError(f"schedule read mismatch: {got} != {n_entries}")
+    # .tolist() once: per-element numpy scalar indexing costs ~2 us each
+    ids = np.frombuffer(ids_b, np.uint32, n_entries).tolist()
+    opcs = np.frombuffer(opc_b, np.int32, n_entries).tolist()
+    dtcs = np.frombuffer(dtc_b, np.int32, n_entries).tolist()
+    sizes = np.frombuffer(siz_b, np.uint64, n_entries).tolist()
+    deps = np.frombuffer(dep_b, np.uint32,
+                         4 * n_entries).reshape(-1, 4).tolist()
+    lits = np.frombuffer(lit_b, np.uint64, n_entries).tolist()
+    flags = np.frombuffer(flg_b, np.uint8, n_entries).tolist()
+    entries = [(ids[i], opcs[i], dtcs[i], sizes[i], tuple(deps[i]),
+                lits[i], flags[i] & 1, flags[i] >> 1)
                for i in range(n_entries)]
     n_out = _lib.et_schedule_num_outputs()
     outs = [_lib.et_schedule_output(i) for i in range(n_out)]
@@ -1147,15 +1149,17 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0,
     if not loss.materialized:
         loss.eval()
     xv = _vid(x)
-    if not _TAPE:
+    if not any(xv in seg.leaf_vids for seg in _TAPE):
+        # the reference raises when x is not a leaf of the trace
+        # (autodiff.h); silently returning a zero tangent would hide the
+        # classic mis-ordering where part of the chain was evaluated
+        # before anything was marked. A loss genuinely independent of x
+        # also lands here -- catch the ValueError in parameter sweeps.
         raise ValueError(
-            "forward_from: the tape is empty -- mark x with requires_grad "
-            "(or call forward_from) BEFORE building and evaluating the "
-            "loss (the reference errors the same way when x is not a leaf "
-            "of the trace)")
-    # x absent from a NON-empty tape = the loss is independent of x:
-    # the tangent is legitimately zero (gradient-checking loops rely on
-    # this; only the empty-tape mis-ordering is an error)
+            "forward_from: x does not appear on the tape. Either the "
+            "loss is independent of x, or part of the chain was "
+            "evaluated before requires_grad -- mark x BEFORE building "
+            "and evaluating the loss")
     xbuf = _BUFFERS[x.index]
     tan = {xv: jnp.broadcast_to(jnp.asarray(tangent, xbuf.dtype),
                                 xbuf.shape)}

@@ -43,7 +43,13 @@ def sh_eval(x, y, z, order: int):
         raise ValueError("sh_eval(): order too high (max 9, sh.h:37)")
     from ..ops import backend as B
 
-    if not (B.is_lazy(x) or B.is_lazy(y) or B.is_lazy(z)):
+    if B.is_lazy(x) or B.is_lazy(y) or B.is_lazy(z):
+        # lift eager/scalar members so every coefficient (incl. the pure-
+        # z m=0 band) comes back lazy
+        ref = x if B.is_lazy(x) else y if B.is_lazy(y) else z
+        lift = lambda v: v if B.is_lazy(v) else ref * 0.0 + v
+        x, y, z = lift(x), lift(y), lift(z)
+    else:
         x = jnp.asarray(x)
         y = jnp.asarray(y)
         z = jnp.asarray(z, x.dtype)
