@@ -68,3 +68,31 @@ def test_select_mask_all_widths(n):
     z = np.asarray(ops.select(m, x, -x))
     xs = np.arange(n, dtype=np.float32)
     np.testing.assert_allclose(z, np.where(xs > n / 2, xs, -xs))
+
+
+@pytest.mark.parametrize("n", WIDTHS)
+def test_lazy_trace_all_widths(n):
+    # the reference's width matrix applied to FloatC (lazy) programs:
+    # elementwise chain + reduction + gather + scatter_add, every width
+    # incl. non-powers-of-two, one fused program each
+    import enoki_tpu.trace as tr
+    from enoki_tpu.trace import LazyArray
+
+    tr.reset()
+    xs = np.linspace(0.1, 1.5, n).astype(np.float32)
+    x = LazyArray(xs)
+    y = tr.sin(x) * tr.exp(x) + tr.sqrt(abs(x))
+    want = np.sin(xs) * np.exp(xs) + np.sqrt(np.abs(xs))
+    np.testing.assert_allclose(y.numpy(), want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(y.hsum().numpy(), [want.sum()], rtol=1e-4)
+
+    idx = LazyArray(np.arange(n - 1, -1, -1, dtype=np.int32))
+    np.testing.assert_allclose(x.gather(idx).numpy(), xs[::-1], rtol=1e-7)
+
+    tgt = LazyArray(np.zeros(max(n // 2, 1), np.float32))
+    bins = LazyArray((np.arange(n) % max(n // 2, 1)).astype(np.int32))
+    tgt.scatter_add(bins, x)
+    want_h = np.zeros(max(n // 2, 1), np.float32)
+    np.add.at(want_h, np.arange(n) % max(n // 2, 1), xs)
+    np.testing.assert_allclose(tgt.numpy(), want_h, rtol=1e-5, atol=1e-6)
+    tr.reset()
