@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 
 def _c(x, v):
+    if type(x).__module__.startswith("enoki_tpu.trace"):
+        return v  # LazyArray operators coerce python-float coefficients
     return jnp.asarray(v, dtype=jnp.result_type(x))
 
 

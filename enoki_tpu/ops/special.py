@@ -266,6 +266,19 @@ _ERFINV_P2 = (2.83297682, 1.00167406, 0.00943887047, -0.0076224613,
 
 
 def erfinv(x, impl=_NATIVE):
+    from . import backend as B
+
+    if B.is_lazy(x):
+        # the Giles fit composes from trace opcodes: erfinv over FloatC
+        # (histogram.cpp's probit sampling fully inside one fused program)
+        import enoki_tpu.trace as t
+
+        w = -t.log((1.0 - x) * (1.0 + x))
+        w1 = w - 2.5
+        w2 = t.sqrt(t.maximum(w, 0.0)) - 3.0
+        p1 = P.poly8(w1, *_ERFINV_P1)
+        p2 = P.poly8(w2, *_ERFINV_P2)
+        return t.select(w < 5.0, p1, p2) * x
     x = _f(x)
     if impl == _NATIVE:
         return jsp.erfinv(x)

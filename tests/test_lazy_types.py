@@ -263,3 +263,16 @@ def test_sh_lazy_matches_eager():
     for a, b in zip(lazy, eager):
         np.testing.assert_allclose(a.numpy(), np.asarray(b), rtol=2e-5,
                                    atol=1e-6)
+
+
+def test_erfinv_lazy_matches_eager():
+    # the Giles fit composed from trace opcodes (probit sampling inside
+    # one fused program, histogram.cpp:37-47)
+    from enoki_tpu.ops.special import erfinv
+
+    x = np.linspace(-0.995, 0.995, 256).astype(np.float32)
+    lazy = erfinv(LazyArray(x))
+    eager = np.asarray(erfinv(jnp_arr := __import__("jax.numpy",
+                                                    fromlist=["asarray"])
+                              .asarray(x), "poly"))
+    np.testing.assert_allclose(lazy.numpy(), eager, rtol=2e-5, atol=2e-6)
