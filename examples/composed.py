@@ -35,6 +35,8 @@ PARAMS = jnp.asarray(
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     render, render_xla = make_sdf_renderer(scene_sdf, n_params=12)
+    if jax.default_backend() not in ("tpu", "axon"):
+        render = render_xla  # compiled Pallas kernels are TPU-only
 
     img = np.asarray(render(PARAMS, n))
     write_ppm("composed.ppm", img)
