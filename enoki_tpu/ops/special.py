@@ -165,6 +165,59 @@ _I0E64_B = (
 )
 
 
+# LG64_A: 36 Chebyshev terms on [-0.4999999999, 0.5], max abs err 2.38e-22 (a0 pre-halved)
+_LG64_A = (
+    -0.6330114262150568, 0.44056755739200454, -0.05785740942964893,
+    0.010513973684729979, -0.00216398909057367, 0.0004744402334572364,
+    -0.00010799644516778291, 2.5201155268757586e-05, -5.9860144896837516e-06,
+    1.4410616157720047e-06, -3.506069051478737e-07, 8.603823000314848e-08,
+    -2.1265109080458022e-08, 5.287778079527005e-09, -1.3217135720045173e-09,
+    3.318669846806063e-10, -8.365902544521852e-11, 2.1163386599195494e-11,
+    -5.370507637027608e-12, 1.3666688055513991e-12, -3.486660027793325e-13,
+    8.91562240030536e-14, -2.2845495847955506e-14, 5.865146691836755e-15,
+    -1.5084071121215e-15, 3.8856146315901103e-16, -1.0024188141446238e-16,
+    2.589641844340365e-17, -6.698674705408949e-18, 1.7348373203770305e-18,
+    -4.497954079859277e-19, 1.1674174424612558e-19, -3.032889638371252e-20,
+    7.884427100745802e-21, -2.043209471532687e-21, 4.983280028701445e-22,
+)
+# LG64_B: 32 Chebyshev terms on [-0.5, 0.75], max abs err 1.9e-28 (a0 pre-halved)
+_LG64_B = (
+    0.449956620949089, 0.19488913511169126, -0.012241630375398674,
+    0.001123923112572209, -0.00012117714359534564, 1.4250979691533796e-05,
+    -1.7674125073287517e-06, 2.2702308732315152e-07, -2.9884508114723646e-08,
+    4.00485757338454e-09, -5.439990674066314e-10, 7.467629216647432e-11,
+    -1.0337705753585266e-11, 1.4409727234815299e-12, -2.0201348197819655e-13,
+    2.8458934689542795e-14, -4.026012834893851e-15, 5.716304481287189e-16,
+    -8.142350533178055e-17, 1.1631160838685615e-17, -1.6657347163052649e-18,
+    2.391052778527632e-19, -3.439380252402371e-20, 4.956772967253059e-21,
+    -7.156098232475694e-22, 1.0347877809653167e-22, -1.4985476034213682e-23,
+    2.1731346665491834e-24, -3.155420501958431e-25, 4.587125058812727e-26,
+    -6.672953542493563e-27, 9.519033047896072e-28,
+)
+# LG64_MID: 34 Chebyshev terms on [2.75, 8.0], max abs err 1.41e-21 (a0 pre-halved)
+_LG64_MID = (
+    4.124047060041262, 4.061147246337851, 0.37093119763677385,
+    -0.03527671631906673, 0.005038768911335157, -0.0008624087958159783,
+    0.0001635908382728636, -3.314875787318577e-05, 7.030499715247594e-06,
+    -1.5413611584723984e-06, 3.464806782830416e-07, -7.940924754395674e-08,
+    1.8481450714055696e-08, -4.354997725806164e-09, 1.0367053628750137e-09,
+    -2.488798691641504e-10, 6.017341095211362e-11, -1.463637888781839e-11,
+    3.578504282026376e-12, -8.788262445948789e-13, 2.1666426451481918e-13,
+    -5.359774989481278e-14, 1.329864234412958e-14, -3.3084423605824785e-15,
+    8.250338335502667e-16, -2.0618000268435606e-16, 5.1624711362061504e-17,
+    -1.2948731251403026e-17, 3.2530280541553494e-18, -8.184276028119995e-19,
+    2.0618029420504918e-19, -5.1993555237774974e-20, 1.3079207412578295e-20,
+    -3.1071918812382072e-21,
+)
+# LG64_STIR: 12 Chebyshev terms on [1e-18, 0.015625], max abs err 1.54e-26 (a0 pre-halved)
+_LG64_STIR = (
+    0.08331170390906488, -2.160555080544604e-05, 2.3805130306661253e-08,
+    -6.796982741412553e-11, 3.598298746801336e-13, -3.006641868307272e-15,
+    3.60073597694167e-17, -5.791695393592584e-19, 1.1937232345642649e-20,
+    -3.042270769880426e-22, 9.32280692134094e-24, -3.3523315896989313e-25,
+)
+
+
 def _expx2_neg(x):
     """exp(-x^2) without the quadratic error amplification: rounding
     x*x costs ~x^2 * ulp relative error (2000+ ulp at x = 27), so split
@@ -488,14 +541,60 @@ def _lgamma_pos(y):
     return jnp.where(y <= 2.75, central, tail)
 
 
+def _lgamma64_pos(x):
+    """f64 lgamma for x > 0 (own Chebyshev kernels, LG64_*): relative
+    accuracy THROUGH the zeros at x=1 and x=2 (they are divided out),
+    where XLA's gammaln loses ~12k ulp."""
+    xs = jnp.maximum(x, jnp.finfo(x.dtype).tiny)  # guard log/recurrence
+    # branch d: [0.5, 1.5) as u * A(u); also serves (0, 0.5) via the
+    # recurrence lgamma(x) = lgamma(x+1) - log(x)
+    small = x < 0.5
+    xd = jnp.where(small, xs + 1.0, xs)
+    u = jnp.clip(xd - 1.0, -0.5, 0.5)
+    t_a = 2.0 * u / (0.5 + 0.4999999999) + (0.4999999999 - 0.5) / 1.0
+    branch_d = u * _chebeval(t_a, _LG64_A)
+    branch_d = jnp.where(small, branch_d - jnp.log(xs), branch_d)
+    # branch c: [1.5, 2.75) as v * B(v)
+    v = jnp.clip(xs - 2.0, -0.5, 0.75)
+    t_b = (2.0 * v - 0.25) / 1.25
+    branch_c = v * _chebeval(t_b, _LG64_B)
+    # branch b: [2.75, 8) direct
+    xm = jnp.clip(xs, 2.75, 8.0)
+    t_m = (2.0 * xm - 10.75) / 5.25
+    branch_b = _chebeval(t_m, _LG64_MID)
+    # branch a: x >= 8 Stirling
+    xt = jnp.maximum(xs, 8.0)
+    w = 1.0 / (xt * xt)
+    t_s = (2.0 * w - 0.015625) / 0.015625
+    stir = ((xt - 0.5) * jnp.log(xt) - xt + 0.9189385332046727
+            + _chebeval(t_s, _LG64_STIR) / xt)
+    r = jnp.where(x >= 8.0, stir,
+                  jnp.where(x >= 2.75, branch_b,
+                            jnp.where(x >= 1.5, branch_c, branch_d)))
+    return r
+
+
+def _lgamma64(x):
+    """f64 lgamma over the real line: positive branches + reflection
+    log(pi/|sin(pi x)|) - lgamma(1-x) for x < 0.25 (poles -> +inf)."""
+    pos = _lgamma64_pos(x)
+    # reflection: sin(pi x) with the argument reduced exactly first
+    r = x - jnp.round(x)
+    sinpix = jnp.abs(jnp.sin(jnp.pi * r))
+    xa = jnp.maximum(1.0 - x, 1.0)  # 1 - x >= 1 for x <= 0
+    refl = jnp.log(jnp.pi) - jnp.log(sinpix) - _lgamma64_pos(xa)
+    refl = jnp.where(sinpix == 0.0, jnp.inf, refl)  # poles at -n
+    return jnp.where(x > 0.0, pos, refl)
+
+
 def lgamma(x, impl=_NATIVE):
-    # NOTE: the factored-zero fits are single-precision; on f64 inputs
-    # the poly path delegates to XLA's lowering (a dedicated f64
-    # factored-zero refit is future work -- the f32 fits would be ~1e6
-    # f64 ulp, silently wrong)
+    # f64 poly: own factored-zero kernels (relative accuracy through the
+    # zeros at x=1, x=2 -- XLA's f64 gammaln is ~12k ulp off there)
     x = _f(x)
-    if impl == _NATIVE or x.dtype == jnp.float64:
+    if impl == _NATIVE:
         return jsp.gammaln(x)
+    if x.dtype == jnp.float64:
+        return _lgamma64(x)
     reflect = x < 0.5
     # both branches evaluated on safe inputs, then selected (mask
     # discipline: no NaN from the untaken branch)

@@ -309,3 +309,39 @@ def test_dawson_erfi_i0e_f64():
         want = np.array([float(mp.erfi(float(v))) for v in xe])
         ulp = np.abs(got - want) / np.spacing(np.abs(want))
         assert ulp.max() <= 20.0
+
+
+def test_lgamma_f64_poly_factored_zeros():
+    # own f64 factored-zero kernels (LG64_*, tools/fit_special_f64.py):
+    # RELATIVE accuracy through the zeros at x=1 and x=2, where XLA's
+    # f64 gammaln is ~5e8 ulp off
+    import jax
+    import mpmath as mp
+
+    mp.mp.dps = 40
+    with jax.enable_x64():
+        rng = np.random.default_rng(3)
+        for lo, hi, bound in [(1e-8, 0.5, 4), (0.5, 2.75, 8),
+                              (2.75, 8.0, 16), (8.0, 1e6, 5)]:
+            x = rng.uniform(lo, hi, 1500)
+            got = np.asarray(S.lgamma(jnp.asarray(x, jnp.float64), POLY))
+            want = np.array([float(mp.loggamma(v)) for v in x])
+            keep = want != 0
+            ulp = (np.abs(got - want)[keep]
+                   / np.spacing(np.abs(want))[keep])
+            assert ulp.max() <= bound, (lo, hi, ulp.max())
+        # right at the zeros
+        for z in (1.0, 2.0):
+            x = z + np.linspace(-1e-6, 1e-6, 51)[1::2]
+            got = np.asarray(S.lgamma(jnp.asarray(x, jnp.float64), POLY))
+            want = np.array([float(mp.loggamma(v)) for v in x])
+            ulp = np.abs(got - want) / np.spacing(np.abs(want))
+            assert ulp.max() <= 8.0
+        # negatives via reflection: absolute error near log|Gamma| zeros
+        xn = rng.uniform(-20, -0.01, 1500)
+        xn = xn[np.abs(xn - np.round(xn)) > 1e-3]
+        got = np.asarray(S.lgamma(jnp.asarray(xn, jnp.float64), POLY))
+        want = np.array([float(mp.log(abs(mp.gamma(v)))) for v in xn])
+        assert (np.abs(got - want)
+                / np.maximum(np.abs(want), 1.0)).max() < 1e-14
+        assert np.isposinf(S.lgamma(jnp.float64(-3.0), POLY))

@@ -90,3 +90,33 @@ emit_chebyshev("I0E64_B",
                lambda q: mp.besseli(0, 1 / q) * mp.exp(-1 / q)
                * mp.sqrt(1 / q),
                1e-24, 0.125, 26)         # i0e(x) sqrt(x) in q = 1/x, x > 8
+
+
+# ---- lgamma double-precision kernels (r2) --------------------------------
+# Factored-zero structure like the f32 path (tools/fit_lgamma.py): the
+# zeros at x=1 and x=2 are divided out so accuracy near them is RELATIVE
+# (XLA's own f64 gammaln loses ~12k ulp there). Branches:
+#   [0.5, 1.5): u*(A(u)), u = x-1      [1.5, 2.75): v*(B(v)), v = x-2
+#   [2.75, 8): direct Chebyshev        [8, inf): Stirling + S(1/x^2)/x
+# (0, 0.5): recurrence lgamma(x) = lgamma(x+1) - log x; x < 0: reflection.
+
+def _lgA(u):
+    return mp.loggamma(1 + u) / u
+
+
+def _lgB(v):
+    if v == 0:
+        return mp.digamma(2)
+    return mp.loggamma(2 + v) / v
+
+
+def _lgS(w):
+    x = 1 / mp.sqrt(w)
+    return x * (mp.loggamma(x) - (x - mp.mpf("0.5")) * mp.log(x) + x
+                - mp.log(2 * mp.pi) / 2)
+
+
+emit_chebyshev("LG64_A", _lgA, -0.4999999999, 0.5, 36)
+emit_chebyshev("LG64_B", _lgB, -0.5, 0.75, 32)
+emit_chebyshev("LG64_MID", lambda x: mp.loggamma(x), 2.75, 8.0, 34)
+emit_chebyshev("LG64_STIR", _lgS, 1e-18, float(1 / mp.mpf(64)), 12)
