@@ -611,7 +611,12 @@ def tgamma(x, impl=_NATIVE):
     """Gamma function. The reference defines tgamma = exp(lgamma)
     (special.h:312), which drops the sign for negative arguments; we restore
     the correct sign via the reflection parity (an accuracy improvement,
-    flagged for parity-diff awareness)."""
+    flagged for parity-diff awareness).
+
+    f64 accuracy note: exp amplifies lgamma's absolute error by |lgamma|,
+    so relative error grows to ~4e-13 (~1700 ulp) near the x=170 overflow
+    edge -- inherent to the exp(lgamma) definition the reference uses; a
+    direct rational would be needed to do better."""
     x = _f(x)
     g = jnp.exp(lgamma(x, impl)) if impl == _NATIVE else M.exp(lgamma(x, impl), _POLY)
     # Gamma is negative on (-1,0), (-3,-2), ... : odd floor(x) intervals

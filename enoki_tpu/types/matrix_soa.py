@@ -158,3 +158,60 @@ def inverse(m):
 def inverse_transpose(m):
     """Inverse-transpose (normal-vector transform, matrix.h)."""
     return transpose(inverse(m))
+
+
+# ---------------------------------------------------------------------------
+# Homogeneous transforms in SoA form (transform.h:20-130 over Matrix<T,4>
+# with lazy-capable scalar entries; the dense builders live in
+# types/transform.py)
+# ---------------------------------------------------------------------------
+
+
+def _like(x):
+    return x * 0.0
+
+
+def translate(tx, ty, tz):
+    """4x4 translation; components are any scalars (eager or lazy)."""
+    z = _like(tx)
+    o = z + 1.0
+    return ((o, z, z, tx),
+            (z, o, z, ty),
+            (z, z, o, tz),
+            (z, z, z, o))
+
+
+def scale(sx, sy, sz):
+    z = _like(sx)
+    o = z + 1.0
+    return ((sx, z, z, z),
+            (z, sy, z, z),
+            (z, z, sz, z),
+            (z, z, z, o))
+
+
+def rotate(ax, ay, az, angle):
+    """Axis-angle rotation (unit axis), Rodrigues form (transform.h:38)."""
+    from ..ops import backend as B
+
+    g = B.math_ns(ax if not isinstance(ax, float) else angle)
+    s, c = g.sincos(angle)
+    t = 1.0 - c
+    z = _like(s)
+    o = z + 1.0
+    return ((c + ax * ax * t, ax * ay * t - az * s, ax * az * t + ay * s, z),
+            (ay * ax * t + az * s, c + ay * ay * t, ay * az * t - ax * s, z),
+            (az * ax * t - ay * s, az * ay * t + ax * s, c + az * az * t, z),
+            (z, z, z, o))
+
+
+def transform_point(m, x, y, z):
+    """Apply a homogeneous 4x4 to a 3-point (w = 1)."""
+    px, py, pz, pw = matvec(m, (x, y, z, x * 0.0 + 1.0))
+    return px / pw, py / pw, pz / pw
+
+
+def transform_vector(m, x, y, z):
+    """Apply the linear part only (w = 0)."""
+    vx, vy, vz, _ = matvec(m, (x, y, z, x * 0.0))
+    return vx, vy, vz

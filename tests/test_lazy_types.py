@@ -276,3 +276,30 @@ def test_erfinv_lazy_matches_eager():
                                                     fromlist=["asarray"])
                               .asarray(x), "poly"))
     np.testing.assert_allclose(lazy.numpy(), eager, rtol=2e-5, atol=2e-6)
+
+
+def test_transform_soa_lazy():
+    # homogeneous transforms over lazy scalar entries (Matrix4fC):
+    # compose translate(rotate(scale)) and match the dense eager builders
+    import jax.numpy as jnp
+
+    from enoki_tpu.types import matrix_soa as MS
+    from enoki_tpu.types import transform as T
+
+    ang = np.float32(0.7)
+    # lazy: per-lane angles (2 lanes)
+    a = LazyArray(np.array([0.7, -0.3], np.float32))
+    axn = 1.0 / np.sqrt(3.0)
+    rot_l = MS.rotate(axn, axn, axn, a)
+    m_l = MS.matmul(MS.translate(*(LazyArray(np.full(2, v, np.float32))
+                                   for v in (1.0, 2.0, 3.0))), rot_l)
+    px, py, pz = MS.transform_point(m_l, *(LazyArray(np.full(2, v,
+                                                             np.float32))
+                                           for v in (0.5, -0.5, 1.0)))
+    # dense eager reference, lane 0
+    m_e = np.asarray(T.translate(jnp.asarray([1.0, 2.0, 3.0])) @
+                     T.rotate(jnp.asarray([axn, axn, axn]), ang))
+    p_e = m_e @ np.array([0.5, -0.5, 1.0, 1.0])
+    np.testing.assert_allclose(
+        [px.numpy()[0], py.numpy()[0], pz.numpy()[0]],
+        p_e[:3] / p_e[3], rtol=1e-5, atol=1e-6)
