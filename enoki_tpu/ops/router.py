@@ -334,6 +334,11 @@ def scatter(target, value, index, mask=None):
     if mask is not None:
         # Redirect masked-off lanes to a dropped out-of-range index.
         index = jnp.where(mask, index, target.shape[0])
+        if _oob_mode() == "drop":
+            # debug mode: a negative in-mask index would still wrap via
+            # .at[]'s numpy-style indexing -- redirect it to the dropped
+            # slot too (mirrors the masked scatter_add path below)
+            index = jnp.where(index < 0, target.shape[0], index)
         return target.at[index].set(value, mode="drop")
     mode = _oob_mode()
     if mode == "drop":

@@ -43,7 +43,8 @@ _nat = load_pymod()  # fastcall hot path (same .so, see build.py)
 # ---------------------------------------------------------------------------
 
 _DTYPES = [jnp.float32, jnp.float64, jnp.int32, jnp.uint32, jnp.bool_,
-           jnp.bfloat16, jnp.int64, jnp.uint64]
+           jnp.bfloat16, jnp.int64, jnp.uint64, jnp.float16]
+_FLOAT_CODES = (0, 1, 5, 8)  # f32 / f64 / bf16 / f16
 _DTYPE_CODE = {jnp.dtype(d): i for i, d in enumerate(_DTYPES)}
 
 
@@ -64,6 +65,13 @@ def _literal_bits(value, code) -> int:
     silently truncate int64/uint64 literals >= 2^53). Cached: scalar
     constants repeat heavily in traced programs and the numpy round trip
     costs ~2 us."""
+    # numpy scalars normalize to Python scalars first: np.float32(-0.0)
+    # is not `float`, so it would otherwise fall into the plain (code,
+    # value) key branch where -0.0 == 0.0 collide on the cached +0.0 bits
+    if isinstance(value, np.floating):
+        value = float(value)
+    elif isinstance(value, np.integer):
+        value = int(value)
     # -0.0 and 0.0 are equal (same dict key) but have different bit
     # patterns: disambiguate float keys by their sign
     k = (code, value, math.copysign(1.0, value)) \
@@ -254,6 +262,7 @@ def reset():
     _PENDING_SCATTER.clear()
     _GRAD_ENABLED.clear()
     _GRADS.clear()
+    _ON_TAPE.clear()
     clear_tape()
     _VERSION.clear()
     clear_cache()
@@ -355,7 +364,7 @@ def _compile_schedule(entries, out_positions):
 
     # cut slots: output slots whose value is differentiable (inexact)
     cut_slots = tuple(k for k, p in enumerate(out_positions)
-                      if entries[p][2] in (0, 1, 5))  # f32/f64/bf16
+                      if entries[p][2] in _FLOAT_CODES)
     cut_pos = {out_positions[k]: j for j, k in enumerate(cut_slots)}
 
     def cut_fn(leaf_args, lits, cuts):
@@ -482,9 +491,11 @@ def _eval_ids(ids):
                            out_diff, key)
             si = len(_TAPE)
             _TAPE.append(seg)
+            _ON_TAPE.update(vleaves)
             for slot, vid in enumerate(out_vids):
                 if vid:
                     _PRODUCER[vid] = (si, slot)
+                    _ON_TAPE.add(vid)
 
     # store outputs; scatter results rebind their TARGET's buffer (enoki
     # scatters write into the target's storage; readers see the update
@@ -657,6 +668,11 @@ class LazyArray:
         if idx == 0:
             sizes = [len(d) for d in dep_arrays]
             raise ValueError(f"incompatible sizes for trace op: {sizes}")
+        if idx == -1:  # still dirty after the retry: fail loudly (a -1
+            #            handle would silently no-op in every later call)
+            raise RuntimeError(
+                "trace append failed twice on a dirty dependency -- a "
+                "pending scatter could not be flushed")
         r = LazyArray.__new__(LazyArray)
         r.index = idx
         r._size = size
@@ -872,6 +888,22 @@ class LazyArray:
 _PY_SCALAR_CODE = {bool: 4, int: 2, float: 0}  # bool_, int32, float32
 
 
+def _scalar_literal(v) -> "LazyArray":
+    """Scalar -> size-1 literal with numpy-scalar coercion (np.float32(2.0)
+    etc. are not instances of the Python scalar types)."""
+    if isinstance(v, (bool, np.bool_)):
+        code = 4
+    elif isinstance(v, (int, np.integer)):
+        code = 2
+    elif isinstance(v, (float, np.floating)):
+        code = 0
+    else:
+        raise TypeError(
+            f"select: cannot coerce {type(v).__name__} operand -- pass a "
+            "LazyArray or a Python/numpy scalar")
+    return LazyArray.literal(v, 1, _DTYPES[code])
+
+
 def select(mask: LazyArray, a, b):
     """Lazy select(mask, a, b). Python-scalar operands coerce against the
     other *value* operand's dtype -- never the mask's bool dtype, which
@@ -881,8 +913,8 @@ def select(mask: LazyArray, a, b):
     if ref is not None:
         a, b = ref._coerce(a), ref._coerce(b)
     else:
-        a = LazyArray.literal(a, 1, _DTYPES[_PY_SCALAR_CODE[type(a)]])
-        b = LazyArray.literal(b, 1, _DTYPES[_PY_SCALAR_CODE[type(b)]])
+        a = _scalar_literal(a)
+        b = _scalar_literal(b)
     dc = _binary_dtype(a._code, b._code)
     return LazyArray._record(Op.SELECT, dc, max(len(mask), len(a), len(b)),
                              mask, a, b)
@@ -922,6 +954,11 @@ _GRADS: dict = {}            # version vid -> accumulated gradient buffer
 _TAPE: list = []             # recorded _Segments, chronological
 _PRODUCER: dict = {}         # version vid -> (segment index, output slot)
 _VERSION: dict = {}          # var id -> current version vid (scatter rebinds)
+# every vid that ever appeared on a recorded segment (leaf or output).
+# Survives clear_tape() so gradient() can distinguish "recorded but
+# untouched by backward" (zeros) from "never on the tape" (error) after
+# the tape itself was freed. Pruned with the gradients.
+_ON_TAPE: set = set()
 
 
 class _Segment:
@@ -979,15 +1016,31 @@ def gradient(x: "LazyArray"):
     """Gradient accumulated by backward()/forward_from() passes
     (``gradient(x)``, array_router.h:702). Works for leaves AND any
     intermediate that crossed an eval boundary (any externally-held
-    array does). Returns a LazyArray, zeros if no gradient reached x."""
-    g = _GRADS.get(_vid(x))
+    array does). Returns a LazyArray; zeros if no gradient reached x.
+
+    Raises for an array that was never on the tape at all (neither
+    marked with requires_grad nor recorded by any segment) -- the classic
+    evaluate-before-mark mis-ordering would otherwise be
+    indistinguishable from a genuine zero gradient (the reference errors
+    on off-tape gradient reads, autodiff.h:1410 region)."""
+    vid = _vid(x)
+    g = _GRADS.get(vid)
     if g is None:
+        if x.index not in _GRAD_ENABLED and vid not in _ON_TAPE:
+            raise RuntimeError(
+                "gradient: array was never recorded on the AD tape -- "
+                "mark parameters with requires_grad BEFORE building and "
+                "evaluating the computation (programs evaluated earlier "
+                "are not re-recorded)")
         g = jnp.zeros((len(x),), x.dtype)
     return LazyArray(g)
 
 
 def clear_gradients():
     _GRADS.clear()
+    for k in list(_ON_TAPE):
+        if not _lib.et_var_exists(k):
+            _ON_TAPE.discard(k)
 
 
 def _is_diff(buf) -> bool:
@@ -1194,7 +1247,7 @@ def forward_from(x: "LazyArray", loss: "LazyArray", tangent=1.0,
 def _out_code(in_code, kind):
     if kind == "bool":
         return LazyArray._BOOL
-    if kind == "float" and in_code not in (0, 1, 5):  # f32/f64/bf16
+    if kind == "float" and in_code not in _FLOAT_CODES:
         return 0  # integer inputs float-promote to f32
     return in_code
 

@@ -56,13 +56,15 @@ def partition(ids: LazyArray):
     if _lib.et_is_dirty(ids.index):
         _PARTITION_CACHE.pop(ids.index, None)
     parts = _PARTITION_CACHE.get(ids.index)
+    if parts is not None:
+        # LRU: re-insert on hit so a hot array's partition survives any
+        # number of cold one-shot partitions (the reference caches on the
+        # array itself, cuda.h:815-842; a module dict needs recency)
+        del _PARTITION_CACHE[ids.index]
+        _PARTITION_CACHE[ids.index] = parts
     if parts is None:
-        if len(_PARTITION_CACHE) >= 256:
-            # bounded FIFO by dict insertion order (the reference caches
-            # on the array and frees with it, cuda.h:815-842; a module
-            # dict needs explicit eviction)
-            for k in list(_PARTITION_CACHE)[:128]:
-                del _PARTITION_CACHE[k]
+        while len(_PARTITION_CACHE) >= 256:
+            _PARTITION_CACHE.pop(next(iter(_PARTITION_CACHE)))
         vals = np.asarray(ids.numpy(), np.int64)
         order = np.argsort(vals, kind="stable").astype(np.int32)
         sv = vals[order]

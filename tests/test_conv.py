@@ -17,8 +17,9 @@ import enoki_tpu.trace as tr
 from enoki_tpu.trace import LazyArray
 
 # 32-bit-lane dtypes (64-bit dtypes need jax_enable_x64; covered in the
-# trace literal tests)
-DTYPES = [jnp.float32, jnp.int32, jnp.uint32, jnp.bfloat16]
+# trace literal tests). float16 = the lazy half.h:29 parity case
+# (CUDAArray<half> via the cuda.h type tables).
+DTYPES = [jnp.float32, jnp.int32, jnp.uint32, jnp.bfloat16, jnp.float16]
 
 # values exactly representable in EVERY dtype above (bf16 has 8 mantissa
 # bits; uint32 excludes negatives)
@@ -95,3 +96,28 @@ def test_reinterpret_roundtrip():
     np.testing.assert_array_equal(lbits.bitcast(jnp.float32).numpy(), v)
     with pytest.raises(TypeError):
         lv.bitcast(jnp.bfloat16)  # narrowing bitcast rejected
+
+
+def test_f16_lazy_roundtrip_and_bitcast():
+    """float16 on the trace (half.h:29 over the lazy backend): literal,
+    cast, math, and same-itemsize bitcast f16 <-> bf16."""
+    v = np.array([0.5, 1.0, -2.0, 100.0], np.float16)
+    lx = LazyArray(v)
+    assert lx.dtype == jnp.float16
+    # arithmetic + literal coercion stays f16
+    y = lx * 2.0 + 1.0
+    assert y.dtype == jnp.float16
+    np.testing.assert_array_equal(y.numpy(), v * np.float16(2) + np.float16(1))
+    # literal constructor is bit-exact (including -0.0)
+    lz = LazyArray.literal(-0.0, 3, jnp.float16)
+    assert lz.numpy().view(np.uint16).tolist() == [0x8000] * 3
+    # f16 <-> bf16 bitcast: same itemsize, allowed
+    lb = lx.bitcast(jnp.bfloat16)
+    assert lb.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(lb.bitcast(jnp.float16).numpy()), v)
+    # float-promoting math keeps f16 (a float code)
+    s = tr.sqrt(LazyArray(np.array([4.0, 9.0], np.float16)))
+    assert s.dtype == jnp.float16
+    np.testing.assert_array_equal(s.numpy(),
+                                  np.sqrt(np.array([4, 9], np.float16)))

@@ -493,3 +493,18 @@ def test_literals_64bit_bit_exact():
     g = f + (1.0 + 2.0 ** -40)
     np.testing.assert_array_equal(g.numpy(),
                                   np.array([1.0 + 2.0 ** -40], np.float64))
+
+
+def test_gradient_off_tape_raises():
+    # the classic evaluate-before-mark mis-ordering: the program ran
+    # before anything was marked, so nothing was recorded. A silent zero
+    # here is indistinguishable from a genuine zero gradient; the
+    # reference errors on off-tape gradient reads (autodiff.h:1410).
+    x = LazyArray(np.array([1.0, 2.0], np.float32))
+    loss = (x * x).hsum()
+    loss.eval()  # evaluated with NO differentiable frontier
+    tr.requires_grad(x)  # marked too late
+    with pytest.raises(RuntimeError, match="never recorded"):
+        tr.gradient(loss)
+    # a marked leaf that simply received no cotangent still reads zeros
+    np.testing.assert_allclose(tr.gradient(x).numpy(), [0.0, 0.0])

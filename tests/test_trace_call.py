@@ -227,3 +227,17 @@ def test_dispatch_dtype_disagreement_raises():
     x = LazyArray(np.array([1.0, 2.0], np.float32))
     with pytest.raises(ValueError, match="dtype"):
         tc.dispatch([f_int, f_float], ids, x)
+
+
+def test_partition_cache_lru_keeps_hot_entry():
+    # a hot array's partition must survive 256 cold one-shot partitions
+    # (recency-ordered eviction; the reference caches on the array itself
+    # and frees with it, cuda.h:815-842)
+    hot = _ids([0, 1, 0, 1])
+    p0 = tc.partition(hot)
+    for k in range(256):
+        cold = _ids([k % 3, 1])
+        tc.partition(cold)
+        tc.partition(hot)  # touch: refresh recency
+    assert tc._PARTITION_CACHE.get(hot.index) is not None
+    assert tc.partition(hot) is p0  # same cached object, never rebuilt
