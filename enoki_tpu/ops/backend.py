@@ -85,7 +85,14 @@ def ns_of(*xs):
 
 
 class _EagerMath:
-    """Eager math with the ops.math impl selector (native | poly)."""
+    """Eager math with the ops.math impl selector (native | poly), plus
+    the structural op surface generic (backend-agnostic) code needs.
+
+    ``*_native`` / ``*_ref`` names always resolve to XLA's own lowering /
+    the most accurate available implementation regardless of the impl
+    selector -- generic code uses them where the reference's poly paths
+    intentionally call a native op (e.g. the f64 kernels of
+    ops/special.py use XLA exp/log)."""
 
     def __init__(self, impl: str):
         self._impl = impl
@@ -111,6 +118,10 @@ class _EagerMath:
         return jnp.maximum(a, b)
 
     @staticmethod
+    def minimum(a, b):
+        return jnp.minimum(a, b)
+
+    @staticmethod
     def select(m, a, b):
         return jnp.where(m, a, b)
 
@@ -124,10 +135,57 @@ class _EagerMath:
     def rsqrt(x):
         return jax.lax.rsqrt(x)
 
+    abs = staticmethod(jnp.abs)
+    round = staticmethod(jnp.round)
+    floor = staticmethod(jnp.floor)
+    copysign = staticmethod(jnp.copysign)
+    exp_native = staticmethod(jnp.exp)
+    log_native = staticmethod(jnp.log)
+    sin_native = staticmethod(jnp.sin)
+    cos_native = staticmethod(jnp.cos)
+
+    @staticmethod
+    def clamp(x, lo, hi):
+        return jnp.clip(x, lo, hi)
+
+    @staticmethod
+    def mulsign(a, b):
+        from .router import mulsign as _m
+
+        return _m(a, b)
+
+    @staticmethod
+    def full_like(x, value, dtype=None):
+        return jnp.full(jnp.shape(x), value, dtype or x.dtype)
+
+    @staticmethod
+    def broadcast(*xs):
+        return jnp.broadcast_arrays(*xs)
+
+    @staticmethod
+    def erf_ref(x):
+        from jax.scipy import special as jsp
+
+        return jsp.erf(x)
+
+    @staticmethod
+    def erfc_ref(x):
+        from jax.scipy import special as jsp
+
+        return jsp.erfc(x)
+
+    @staticmethod
+    def lgamma_ref(x):
+        from jax.scipy import special as jsp
+
+        return jsp.gammaln(x)
+
 
 class _TraceMath:
     """Lazy math: trace opcodes (impl selector does not apply -- the
-    fused program uses XLA's lowerings, the trace analog of 'native')."""
+    fused program uses XLA's lowerings, the trace analog of 'native',
+    exactly as the reference's lazy GPU backend takes the HW-approx
+    route for transcendentals, cuda.h:433-453)."""
 
     def __getattr__(self, name):
         import enoki_tpu.trace as tr
@@ -141,6 +199,69 @@ class _TraceMath:
         import enoki_tpu.trace as tr
 
         return tr.sinh(x), tr.cosh(x)
+
+    # *_native / *_ref aliases so generic code addressing "XLA's own
+    # lowering" resolves on the lazy backend too (same opcodes)
+    @staticmethod
+    def exp_native(x):
+        import enoki_tpu.trace as tr
+
+        return tr.exp(x)
+
+    @staticmethod
+    def log_native(x):
+        import enoki_tpu.trace as tr
+
+        return tr.log(x)
+
+    @staticmethod
+    def sin_native(x):
+        import enoki_tpu.trace as tr
+
+        return tr.sin(x)
+
+    @staticmethod
+    def cos_native(x):
+        import enoki_tpu.trace as tr
+
+        return tr.cos(x)
+
+    @staticmethod
+    def erf_ref(x):
+        import enoki_tpu.trace as tr
+
+        return tr.erf(x)
+
+    @staticmethod
+    def erfc_ref(x):
+        import enoki_tpu.trace as tr
+
+        return tr.erfc(x)
+
+    @staticmethod
+    def lgamma_ref(x):
+        import enoki_tpu.trace as tr
+
+        return tr.lgamma(x)
+
+    @staticmethod
+    def mulsign(a, b):
+        import enoki_tpu.trace as tr
+
+        # a * copysign(1, b): respects the sign BIT (mulsign(-0.0) flips)
+        return a * tr.copysign(_TraceMath.full_like(b, 1.0), b)
+
+    @staticmethod
+    def full_like(x, value, dtype=None):
+        from enoki_tpu.trace import LazyArray
+
+        return LazyArray.literal(value, len(x), dtype or x.dtype)
+
+    @staticmethod
+    def broadcast(*xs):
+        # the trace broadcasts size-1 operands implicitly (the 1-or-equal
+        # rule, jit.cu:776-782); nothing to materialize
+        return xs
 
     @staticmethod
     def hypot(a, b):

@@ -29,23 +29,42 @@ from jax import lax
 # ---------------------------------------------------------------------------
 
 
+def _is_lazy(x):
+    from .backend import is_lazy
+
+    return is_lazy(x)
+
+
 def hsum(x, axis=None):
+    """Routes to the lazy HSUM opcode for LazyArray ("one source, every
+    backend" -- the reference's hsum instantiates for CUDAArray via a cub
+    call, horiz.cu:162; here the reduction STAYS in the fused program)."""
+    if _is_lazy(x):
+        return x.hsum()
     return jnp.sum(x, axis=axis)
 
 
 def hprod(x, axis=None):
+    if _is_lazy(x):
+        return x.hprod()
     return jnp.prod(x, axis=axis)
 
 
 def hmax(x, axis=None):
+    if _is_lazy(x):
+        return x.hmax()
     return jnp.max(x, axis=axis)
 
 
 def hmin(x, axis=None):
+    if _is_lazy(x):
+        return x.hmin()
     return jnp.min(x, axis=axis)
 
 
 def hmean(x, axis=None):
+    if _is_lazy(x):
+        return x.hsum() * (1.0 / len(x))
     return jnp.mean(x, axis=axis)
 
 
@@ -68,23 +87,33 @@ def hmin_nested(x):
 
 def psum(x, axis=-1):
     """Inclusive prefix sum (cuda_psum, horiz.cu:193 DeviceScan::InclusiveSum)."""
+    if _is_lazy(x):
+        return x.psum()
     return jnp.cumsum(x, axis=axis)
 
 
 def all_(mask, axis=None):
+    if _is_lazy(mask):
+        return mask.all()
     return jnp.all(mask, axis=axis)
 
 
 def any_(mask, axis=None):
+    if _is_lazy(mask):
+        return mask.any()
     return jnp.any(mask, axis=axis)
 
 
 def none(mask, axis=None):
+    if _is_lazy(mask):
+        return ~mask.any()
     return ~jnp.any(mask, axis=axis)
 
 
 def count(mask, axis=None):
     """Number of true lanes (cuda_count, horiz.cu:284)."""
+    if _is_lazy(mask):
+        return mask.count()
     return jnp.sum(mask.astype(jnp.int32), axis=axis)
 
 
@@ -94,14 +123,22 @@ def dot(a, b, axis=-1):
     For the common Vec3-over-wide-arrays case the component axis is the
     *leading* struct dimension and this is not used; this reduces jnp arrays.
     """
+    if _is_lazy(a) or _is_lazy(b):
+        return (a * b).hsum()
     return jnp.sum(a * b, axis=axis)
 
 
 def abs_dot(a, b, axis=-1):
+    if _is_lazy(a) or _is_lazy(b):
+        return abs(dot(a, b))
     return jnp.abs(dot(a, b, axis))
 
 
 def norm(a, axis=-1):
+    if _is_lazy(a):
+        import enoki_tpu.trace as t
+
+        return t.sqrt(dot(a, a))
     return jnp.sqrt(dot(a, a, axis))
 
 
@@ -110,11 +147,17 @@ def squared_norm(a, axis=-1):
 
 
 def normalize(a, axis=-1):
+    if _is_lazy(a):
+        import enoki_tpu.trace as t
+
+        return a * t.rsqrt((a * a).hsum())
     return a * lax.rsqrt(jnp.sum(a * a, axis=axis, keepdims=True))
 
 
 def reverse(x, axis=0):
     """Order-reversal (common.cu:82 reverse kernel)."""
+    if _is_lazy(x):
+        return x.reverse()
     return jnp.flip(x, axis=axis)
 
 
@@ -134,7 +177,15 @@ def compress(x, mask, fill=0):
 
     Implementation: exclusive prefix-sum of the mask gives each selected
     lane its output slot; a masked scatter places it. One fused XLA kernel.
+
+    LazyArray x: records the COMPRESS opcode -- both results stay lazy
+    (the reference must break the kernel at every cub call; zero-fill
+    only, ``fill`` must be 0 there).
     """
+    if _is_lazy(x):
+        if fill != 0:
+            raise ValueError("lazy compress zero-fills (fill must be 0)")
+        return x.compress(mask)
     x = jnp.asarray(x)
     mask = jnp.asarray(mask)
     slots = jnp.cumsum(mask.astype(jnp.int32)) - mask.astype(jnp.int32)

@@ -649,3 +649,69 @@ def hypot(a, b):
     mn = jnp.minimum(a, b)
     t = mn / jnp.where(mx == 0.0, 1.0, mx)
     return jnp.where(mx == 0.0, 0.0, mx * jnp.sqrt(1.0 + t * t))
+
+
+# ---------------------------------------------------------------------------
+# Lazy-backend routing: "one source, every backend" (array_router.h:23-158,
+# array_math.h:121-150's 5-way dispatch macro). Every public function above
+# also accepts LazyArray operands: the call then records trace opcodes (the
+# CUDAArray route -- the reference's lazy backend likewise takes the
+# HW/native transcendental path, cuda.h:433-453, so the impl selector does
+# not apply) and fuses into the surrounding lazy program at eval.
+# ---------------------------------------------------------------------------
+
+
+def _wrap_lazy(fn, route, nargs):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        from . import backend as B
+
+        head = args[:nargs]
+        if any(B.is_lazy(a) for a in head):
+            import enoki_tpu.trace as t
+
+            ref = next(a for a in head if B.is_lazy(a))
+            head = tuple(a if B.is_lazy(a) else ref._coerce(a)
+                         for a in head)
+            return route(t, *head)
+        return fn(*args, **kw)
+
+    return wrapped
+
+
+_LAZY_ROUTES_1 = {
+    "sin": lambda t, x: t.sin(x), "cos": lambda t, x: t.cos(x),
+    "sincos": lambda t, x: t.sincos(x), "tan": lambda t, x: t.tan(x),
+    "cot": lambda t, x: 1.0 / t.tan(x),
+    "asin": lambda t, x: t.asin(x), "acos": lambda t, x: t.acos(x),
+    "atan": lambda t, x: t.atan(x),
+    "exp": lambda t, x: t.exp(x), "exp2": lambda t, x: t.exp2(x),
+    "log": lambda t, x: t.log(x), "log2": lambda t, x: t.log2(x),
+    "log1p": lambda t, x: t.log1p(x), "expm1": lambda t, x: t.expm1(x),
+    "cbrt": lambda t, x: t.cbrt(x),
+    "sinh": lambda t, x: t.sinh(x), "cosh": lambda t, x: t.cosh(x),
+    "sincosh": lambda t, x: (t.sinh(x), t.cosh(x)),
+    "tanh": lambda t, x: t.tanh(x),
+    "csch": lambda t, x: 1.0 / t.sinh(x),
+    "sech": lambda t, x: 1.0 / t.cosh(x),
+    "coth": lambda t, x: 1.0 / t.tanh(x),
+    "asinh": lambda t, x: t.asinh(x), "acosh": lambda t, x: t.acosh(x),
+    "atanh": lambda t, x: t.atanh(x),
+}
+
+_LAZY_ROUTES_2 = {
+    "atan2": lambda t, y, x: t.atan2(y, x),
+    "pow": lambda t, x, y: t.pow(x, y),
+    "fmod": lambda t, a, b: t.fmod(a, b),
+    "hypot": lambda t, a, b: __import__(
+        "enoki_tpu.ops.backend", fromlist=["_TRACE_MATH"])
+        ._TRACE_MATH.hypot(a, b),
+}
+
+for _name, _route in _LAZY_ROUTES_1.items():
+    globals()[_name] = _wrap_lazy(globals()[_name], _route, 1)
+for _name, _route in _LAZY_ROUTES_2.items():
+    globals()[_name] = _wrap_lazy(globals()[_name], _route, 2)
+del _name, _route

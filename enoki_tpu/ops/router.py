@@ -36,6 +36,45 @@ import jax.numpy as jnp
 from jax import lax
 
 # ---------------------------------------------------------------------------
+# Lazy-backend routing helpers: "one source, every backend". Free functions
+# below accept LazyArray operands and record trace ops (the reference's
+# array_router.h route macros dispatch the same call to the CUDA trace
+# backend, :23-158); jnp operands keep the eager XLA path.
+# ---------------------------------------------------------------------------
+
+
+def _lazy_any(*xs):
+    from . import backend as B
+
+    return any(B.is_lazy(x) for x in xs)
+
+
+def _lift(v):
+    """Coerce v onto the trace: LazyArray passes through, scalars stay
+    scalars (trace ops coerce them per-operand), arrays become data
+    leaves."""
+    from . import backend as B
+
+    if B.is_lazy(v) or isinstance(v, (bool, int, float)):
+        return v
+    import enoki_tpu.trace as t
+
+    return t.LazyArray(jnp.atleast_1d(jnp.asarray(v)))
+
+
+def _lift_arr(v):
+    """Like _lift but scalars become size-1 data leaves too (for slots
+    that must be arrays, e.g. gather indices)."""
+    from . import backend as B
+
+    if B.is_lazy(v):
+        return v
+    import enoki_tpu.trace as t
+
+    return t.LazyArray(jnp.atleast_1d(jnp.asarray(v)))
+
+
+# ---------------------------------------------------------------------------
 # Constructors (array_router.h:722-789)
 # ---------------------------------------------------------------------------
 
@@ -75,7 +114,19 @@ def meshgrid(x, y):
     The reference returns a pair of flat arrays of length ``len(x)*len(y)``
     where x varies fastest -- exactly numpy's 'xy' indexing, flattened.
     Returns a (2, N) stacked array's components as a tuple ``(xs, ys)``.
+
+    LazyArray inputs: the index patterns enter as data leaves and the
+    expansion is a pair of lazy gathers (the reference's CUDA meshgrid
+    composes idiv + gather the same way, array_utils.h:24).
     """
+    if _lazy_any(x, y):
+        import enoki_tpu.trace as t
+
+        x, y = _lift_arr(x), _lift_arr(y)
+        nx, ny = len(x), len(y)
+        xi = t.LazyArray(jnp.tile(jnp.arange(nx, dtype=jnp.int32), ny))
+        yi = t.LazyArray(jnp.repeat(jnp.arange(ny, dtype=jnp.int32), nx))
+        return x.gather(xi), y.gather(yi)
     xs, ys = jnp.meshgrid(x, y, indexing="xy")
     return xs.reshape(-1), ys.reshape(-1)
 
@@ -86,7 +137,13 @@ def meshgrid(x, y):
 
 
 def select(mask, a, b):
-    """``select(mask, a, b)``: lanewise mask ? a : b."""
+    """``select(mask, a, b)``: lanewise mask ? a : b. Accepts LazyArray
+    operands (records Op.SELECT; array_router.h:481 routes to the lazy
+    backend the same way)."""
+    if _lazy_any(mask, a, b):
+        import enoki_tpu.trace as t
+
+        return t.select(_lift_arr(mask), _lift(a), _lift(b))
     return jnp.where(mask, a, b)
 
 
@@ -96,6 +153,10 @@ def masked_assign(x, mask, value):
     Returns the new array; JAX arrays are immutable so the proxy-assignment
     of the reference becomes a pure update.
     """
+    if _lazy_any(x, mask, value):
+        import enoki_tpu.trace as t
+
+        return t.select(_lift_arr(mask), _lift(value), _lift(x))
     return jnp.where(mask, value, x)
 
 
@@ -128,12 +189,28 @@ def _odd_lanes(a, b, c):
     return (jnp.arange(n) % 2).astype(bool)
 
 
+def _odd_lanes_lazy(a, b, c):
+    import enoki_tpu.trace as t
+    from . import backend as B
+
+    n = max(len(v) for v in (a, b, c) if B.is_lazy(v))
+    return (t.LazyArray.arange(n) & 1) == 1
+
+
 def fmaddsub(a, b, c):
     """Even lanes a*b-c, odd lanes a*b+c (array_router.h fmaddsub_)."""
+    if _lazy_any(a, b, c):
+        import enoki_tpu.trace as t
+
+        return t.select(_odd_lanes_lazy(a, b, c), a * b + c, a * b - c)
     return jnp.where(_odd_lanes(a, b, c), a * b + c, a * b - c)
 
 
 def fmsubadd(a, b, c):
+    if _lazy_any(a, b, c):
+        import enoki_tpu.trace as t
+
+        return t.select(_odd_lanes_lazy(a, b, c), a * b - c, a * b + c)
     return jnp.where(_odd_lanes(a, b, c), a * b - c, a * b + c)
 
 
@@ -145,11 +222,15 @@ def fmsubadd(a, b, c):
 
 def rcp(x):
     """Reciprocal. XLA emits the optimal divide; parity op for rcp<Approx>."""
-    return 1.0 / x
+    return 1.0 / x  # generic: LazyArray __rtruediv__ records Op.DIV
 
 
 def rsqrt(x):
     """Reciprocal square root, lowered to the TPU's native rsqrt."""
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.rsqrt(x)
     return lax.rsqrt(x)
 
 
@@ -159,6 +240,10 @@ def rsqrt(x):
 
 
 def popcnt(x):
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.popcnt(x)
     return lax.population_count(jnp.asarray(x))
 
 
@@ -229,6 +314,8 @@ def rol(x, k):
 
 def reinterpret(x, dtype):
     """Bit-level reinterpret cast (``reinterpret_array``, fwd.h:323 memcpy_cast)."""
+    if _lazy_any(x):
+        return x.bitcast(dtype)
     return lax.bitcast_convert_type(x, dtype)
 
 
@@ -294,7 +381,21 @@ def gather(source, index, mask=None, fill=0):
     load, cuda.h:846). Out-of-range indices clamp (XLA semantics); masked
     lanes are forced in-range first so the clamp can't hide a real OOB under
     a valid mask.
+
+    LazyArray operands record a trace gather (cuda.h:846's masked
+    ld.global analog) -- the fused program keeps the gather lazy.
     """
+    if _lazy_any(source, index, mask):
+        import enoki_tpu.trace as t
+
+        source, index = _lift_arr(source), _lift_arr(index)
+        if mask is not None:
+            mask = _lift_arr(mask)
+            index = t.select(mask, index, 0)
+        out = source.gather(index)
+        if mask is not None:
+            out = t.select(mask, out, _lift(fill))
+        return out
     source = jnp.asarray(source)
     index = jnp.asarray(index)
     if mask is not None:
@@ -328,7 +429,19 @@ def scatter(target, value, index, mask=None):
     Last-write-wins for duplicate indices is *not* guaranteed by the
     reference (CUDA st.global race); XLA's scatter picks an arbitrary winner
     for duplicates in unsorted mode, which matches that contract.
+
+    LazyArray target: records a lazy scatter into the target (the dirty
+    protocol, jit.cu:674); masked-off lanes redirect to a dropped
+    out-of-range slot. Returns the target (lazily updated in place).
     """
+    if _lazy_any(target, value, index):
+        import enoki_tpu.trace as t
+
+        target = _lift_arr(target)
+        index, value = _lift_arr(index), _lift(value)
+        if mask is not None:
+            index = t.select(_lift_arr(mask), index, len(target))
+        return target.scatter(index, value)
     target = jnp.asarray(target)
     index = jnp.asarray(index)
     if mask is not None:
@@ -363,7 +476,19 @@ def scatter_add(target, value, index, mask=None):
     out[b] = sum_i where(index_i == b [and mask_i], value_i, 0),
     which never materializes the (N, bins) intermediate. Out-of-range
     indices match no bin, giving exactly the masked-drop semantics.
+
+    LazyArray target: records a lazy conflict-safe scatter_add
+    (atom.global.add analog, cuda.h:893); masked-off lanes redirect to a
+    dropped slot. Returns the target (lazily updated in place).
     """
+    if _lazy_any(target, value, index):
+        import enoki_tpu.trace as t
+
+        target = _lift_arr(target)
+        index, value = _lift_arr(index), _lift(value)
+        if mask is not None:
+            index = t.select(_lift_arr(mask), index, len(target))
+        return target.scatter_add(index, value)
     target = jnp.asarray(target)
     index = jnp.asarray(index)
     value = jnp.asarray(value)
@@ -410,6 +535,10 @@ def transform(target, index, func, *args, mask=None):
 
 
 def clamp(x, lo, hi):
+    if _lazy_any(x, lo, hi):
+        import enoki_tpu.trace as t
+
+        return t.clamp(_lift_arr(x), _lift(lo), _lift(hi))
     return jnp.clip(x, lo, hi)
 
 
@@ -420,6 +549,10 @@ def lerp(a, b, t):
 
 def sign(x):
     """Branchless sign: copysign(1, x) (reference sign semantics: sign(0)=1)."""
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.sign(x)
     x = jnp.asarray(x)
     one = jnp.ones((), x.dtype)
     return jnp.where(x < 0, -one, one) if not jnp.issubdtype(x.dtype, jnp.floating) else _copysign(one, x)
@@ -442,11 +575,19 @@ def _copysign(a, b):
 
 
 def copysign(a, b):
+    if _lazy_any(a, b):
+        import enoki_tpu.trace as t
+
+        return t.copysign(_lift_arr(a), _lift(b))
     return _copysign(a, b)
 
 
 def mulsign(a, b):
     """a * sign(b) via sign-bit XOR (array_router.h mulsign)."""
+    if _lazy_any(a, b):
+        from .backend import _TRACE_MATH
+
+        return _TRACE_MATH.mulsign(_lift_arr(a), _lift_arr(b))
     a, b = jnp.asarray(a), jnp.asarray(b)
     dt = jnp.promote_types(a.dtype, b.dtype)
     a, b = a.astype(dt), b.astype(dt)
@@ -459,6 +600,8 @@ def mulsign(a, b):
 
 
 def abs_(x):
+    if _lazy_any(x):
+        return abs(x)
     return jnp.abs(x)
 
 
@@ -467,14 +610,26 @@ def sqr(x):
 
 
 def isnan(x):
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.isnan(x)
     return jnp.isnan(x)
 
 
 def isinf(x):
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.isinf(x)
     return jnp.isinf(x)
 
 
 def isfinite(x):
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.isfinite(x)
     return jnp.isfinite(x)
 
 
@@ -482,6 +637,13 @@ def allclose(a, b, rtol=None, atol=None, equal_nan=False):
     """``allclose`` with the reference's dtype-dependent defaults
     (array_router.h:1310: rtol = 5*eps^(1/2)-ish; we mirror its published
     defaults: 1e-5/1e-8 for f64, 1e-3/1e-5 for f32 -- numpy-compatible)."""
+    if _lazy_any(a, b):
+        # allclose is a host-side verdict: force evaluation (the
+        # reference's allclose on CUDAArray reads values back too)
+        from . import backend as B
+
+        a = a.jax() if B.is_lazy(a) else a
+        b = b.jax() if B.is_lazy(b) else b
     a, b = jnp.asarray(a), jnp.asarray(b)
     dt = jnp.promote_types(a.dtype, b.dtype)
     if rtol is None:
@@ -500,56 +662,122 @@ def allclose(a, b, rtol=None, atol=None, equal_nan=False):
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_jvp
+def _safe_lazy(x, fn):
+    """Lazy-backend safe math: the value is selected to the clamped
+    branch, so jax.vjp through the recorded program sends a ZERO
+    cotangent into the out-of-domain branch -- the same derivative
+    discipline the eager custom_jvp variants implement (and the
+    reference's safe_mul tape semantics, autodiff.cpp:1191)."""
+    import enoki_tpu.trace as t
+
+    return fn(t, x)
+
+
 def safe_sqrt(x):
+    if _lazy_any(x):
+        return _safe_lazy(x, lambda t, v: t.select(
+            v > 0.0, t.sqrt(t.maximum(v, jnp.finfo(jnp.float32).tiny)),
+            0.0))
+    return _safe_sqrt_eager(x)
+
+
+@jax.custom_jvp
+def _safe_sqrt_eager(x):
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
-@safe_sqrt.defjvp
+@_safe_sqrt_eager.defjvp
 def _safe_sqrt_jvp(primals, tangents):
     (x,), (t,) = primals, tangents
-    y = safe_sqrt(x)
+    y = _safe_sqrt_eager(x)
     d = jnp.where(x > 0, 0.5 / jnp.where(x > 0, y, 1.0), 0.0)
     return y, d * t
 
 
-@jax.custom_jvp
 def safe_rsqrt(x):
+    if _lazy_any(x):
+        # value AND derivative match the eager custom_jvp: the max clamp
+        # zeroes the derivative at x <= 0 (max' = 0 on the clamped side)
+        # and rsqrt(tiny) is finite, so no 0*inf NaN in the VJP
+        return _safe_lazy(x, lambda t, v: t.rsqrt(
+            t.maximum(v, float(jnp.finfo(jnp.float32).tiny))))
+    return _safe_rsqrt_eager(x)
+
+
+@jax.custom_jvp
+def _safe_rsqrt_eager(x):
     return lax.rsqrt(jnp.maximum(x, jnp.finfo(jnp.result_type(x, 1.0)).tiny))
 
 
-@safe_rsqrt.defjvp
+@_safe_rsqrt_eager.defjvp
 def _safe_rsqrt_jvp(primals, tangents):
     (x,), (t,) = primals, tangents
-    y = safe_rsqrt(x)
+    y = _safe_rsqrt_eager(x)
     d = jnp.where(x > 0, -0.5 * y * y * y, 0.0)
     return y, d * t
 
 
-@jax.custom_jvp
+def _below_one(dtype):
+    """Largest representable value < 1 in dtype (the clamp that keeps
+    asin/acos derivatives finite without touching any in-domain value)."""
+    import numpy as np
+
+    return float(np.nextafter(np.asarray(1.0, dtype), np.asarray(0, dtype)))
+
+
 def safe_asin(x):
+    if _lazy_any(x):
+        # |x| < 1 lanes: clamp to the largest value < 1 is a NO-OP (every
+        # representable |x| < 1 is <= that), so the value is exact and
+        # asin' stays finite; boundary lanes take the exact +-pi/2 branch
+        # whose derivative w.r.t. x is 0 -- no 0*inf NaN in the VJP
+        # (the derivative discipline of the eager custom_jvp)
+        def route(t, v):
+            c = _below_one(v.dtype)
+            half_pi = 1.5707963267948966
+            return t.select(t.abs(v) < 1.0, t.asin(t.clamp(v, -c, c)),
+                            t.copysign(v * 0.0 + half_pi, v))
+
+        return _safe_lazy(x, route)
+    return _safe_asin_eager(x)
+
+
+@jax.custom_jvp
+def _safe_asin_eager(x):
     return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
 
 
-@safe_asin.defjvp
+@_safe_asin_eager.defjvp
 def _safe_asin_jvp(primals, tangents):
     (x,), (t,) = primals, tangents
     inside = jnp.abs(x) < 1.0
     d = jnp.where(inside, lax.rsqrt(jnp.maximum(1.0 - x * x, 1e-30)), 0.0)
-    return safe_asin(x), d * t
+    return _safe_asin_eager(x), d * t
+
+
+def safe_acos(x):
+    if _lazy_any(x):
+        def route(t, v):
+            c = _below_one(v.dtype)
+            pi = 3.141592653589793
+            return t.select(t.abs(v) < 1.0, t.acos(t.clamp(v, -c, c)),
+                            t.select(v > 0.0, v * 0.0, v * 0.0 + pi))
+
+        return _safe_lazy(x, route)
+    return _safe_acos_eager(x)
 
 
 @jax.custom_jvp
-def safe_acos(x):
+def _safe_acos_eager(x):
     return jnp.arccos(jnp.clip(x, -1.0, 1.0))
 
 
-@safe_acos.defjvp
+@_safe_acos_eager.defjvp
 def _safe_acos_jvp(primals, tangents):
     (x,), (t,) = primals, tangents
     inside = jnp.abs(x) < 1.0
     d = jnp.where(inside, -lax.rsqrt(jnp.maximum(1.0 - x * x, 1e-30)), 0.0)
-    return safe_acos(x), d * t
+    return _safe_acos_eager(x), d * t
 
 
 # ---------------------------------------------------------------------------
@@ -568,6 +796,8 @@ def repeat(x, count):
 
 
 def reverse(x):
+    if _lazy_any(x):
+        return x.reverse()
     return x[..., ::-1] if jnp.ndim(x) else x
 
 
@@ -626,8 +856,32 @@ def binary_search(start, end, pred):
 
     start, end = int(start), int(end)  # scalar bounds, like the reference
     iters = _math.floor(_math.log2(end - start)) + 1 if end > start else 0
+    # probe the predicate's backend once: a lazy pred makes the whole
+    # search record trace ops (the reference's binary_search instantiates
+    # for CUDAArray the same way, array_utils.h:153)
     lo = jnp.asarray(start, jnp.int32)
     hi = jnp.asarray(end, jnp.int32)
+    if iters:
+        try:
+            probe_lazy = _lazy_any(pred((lo + hi) >> 1))
+        except Exception:
+            # a pred written against LazyArray state typically rejects a
+            # plain jnp index (e.g. LazyArray.gather requires a lazy
+            # index) -- take the lazy path
+            probe_lazy = True
+    else:
+        probe_lazy = False
+    if probe_lazy:
+        import enoki_tpu.trace as t
+
+        lo = t.LazyArray.literal(start, 1, jnp.int32)
+        hi = t.LazyArray.literal(end, 1, jnp.int32)
+        for _ in range(iters):
+            mid = (lo + hi) >> 1
+            cond = pred(mid)
+            lo = t.select(cond, t.minimum(mid + 1, hi), lo)
+            hi = t.select(cond, hi, mid)
+        return lo + hi * 0
     for _ in range(iters):
         mid = (lo + hi) >> 1
         cond = pred(mid)
@@ -640,4 +894,8 @@ def binary_search(start, end, pred):
 def sqrt(x):
     """Elementwise square root (array_router.h sqrt; see safe_sqrt for the
     clamped-domain/clamped-gradient variant)."""
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.sqrt(x)
     return jnp.sqrt(x)

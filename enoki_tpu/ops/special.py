@@ -47,6 +47,56 @@ def _f(x):
 
 
 # ---------------------------------------------------------------------------
+# Backend dispatch ("one source, every backend"): every function below is
+# written against a generic op namespace `ns` -- ops.backend.math_ns -- so
+# the SAME polynomial/iterative source instantiates for eager jnp arrays
+# AND for the lazy trace (LazyArray records opcodes; one downstream eval
+# fuses the whole special function into the surrounding program). This is
+# the reference's architectural headline: all of special.h works on
+# CUDAArray<float> because everything routes through L2 free functions
+# (array_router.h:23-158; special.h:168-650 instantiates for every
+# backend).
+# ---------------------------------------------------------------------------
+
+
+def _dispatch(x, impl=_POLY):
+    """(ns, x): op namespace for x's backend, x float-coerced there."""
+    from . import backend as B
+
+    if B.is_lazy(x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.cast(jnp.float32)
+        return B.math_ns(x), x
+    x = _f(x)
+    return B.math_ns(x, impl), x
+
+
+def _dispatch_many(impl, *xs):
+    """Multi-operand dispatch: if ANY operand is lazy, every operand is
+    lifted onto the trace (scalars/arrays become literals/data leaves),
+    mirroring the router's expr_t promotion across backends."""
+    from . import backend as B
+
+    ref = next((v for v in xs if B.is_lazy(v)), None)
+    if ref is None:
+        out = tuple(_f(v) for v in xs)
+        return B.math_ns(out[0], impl), out
+    if not jnp.issubdtype(ref.dtype, jnp.floating):
+        ref = ref.cast(jnp.float32)
+    out = []
+    for v in xs:
+        if B.is_lazy(v):
+            if not jnp.issubdtype(v.dtype, jnp.floating):
+                v = v.cast(jnp.float32)
+        elif isinstance(v, (int, float, bool)):
+            v = ref._coerce(float(v))
+        else:
+            v = ref._coerce(_f(v))
+        out.append(v)
+    return B.math_ns(ref), tuple(out)
+
+
+# ---------------------------------------------------------------------------
 # erf / erfc (special.h:39-164; Cephes erff/erfcf coefficient sets)
 # ---------------------------------------------------------------------------
 
@@ -218,92 +268,93 @@ _LG64_STIR = (
 )
 
 
-def _expx2_neg(x):
+def _expx2_neg(ns, x):
     """exp(-x^2) without the quadratic error amplification: rounding
     x*x costs ~x^2 * ulp relative error (2000+ ulp at x = 27), so split
     hi = round(128 x)/128 (hi^2 is exactly representable) and use
     exp(-x^2) = exp(-hi^2) * exp(-m), m = (x-hi)(x+hi) -- the Cephes
     expx2 technique, rebuilt branch-free."""
-    hi = jnp.round(x * 128.0) * (1.0 / 128.0)
+    hi = ns.round(x * 128.0) * (1.0 / 128.0)
     m = (x - hi) * (x + hi)
-    return jnp.exp(-hi * hi) * jnp.exp(-m)
+    return ns.exp_native(-hi * hi) * ns.exp_native(-m)
 
 
 def _chebeval(t, coeffs):
     """Clenshaw evaluation of sum_k coeffs[k] T_k(t) (coeffs[0] is the
     already-halved a_0 of the interpolation). Chebyshev basis because
     the degree-27 tail fits have |monomial coefficients| ~ 1e13 --
-    catastrophic cancellation in f64; Chebyshev coefficients stay O(1)."""
-    b1 = b2 = jnp.zeros_like(t)
+    catastrophic cancellation in f64; Chebyshev coefficients stay O(1).
+    Backend-generic: only operators (records trace ops for LazyArray)."""
+    b1 = b2 = t * 0.0
     for c in coeffs[:0:-1]:
         b1, b2 = 2.0 * t * b1 - b2 + c, b1
     return t * b1 - b2 + coeffs[0]
 
 
-def _erfc64_pos(a):
+def _erfc64_pos(ns, a):
     """f64 erfc for a >= 0 (own fits, tools/fit_special_f64.py)."""
     z = a * a
     small = 1.0 - a * P.horner(z, _ERF64_SMALL)
-    q = 1.0 / jnp.maximum(z, 1.0)
-    q = jnp.maximum(q, _ERFC64_Q_MIN)
+    q = 1.0 / ns.maximum(z, 1.0)
+    q = ns.maximum(q, _ERFC64_Q_MIN)
     t_big = (2.0 * q - (_ERFC64_Q_MIN + 0.25)) / (0.25 - _ERFC64_Q_MIN)
     t_mid = (2.0 * q - 1.25) / 0.75
-    kq = jnp.where(a > 2.0, _chebeval(t_big, _ERFC64_BIG),
+    kq = ns.select(a > 2.0, _chebeval(t_big, _ERFC64_BIG),
                    _chebeval(t_mid, _ERFC64_MID))
-    tail = _expx2_neg(jnp.minimum(a, 28.0)) / jnp.maximum(a, 1.0) * kq
+    tail = _expx2_neg(ns, ns.minimum(a, 28.0)) / ns.maximum(a, 1.0) * kq
     # underflow at the smallest NORMAL: XLA flushes f64 denormals to
     # zero on CPU and TPU (the reference's GPU path is ftz throughout,
     # cuda.h:341), so erfc's denormal range x in (26.55, 27.3] is
     # unrepresentable by construction
-    tail = jnp.where(a > 26.55, 0.0, tail)
-    return jnp.where(a <= 1.0, small, tail)
+    tail = ns.select(a > 26.55, tail * 0.0, tail)
+    return ns.select(a <= 1.0, small, tail)
 
 
-def _erf64(x):
-    a = jnp.abs(x)
-    r = jnp.where(a <= 1.0, a * P.horner(a * a, _ERF64_SMALL),
-                  1.0 - _erfc64_pos(a))
-    return jnp.where(x < 0, -r, r)
+def _erf64(ns, x):
+    a = ns.abs(x)
+    r = ns.select(a <= 1.0, a * P.horner(a * a, _ERF64_SMALL),
+                  1.0 - _erfc64_pos(ns, a))
+    return ns.select(x < 0.0, -r, r)
 
 
 def erf(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _dispatch(x, impl)
     if impl == _NATIVE:
-        return jsp.erf(x)
+        return ns.erf_ref(x)
     if x.dtype == jnp.float64:
-        return _erf64(x)
-    a = jnp.abs(x)
+        return _erf64(ns, x)
+    a = ns.abs(x)
     # |x| < 1: direct series erf(x) = x * poly(x^2)
     z = x * x
     small = x * P.horner(z, list(reversed(_ERF_SMALL_F32)))
-    return jnp.where(a < 1.0, small, 1.0 - _erfc_tail(x))
+    return ns.select(a < 1.0, small, 1.0 - _erfc_tail(ns, x))
 
 
 def erfc(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _dispatch(x, impl)
     if impl == _NATIVE:
-        return jsp.erfc(x)
+        return ns.erfc_ref(x)
     if x.dtype == jnp.float64:
-        r = _erfc64_pos(jnp.abs(x))
-        return jnp.where(x < 0, 2.0 - r, r)
-    a = jnp.abs(x)
+        r = _erfc64_pos(ns, ns.abs(x))
+        return ns.select(x < 0.0, 2.0 - r, r)
+    a = ns.abs(x)
     z = x * x
     small = 1.0 - x * P.horner(z, list(reversed(_ERF_SMALL_F32)))
-    return jnp.where(a < 1.0, small, _erfc_tail(x))
+    return ns.select(a < 1.0, small, _erfc_tail(ns, x))
 
 
-def _erfc_tail(x):
+def _erfc_tail(ns, x):
     """erfc for |x| >= 1 via exp(-x^2)/x * poly(1/x^2), reflected for x<0."""
-    a = jnp.maximum(jnp.abs(x), 1.0)
+    a = ns.maximum(ns.abs(x), 1.0)
     q = 1.0 / a
     y = q * q
     p_mid = P.horner(y, list(_ERFC_MID_F32))
     p_big = P.horner(y, list(_ERFC_BIG_F32))
-    p = jnp.where(a > 2.0, p_big, p_mid)
-    zexp = M.exp(-a * a, _POLY)
+    p = ns.select(a > 2.0, p_big, p_mid)
+    zexp = ns.exp(-a * a)
     r = zexp * q * p
-    r = jnp.where(a > 10.06, 0.0, r)  # exp underflow guard (f32)
-    return jnp.where(x < 0.0, 2.0 - r, r)
+    r = ns.select(a > 10.06, r * 0.0, r)  # exp underflow guard (f32)
+    return ns.select(x < 0.0, 2.0 - r, r)
 
 
 # ---------------------------------------------------------------------------
@@ -321,26 +372,19 @@ _ERFINV_P2 = (2.83297682, 1.00167406, 0.00943887047, -0.0076224613,
 def erfinv(x, impl=_NATIVE):
     from . import backend as B
 
-    if B.is_lazy(x):
-        # the Giles fit composes from trace opcodes: erfinv over FloatC
-        # (histogram.cpp's probit sampling fully inside one fused program)
-        import enoki_tpu.trace as t
-
-        w = -t.log((1.0 - x) * (1.0 + x))
-        w1 = w - 2.5
-        w2 = t.sqrt(t.maximum(w, 0.0)) - 3.0
-        p1 = P.poly8(w1, *_ERFINV_P1)
-        p2 = P.poly8(w2, *_ERFINV_P2)
-        return t.select(w < 5.0, p1, p2) * x
-    x = _f(x)
-    if impl == _NATIVE:
+    lazy = B.is_lazy(x)
+    ns, x = _dispatch(x, impl if impl != _NATIVE else _POLY)
+    if impl == _NATIVE and not lazy:
         return jsp.erfinv(x)
-    w = -M.log((1.0 - x) * (1.0 + x), _POLY)
+    # the Giles fit composes from generic ops: the SAME source records
+    # trace opcodes for LazyArray (histogram.cpp's probit sampling fully
+    # inside one fused program) and evaluates eagerly for jnp arrays
+    w = -ns.log((1.0 - x) * (1.0 + x))
     w1 = w - 2.5
-    w2 = jnp.sqrt(jnp.maximum(w, 0.0)) - 3.0
+    w2 = ns.sqrt(ns.maximum(w, 0.0)) - 3.0
     p1 = P.poly8(w1, *_ERFINV_P1)
     p2 = P.poly8(w2, *_ERFINV_P2)
-    y = jnp.where(w < 5.0, p1, p2) * x
+    y = ns.select(w < 5.0, p1, p2) * x
     if x.dtype == jnp.float64:
         # f64 path (special.h:222 has a double-precision branch): the
         # Giles fit is a ~1e-7 seed; two Newton steps square the error
@@ -350,17 +394,17 @@ def erfinv(x, impl=_NATIVE):
         # erfc(y) = 1-|x| -- the direct form cancels catastrophically
         # when erf(y) and x are both ~1.
         half_sqrt_pi = 0.8862269254527580137
-        a = jnp.abs(x)
+        a = ns.abs(x)
         c = 1.0 - a  # exact for a in [0.5, 1] (Sterbenz)
         tail = a > 0.5
-        ya = jnp.abs(y)
+        ya = ns.abs(y)
         for _ in range(2):
-            scale = half_sqrt_pi * jnp.exp(ya * ya)
-            step_mid = -(jsp.erf(ya) - a) * scale
-            step_tail = (jsp.erfc(ya) - c) * scale
-            ya = ya + jnp.where(tail, step_tail, step_mid)
-        y = jnp.where(a == 1.0, jnp.inf, ya)
-        y = jnp.copysign(y, x)
+            scale = half_sqrt_pi * ns.exp_native(ya * ya)
+            step_mid = -(ns.erf_ref(ya) - a) * scale
+            step_tail = (ns.erfc_ref(ya) - c) * scale
+            ya = ya + ns.select(tail, step_tail, step_mid)
+        y = ns.select(a == 1.0, jnp.inf, ya)
+        y = ns.copysign(y, x)
     return y
 
 
@@ -386,10 +430,9 @@ _I0E_B = (3.39623202570838634515e-9, 2.26666899049817806459e-8,
 
 def _chbevl(x, coeffs):
     """Chebyshev series evaluation, Cephes chbevl convention
-    (special.h:23-37)."""
-    b0 = jnp.asarray(coeffs[0], jnp.result_type(x))
-    b1 = jnp.zeros_like(b0 + x * 0.0)
-    b0 = b0 + x * 0.0
+    (special.h:23-37). Backend-generic (operators only)."""
+    b0 = x * 0.0 + coeffs[0]
+    b1 = x * 0.0
     b2 = b1
     for c in coeffs[1:]:
         b2 = b1
@@ -399,22 +442,25 @@ def _chbevl(x, coeffs):
 
 
 def i0e(x, impl=_NATIVE):
-    x = _f(x)
-    if impl == _NATIVE:
+    from . import backend as B
+
+    lazy = B.is_lazy(x)
+    ns, x = _dispatch(x, impl)
+    if impl == _NATIVE and not lazy:
         return jsp.i0e(x)
-    a = jnp.abs(x)
+    a = ns.abs(x)
     if x.dtype == jnp.float64:
         # own full-precision Chebyshev fits (tools/fit_special_f64.py);
         # the f32 tables below are truncated Cephes sets (~1e-8)
-        t_a = (2.0 * jnp.minimum(a, 8.0) - 8.0) / 8.0
+        t_a = (2.0 * ns.minimum(a, 8.0) - 8.0) / 8.0
         small = _chebeval(t_a, _I0E64_A)
-        q = 1.0 / jnp.maximum(a, 8.0)
+        q = 1.0 / ns.maximum(a, 8.0)
         t_b = (2.0 * q - 0.125) / 0.125
-        big = _chebeval(t_b, _I0E64_B) * lax.rsqrt(jnp.maximum(a, 8.0))
-        return jnp.where(a > 8.0, big, small)
+        big = _chebeval(t_b, _I0E64_B) * ns.rsqrt(ns.maximum(a, 8.0))
+        return ns.select(a > 8.0, big, small)
     small = _chbevl(a * 0.5 - 2.0, _I0E_A)
-    big = _chbevl(32.0 / jnp.maximum(a, 8.0) - 2.0, _I0E_B) * lax.rsqrt(jnp.maximum(a, 8.0))
-    return jnp.where(a > 8.0, big, small)
+    big = _chbevl(32.0 / ns.maximum(a, 8.0) - 2.0, _I0E_B) * ns.rsqrt(ns.maximum(a, 8.0))
+    return ns.select(a > 8.0, big, small)
 
 
 # ---------------------------------------------------------------------------
@@ -432,28 +478,29 @@ _DAWSON_Q = (1.0, 0.7593552421380568, 0.2820196233023268, 0.06844432775483446,
              5.5820259368201406e-05, 3.1818534282458186e-05)
 
 
-def _dawson64(x):
+def _dawson64(ns, x):
     """f64 Dawson (own Chebyshev fits, tools/fit_special_f64.py):
     |x| <= 6 direct kernel in z = x^2; beyond, the 1/(2x) * K(1/x^2)
     asymptotic kernel."""
-    a = jnp.abs(x)
-    z = jnp.minimum(a * a, 36.0)
+    a = ns.abs(x)
+    z = ns.minimum(a * a, 36.0)
     t_small = (2.0 * z - 36.0) / 36.0
     small = a * _chebeval(t_small, _DAWSON64_SMALL)
-    q = 1.0 / jnp.maximum(a * a, 36.0)
+    q = 1.0 / ns.maximum(a * a, 36.0)
     t_tail = (2.0 * q - (1.0 / 36.0)) * 36.0
-    tail = _chebeval(t_tail, _DAWSON64_TAIL) / (2.0 * jnp.maximum(a, 1.0))
-    r = jnp.where(a <= 6.0, small, tail)
-    return _mulsign(r, x)
+    tail = _chebeval(t_tail, _DAWSON64_TAIL) / (2.0 * ns.maximum(a, 1.0))
+    r = ns.select(a <= 6.0, small, tail)
+    return ns.mulsign(r, x)
 
 
 def dawson(x, impl=_POLY):
-    """Dawson's integral e^{-x^2} \\int_0^x e^{t^2} dt. No jax-native impl
-    exists; the polynomial paths are the only ones (f32: own rational
-    fit; f64: own Chebyshev kernels, full double precision)."""
-    x = _f(x)
+    """Dawson's integral e^{-x^2} \\int_0^x e^{t^2} dt (special.h:249).
+    No jax-native impl exists; the polynomial paths are the only ones
+    (f32: own rational fit; f64: own Chebyshev kernels, full double
+    precision). Backend-generic: records trace opcodes for LazyArray."""
+    ns, x = _dispatch(x, impl)
     if x.dtype == jnp.float64:
-        return _dawson64(x)
+        return _dawson64(ns, x)
     x2 = x * x
     num = P.poly6(x2, *_DAWSON_P)
     den = P.poly7(x2, *_DAWSON_Q)
@@ -465,21 +512,22 @@ def erfi(x, impl=_POLY):
     (special.h:268). The f64 path splits the e^{x^2} argument exactly
     (the positive-exponent twin of _expx2_neg) -- naive squaring costs
     ~x^2 ulp of relative error."""
-    x = _f(x)
+    ns, x = _dispatch(x, impl)
     two_over_sqrt_pi = 1.1283791670955126
     if x.dtype == jnp.float64:
-        a = jnp.abs(x)
-        hi = jnp.round(a * 128.0) * (1.0 / 128.0)
+        a = ns.abs(x)
+        hi = ns.round(a * 128.0) * (1.0 / 128.0)
         m = (a - hi) * (a + hi)
         # two half-exponentials: exp(hi^2) alone would overflow at
         # hi^2 > 709.8 (a ~ 26.64) while erfi itself stays finite up to
         # a ~ 26.71. 0.5*hi*hi is EXACT (hi^2 is exactly representable,
         # halving is a scale), so the split costs no exponent rounding;
         # the correction exp(m) stays its own factor.
-        half = jnp.exp(0.5 * hi * hi)
-        r = ((two_over_sqrt_pi * _dawson64(a) * jnp.exp(m)) * half) * half
-        return _mulsign(r, x)
-    e = jnp.exp(x * x) if impl == _NATIVE else M.exp(x * x, _POLY)
+        half = ns.exp_native(0.5 * hi * hi)
+        r = ((two_over_sqrt_pi * _dawson64(ns, a) * ns.exp_native(m))
+             * half) * half
+        return ns.mulsign(r, x)
+    e = ns.exp_native(x * x) if impl == _NATIVE else ns.exp(x * x)
     return two_over_sqrt_pi * dawson(x, impl) * e
 
 
@@ -514,96 +562,97 @@ _LGAMMA_B = (0.4227843350994001, 0.32246703343671734, -0.06735230127589555,
 
 
 def _poly_horner(coeffs, x):
-    acc = jnp.asarray(coeffs[-1], x.dtype) + jnp.zeros_like(x)
+    acc = x * 0.0 + coeffs[-1]
     for c in coeffs[-2::-1]:
         acc = acc * x + c
     return acc
 
 
-def _lgamma_pos(y):
+def _lgamma_pos(ns, y):
     """lgamma for y >= 0.5: factored central polys + Lanczos tail."""
     log_sqrt2pi = 0.91893853320467274178
     # central [0.5, 2.75]
-    yc = jnp.clip(y, 0.5, 2.75)
+    yc = ns.clamp(y, 0.5, 2.75)
     ua = yc - 1.0
     ub = yc - 2.0
-    central = jnp.where(
+    central = ns.select(
         yc < 1.5,
         ua * _poly_horner(_LGAMMA_A, ua),
         ub * _poly_horner(_LGAMMA_B, ub))
     # Lanczos tail (g=5, n=6) for y > 2.75
-    xx = jnp.maximum(y, 2.75) - 1.0
+    xx = ns.maximum(y, 2.75) - 1.0
     b = xx + 5.5
-    s = jnp.asarray(_LANCZOS[0], y.dtype) + jnp.zeros_like(y)
+    s = y * 0.0 + _LANCZOS[0]
     for i in range(6, 0, -1):
         s = s + _LANCZOS[i] / (xx + i)
-    tail = (log_sqrt2pi + M.log(s, _POLY) - b) + M.log(b, _POLY) * (xx + 0.5)
-    return jnp.where(y <= 2.75, central, tail)
+    tail = (log_sqrt2pi + ns.log(s) - b) + ns.log(b) * (xx + 0.5)
+    return ns.select(y <= 2.75, central, tail)
 
 
-def _lgamma64_pos(x):
+def _lgamma64_pos(ns, x):
     """f64 lgamma for x > 0 (own Chebyshev kernels, LG64_*): relative
     accuracy THROUGH the zeros at x=1 and x=2 (they are divided out),
     where XLA's gammaln loses ~12k ulp."""
-    xs = jnp.maximum(x, jnp.finfo(x.dtype).tiny)  # guard log/recurrence
+    xs = ns.maximum(x, jnp.finfo(jnp.float64).tiny)  # guard log/recurrence
     # branch d: [0.5, 1.5) as u * A(u); also serves (0, 0.5) via the
     # recurrence lgamma(x) = lgamma(x+1) - log(x)
     small = x < 0.5
-    xd = jnp.where(small, xs + 1.0, xs)
-    u = jnp.clip(xd - 1.0, -0.5, 0.5)
+    xd = ns.select(small, xs + 1.0, xs)
+    u = ns.clamp(xd - 1.0, -0.5, 0.5)
     t_a = 2.0 * u / (0.5 + 0.4999999999) + (0.4999999999 - 0.5) / 1.0
     branch_d = u * _chebeval(t_a, _LG64_A)
-    branch_d = jnp.where(small, branch_d - jnp.log(xs), branch_d)
+    branch_d = ns.select(small, branch_d - ns.log_native(xs), branch_d)
     # branch c: [1.5, 2.75) as v * B(v)
-    v = jnp.clip(xs - 2.0, -0.5, 0.75)
+    v = ns.clamp(xs - 2.0, -0.5, 0.75)
     t_b = (2.0 * v - 0.25) / 1.25
     branch_c = v * _chebeval(t_b, _LG64_B)
     # branch b: [2.75, 8) direct
-    xm = jnp.clip(xs, 2.75, 8.0)
+    xm = ns.clamp(xs, 2.75, 8.0)
     t_m = (2.0 * xm - 10.75) / 5.25
     branch_b = _chebeval(t_m, _LG64_MID)
     # branch a: x >= 8 Stirling
-    xt = jnp.maximum(xs, 8.0)
+    xt = ns.maximum(xs, 8.0)
     w = 1.0 / (xt * xt)
     t_s = (2.0 * w - 0.015625) / 0.015625
-    stir = ((xt - 0.5) * jnp.log(xt) - xt + 0.9189385332046727
+    stir = ((xt - 0.5) * ns.log_native(xt) - xt + 0.9189385332046727
             + _chebeval(t_s, _LG64_STIR) / xt)
-    r = jnp.where(x >= 8.0, stir,
-                  jnp.where(x >= 2.75, branch_b,
-                            jnp.where(x >= 1.5, branch_c, branch_d)))
+    r = ns.select(x >= 8.0, stir,
+                  ns.select(x >= 2.75, branch_b,
+                            ns.select(x >= 1.5, branch_c, branch_d)))
     return r
 
 
-def _lgamma64(x):
+def _lgamma64(ns, x):
     """f64 lgamma over the real line: positive branches + reflection
     log(pi/|sin(pi x)|) - lgamma(1-x) for x < 0.25 (poles -> +inf)."""
-    pos = _lgamma64_pos(x)
+    pos = _lgamma64_pos(ns, x)
     # reflection: sin(pi x) with the argument reduced exactly first
-    r = x - jnp.round(x)
-    sinpix = jnp.abs(jnp.sin(jnp.pi * r))
-    xa = jnp.maximum(1.0 - x, 1.0)  # 1 - x >= 1 for x <= 0
-    refl = jnp.log(jnp.pi) - jnp.log(sinpix) - _lgamma64_pos(xa)
-    refl = jnp.where(sinpix == 0.0, jnp.inf, refl)  # poles at -n
-    return jnp.where(x > 0.0, pos, refl)
+    r = x - ns.round(x)
+    sinpix = ns.abs(ns.sin_native(jnp.pi * r))
+    xa = ns.maximum(1.0 - x, 1.0)  # 1 - x >= 1 for x <= 0
+    refl = (jnp.log(jnp.pi)
+            - ns.log_native(sinpix) - _lgamma64_pos(ns, xa))
+    refl = ns.select(sinpix == 0.0, jnp.inf, refl)  # poles at -n
+    return ns.select(x > 0.0, pos, refl)
 
 
 def lgamma(x, impl=_NATIVE):
     # f64 poly: own factored-zero kernels (relative accuracy through the
     # zeros at x=1, x=2 -- XLA's f64 gammaln is ~12k ulp off there)
-    x = _f(x)
+    ns, x = _dispatch(x, impl)
     if impl == _NATIVE:
-        return jsp.gammaln(x)
+        return ns.lgamma_ref(x)
     if x.dtype == jnp.float64:
-        return _lgamma64(x)
+        return _lgamma64(ns, x)
     reflect = x < 0.5
     # both branches evaluated on safe inputs, then selected (mask
     # discipline: no NaN from the untaken branch)
-    pos = _lgamma_pos(jnp.where(reflect, 1.0 - x, x))
+    pos = _lgamma_pos(ns, ns.select(reflect, 1.0 - x, x))
     # Reflection: lgamma(x) = log|pi / sin(pi x)| - lgamma(1 - x)
-    sin_px = M.sin(jnp.pi * jnp.where(reflect, x, 0.5), _POLY)
-    refl_val = M.log(jnp.abs(jnp.pi / sin_px), _POLY) - pos
-    result = jnp.where(reflect, refl_val, pos)
-    result = jnp.where(reflect & (x == jnp.round(x)), jnp.inf, result)
+    sin_px = ns.sin(jnp.pi * ns.select(reflect, x, x * 0.0 + 0.5))
+    refl_val = ns.log(ns.abs(jnp.pi / sin_px)) - pos
+    result = ns.select(reflect, refl_val, pos)
+    result = ns.select(reflect & (x == ns.round(x)), jnp.inf, result)
     return result
 
 
@@ -617,17 +666,23 @@ def tgamma(x, impl=_NATIVE):
     so relative error grows to ~4e-13 (~1700 ulp) near the x=170 overflow
     edge -- inherent to the exp(lgamma) definition the reference uses; a
     direct rational would be needed to do better."""
-    x = _f(x)
-    g = jnp.exp(lgamma(x, impl)) if impl == _NATIVE else M.exp(lgamma(x, impl), _POLY)
+    ns, x = _dispatch(x, impl)
+    lg = lgamma(x, impl)
+    g = ns.exp_native(lg) if impl == _NATIVE else ns.exp(lg)
     # Gamma is negative on (-1,0), (-3,-2), ... : odd floor(x) intervals
-    neg = (x < 0.0) & (jnp.floor(x) % 2.0 == 1.0)
-    return jnp.where(neg, -g, g)
+    neg = (x < 0.0) & (ns.floor(x) % 2.0 == 1.0)
+    return ns.select(neg, -g, g)
 
 
 # ---------------------------------------------------------------------------
 # Carlson symmetric forms (special.h:328-558; Carlson 1979 duplication)
 # All loops run a fixed 10 iterations with lane masks -- the same bound the
 # reference uses -- so they are jit/Pallas-safe (static control flow).
+# Backend-generic: the duplication loop is a Python loop over the static
+# trip count, so the SAME source unrolls under XLA for eager arrays and
+# records 10 duplication rounds of trace ops for LazyArray (the
+# reference's fixed-bound lane-masked loop, special.h:340-360, compiles
+# the same way into its PTX megakernel).
 # ---------------------------------------------------------------------------
 
 _CARLSON_ITERS = 10
@@ -640,28 +695,23 @@ def _carlson_eps(dtype):
 def carlson_rf(x, y, z):
     """R_F(x,y,z) = 1/2 int_0^inf [(t+x)(t+y)(t+z)]^(-1/2) dt
     (special.h:328)."""
-    x, y, z = _f(x), _f(y), _f(z)
-    x, y, z = jnp.broadcast_arrays(x, y, z)
-    dt = x.dtype
-    thresh = _carlson_eps(dt)
+    ns, (x, y, z) = _dispatch_many(_POLY, x, y, z)
+    x, y, z = ns.broadcast(x, y, z)
+    thresh = _carlson_eps(x.dtype)
 
-    def body(_, st):
-        x, y, z, active = st
-        sx, sy, sz = jnp.sqrt(x), jnp.sqrt(y), jnp.sqrt(z)
+    active = x * 0.0 == 0.0  # all-true (finite inputs), backend-generic
+    for _ in range(_CARLSON_ITERS):
+        sx, sy, sz = ns.sqrt(x), ns.sqrt(y), ns.sqrt(z)
         lam = sx * sy + sy * sz + sz * sx
         mu = (x + y + z) / 3.0
         X = 1.0 - x / mu
         Y = 1.0 - y / mu
         Z = 1.0 - z / mu
-        eps = jnp.maximum(jnp.maximum(jnp.abs(X), jnp.abs(Y)), jnp.abs(Z))
+        eps = ns.maximum(ns.maximum(ns.abs(X), ns.abs(Y)), ns.abs(Z))
         active = active & (eps > thresh)
-        x = jnp.where(active, (x + lam) * 0.25, x)
-        y = jnp.where(active, (y + lam) * 0.25, y)
-        z = jnp.where(active, (z + lam) * 0.25, z)
-        return x, y, z, active
-
-    active0 = jnp.ones(x.shape, bool)
-    x, y, z, _ = lax.fori_loop(0, _CARLSON_ITERS, body, (x, y, z, active0))
+        x = ns.select(active, (x + lam) * 0.25, x)
+        y = ns.select(active, (y + lam) * 0.25, y)
+        z = ns.select(active, (z + lam) * 0.25, z)
     mu = (x + y + z) / 3.0
     mu_inv = 1.0 / mu
     X = 1.0 - x * mu_inv
@@ -670,39 +720,33 @@ def carlson_rf(x, y, z):
     e2 = X * Y - Z * Z
     e3 = X * Y * Z
     er = ((1.0 / 24.0) * e2 - 0.1 - (3.0 / 44.0) * e3) * e2 + (1.0 / 14.0) * e3
-    return jnp.sqrt(mu_inv) * (1.0 + er)
+    return ns.sqrt(mu_inv) * (1.0 + er)
 
 
 def carlson_rd(x, y, z):
     """R_D(x,y,z) = 3/2 int (t+x)^-1/2 (t+y)^-1/2 (t+z)^-3/2 dt
     (special.h:382)."""
-    x, y, z = _f(x), _f(y), _f(z)
-    x, y, z = jnp.broadcast_arrays(x, y, z)
-    dt = x.dtype
-    thresh = _carlson_eps(dt) * 0.6
+    ns, (x, y, z) = _dispatch_many(_POLY, x, y, z)
+    x, y, z = ns.broadcast(x, y, z)
+    thresh = _carlson_eps(x.dtype) * 0.6
 
-    def body(_, st):
-        x, y, z, active, s, num = st
-        sx, sy, sz = jnp.sqrt(x), jnp.sqrt(y), jnp.sqrt(z)
+    active = x * 0.0 == 0.0
+    s = x * 0.0
+    num = x * 0.0 + 1.0
+    for _ in range(_CARLSON_ITERS):
+        sx, sy, sz = ns.sqrt(x), ns.sqrt(y), ns.sqrt(z)
         lam = sx * sy + sy * sz + sz * sx
         mu = 0.2 * x + 0.2 * y + 0.6 * z
         X = 1.0 - x / mu
         Y = 1.0 - y / mu
         Z = 1.0 - z / mu
-        eps = jnp.maximum(jnp.maximum(jnp.abs(X), jnp.abs(Y)), jnp.abs(Z))
+        eps = ns.maximum(ns.maximum(ns.abs(X), ns.abs(Y)), ns.abs(Z))
         active = active & (eps > thresh)
-        s = jnp.where(active, s + num / (sz * (z + lam)), s)
-        num = jnp.where(active, num * 0.25, num)
-        x = jnp.where(active, (x + lam) * 0.25, x)
-        y = jnp.where(active, (y + lam) * 0.25, y)
-        z = jnp.where(active, (z + lam) * 0.25, z)
-        return x, y, z, active, s, num
-
-    active0 = jnp.ones(x.shape, bool)
-    s0 = jnp.zeros(x.shape, dt)
-    n0 = jnp.ones(x.shape, dt)
-    x, y, z, _, s, num = lax.fori_loop(0, _CARLSON_ITERS, body,
-                                       (x, y, z, active0, s0, n0))
+        s = ns.select(active, s + num / (sz * (z + lam)), s)
+        num = ns.select(active, num * 0.25, num)
+        x = ns.select(active, (x + lam) * 0.25, x)
+        y = ns.select(active, (y + lam) * 0.25, y)
+        z = ns.select(active, (z + lam) * 0.25, z)
     mu = 0.2 * x + 0.2 * y + 0.6 * z
     mu_inv = 1.0 / mu
     X = 1.0 - x * mu_inv
@@ -715,70 +759,59 @@ def carlson_rd(x, y, z):
     ee = ed + 2.0 * ec
     p = (ed * (-(3.0 / 14.0) + (9.0 / 88.0) * ed - 0.25 * Z * ee)
          + Z * ((1.0 / 6.0) * ee + Z * (-(9.0 / 22.0) * ec + Z * (3.0 / 26.0) * ea)))
-    return 3.0 * s + num * mu_inv * jnp.sqrt(mu_inv) * (1.0 + p)
+    return 3.0 * s + num * mu_inv * ns.sqrt(mu_inv) * (1.0 + p)
 
 
 def carlson_rc(x, y):
     """R_C(x,y) = 1/2 int (t+x)^-1/2 (t+y)^-1 dt (special.h:448)."""
-    x, y = _f(x), _f(y)
-    x, y = jnp.broadcast_arrays(x, y)
-    dt = x.dtype
-    thresh = _carlson_eps(dt) * 0.48
+    ns, (x, y) = _dispatch_many(_POLY, x, y)
+    x, y = ns.broadcast(x, y)
+    thresh = _carlson_eps(x.dtype) * 0.48
 
-    def body(_, st):
-        x, y, active = st
-        lam = 2.0 * jnp.sqrt(x) * jnp.sqrt(y) + y
+    active = x * 0.0 == 0.0
+    for _ in range(_CARLSON_ITERS):
+        lam = 2.0 * ns.sqrt(x) * ns.sqrt(y) + y
         mu = (x + 2.0 * y) / 3.0
         s = (y - mu) / mu
-        active = active & (jnp.abs(s) > thresh)
-        x = jnp.where(active, (x + lam) * 0.25, x)
-        y = jnp.where(active, (y + lam) * 0.25, y)
-        return x, y, active
-
-    active0 = jnp.ones(x.shape, bool)
-    x, y, _ = lax.fori_loop(0, _CARLSON_ITERS, body, (x, y, active0))
+        active = active & (ns.abs(s) > thresh)
+        x = ns.select(active, (x + lam) * 0.25, x)
+        y = ns.select(active, (y + lam) * 0.25, y)
     mu = (x + 2.0 * y) / 3.0
     inv_mu = 1.0 / mu
     s = (y - mu) * inv_mu
-    return jnp.sqrt(inv_mu) * (1.0 + s * s * (0.3 + s * ((1.0 / 7.0) + s * (0.375 + s * (9.0 / 22.0)))))
+    return ns.sqrt(inv_mu) * (1.0 + s * s * (0.3 + s * ((1.0 / 7.0) + s * (0.375 + s * (9.0 / 22.0)))))
 
 
 def carlson_rj(x, y, z, rho):
     """R_J(x,y,z,rho) = 3/2 int [(t+x)(t+y)(t+z)]^-1/2 (t+rho)^-1 dt
     (special.h:499)."""
-    x, y, z, rho = _f(x), _f(y), _f(z), _f(rho)
-    x, y, z, rho = jnp.broadcast_arrays(x, y, z, rho)
-    dt = x.dtype
-    thresh = _carlson_eps(dt) * 0.6
+    ns, (x, y, z, rho) = _dispatch_many(_POLY, x, y, z, rho)
+    x, y, z, rho = ns.broadcast(x, y, z, rho)
+    thresh = _carlson_eps(x.dtype) * 0.6
 
-    def body(_, st):
-        x, y, z, rho, active, s, num = st
-        sx, sy, sz = jnp.sqrt(x), jnp.sqrt(y), jnp.sqrt(z)
+    active = x * 0.0 == 0.0
+    s = x * 0.0
+    num = x * 0.0 + 1.0
+    for _ in range(_CARLSON_ITERS):
+        sx, sy, sz = ns.sqrt(x), ns.sqrt(y), ns.sqrt(z)
         lam = sx * sy + sy * sz + sz * sx
         mu = (x + y + z + 2.0 * rho) * 0.2
         X = 1.0 - x / mu
         Y = 1.0 - y / mu
         Z = 1.0 - z / mu
         R = 1.0 - rho / mu
-        eps = jnp.maximum(jnp.maximum(jnp.abs(X), jnp.abs(Y)),
-                          jnp.maximum(jnp.abs(Z), jnp.abs(R)))
-        new_active = active & (eps > thresh)
+        eps = ns.maximum(ns.maximum(ns.abs(X), ns.abs(Y)),
+                         ns.maximum(ns.abs(Z), ns.abs(R)))
+        active = active & (eps > thresh)
         alpha = rho * (sx + sy + sz) + sx * sy * sz
         alpha = alpha * alpha
         beta = rho * (rho + lam) * (rho + lam)
-        s = jnp.where(new_active, s + num * carlson_rc(alpha, beta), s)
-        num = jnp.where(new_active, num * 0.25, num)
-        x = jnp.where(new_active, (x + lam) * 0.25, x)
-        y = jnp.where(new_active, (y + lam) * 0.25, y)
-        z = jnp.where(new_active, (z + lam) * 0.25, z)
-        rho = jnp.where(new_active, (rho + lam) * 0.25, rho)
-        return x, y, z, rho, new_active, s, num
-
-    active0 = jnp.ones(x.shape, bool)
-    s0 = jnp.zeros(x.shape, dt)
-    n0 = jnp.ones(x.shape, dt)
-    x, y, z, rho, _, s, num = lax.fori_loop(
-        0, _CARLSON_ITERS, body, (x, y, z, rho, active0, s0, n0))
+        s = ns.select(active, s + num * carlson_rc(alpha, beta), s)
+        num = ns.select(active, num * 0.25, num)
+        x = ns.select(active, (x + lam) * 0.25, x)
+        y = ns.select(active, (y + lam) * 0.25, y)
+        z = ns.select(active, (z + lam) * 0.25, z)
+        rho = ns.select(active, (rho + lam) * 0.25, rho)
     mu = (x + y + z + 2.0 * rho) * 0.2
     mu_inv = 1.0 / mu
     X = 1.0 - x * mu_inv
@@ -790,7 +823,7 @@ def carlson_rj(x, y, z, rho):
     ec = R * R
     ed = ea - 3.0 * ec
     ee = eb + 2.0 * R * (ea - ec)
-    return (3.0 * s + num * mu_inv * jnp.sqrt(mu_inv) *
+    return (3.0 * s + num * mu_inv * ns.sqrt(mu_inv) *
             (1.0 + ed * (-(3.0 / 14.0) + (9.0 / 88.0) * ed - (9.0 / 52.0) * ee)
              + eb * ((1.0 / 6.0) + R * (-(3.0 / 11.0) + R * (3.0 / 26.0)))
              + R * ea * ((1.0 / 3.0) - R * (3.0 / 22.0))
@@ -804,63 +837,63 @@ def carlson_rj(x, y, z, rho):
 
 
 def comp_ellint_1(k):
-    k = _f(k)
-    return carlson_rf(jnp.zeros_like(k), 1.0 - k * k, jnp.ones_like(k))
+    ns, k = _dispatch(k)
+    return carlson_rf(k * 0.0, 1.0 - k * k, k * 0.0 + 1.0)
 
 
 def ellint_1(phi, k):
-    phi, k = _f(phi), _f(k)
-    phi, k = jnp.broadcast_arrays(phi, k)
-    n = jnp.floor(phi / jnp.pi + 0.5)
-    result = jnp.where(n != 0.0, comp_ellint_1(k) * n * 2.0, 0.0)
+    ns, (phi, k) = _dispatch_many(_POLY, phi, k)
+    phi, k = ns.broadcast(phi, k)
+    n = ns.floor(phi / jnp.pi + 0.5)
+    result = ns.select(n != 0.0, comp_ellint_1(k) * n * 2.0, 0.0)
     phi = phi - n * jnp.pi
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    sp, cp = ns.sin_native(phi), ns.cos_native(phi)
     return result + sp * carlson_rf(cp * cp, 1.0 - k * k * sp * sp,
-                                    jnp.ones_like(phi))
+                                    phi * 0.0 + 1.0)
 
 
 def comp_ellint_2(k):
-    k = _f(k)
+    ns, k = _dispatch(k)
     k2 = k * k
-    zero = jnp.zeros_like(k)
-    one = jnp.ones_like(k)
+    zero = k * 0.0
+    one = k * 0.0 + 1.0
     return carlson_rf(zero, 1.0 - k2, one) - (1.0 / 3.0) * k2 * carlson_rd(zero, 1.0 - k2, one)
 
 
 def ellint_2(phi, k):
-    phi, k = _f(phi), _f(k)
-    phi, k = jnp.broadcast_arrays(phi, k)
+    ns, (phi, k) = _dispatch_many(_POLY, phi, k)
+    phi, k = ns.broadcast(phi, k)
     k2 = k * k
-    n = jnp.floor(phi / jnp.pi + 0.5)
-    result = jnp.where(n != 0.0, comp_ellint_2(k) * n * 2.0, 0.0)
+    n = ns.floor(phi / jnp.pi + 0.5)
+    result = ns.select(n != 0.0, comp_ellint_2(k) * n * 2.0, 0.0)
     phi = phi - n * jnp.pi
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    sp, cp = ns.sin_native(phi), ns.cos_native(phi)
     spk2 = sp * sp * k2
-    one = jnp.ones_like(phi)
+    one = phi * 0.0 + 1.0
     return result + sp * (carlson_rf(cp * cp, 1.0 - spk2, one)
                           - (1.0 / 3.0) * spk2 * carlson_rd(cp * cp, 1.0 - spk2, one))
 
 
 def comp_ellint_3(k, nu):
-    k, nu = _f(k), _f(nu)
-    k, nu = jnp.broadcast_arrays(k, nu)
+    ns, (k, nu) = _dispatch_many(_POLY, k, nu)
+    k, nu = ns.broadcast(k, nu)
     k2 = k * k
-    zero = jnp.zeros_like(k)
-    one = jnp.ones_like(k)
+    zero = k * 0.0
+    one = k * 0.0 + 1.0
     return (carlson_rf(zero, 1.0 - k2, one)
             - (1.0 / 3.0) * nu * carlson_rj(zero, 1.0 - k2, one, 1.0 + nu))
 
 
 def ellint_3(phi, k, nu):
-    phi, k, nu = _f(phi), _f(k), _f(nu)
-    phi, k, nu = jnp.broadcast_arrays(phi, k, nu)
+    ns, (phi, k, nu) = _dispatch_many(_POLY, phi, k, nu)
+    phi, k, nu = ns.broadcast(phi, k, nu)
     k2 = k * k
-    n = jnp.floor(phi / jnp.pi + 0.5)
-    result = jnp.where(n != 0.0, comp_ellint_3(k, nu) * n * 2.0, 0.0)
+    n = ns.floor(phi / jnp.pi + 0.5)
+    result = ns.select(n != 0.0, comp_ellint_3(k, nu) * n * 2.0, 0.0)
     phi = phi - n * jnp.pi
-    sp, cp = jnp.sin(phi), jnp.cos(phi)
+    sp, cp = ns.sin_native(phi), ns.cos_native(phi)
     sp2 = sp * sp
-    one = jnp.ones_like(phi)
+    one = phi * 0.0 + 1.0
     return result + sp * (carlson_rf(cp * cp, 1.0 - k2 * sp2, one)
                           - (1.0 / 3.0) * nu * sp2 *
                           carlson_rj(cp * cp, 1.0 - k2 * sp2, one, 1.0 + nu * sp2))

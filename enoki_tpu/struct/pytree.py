@@ -2,7 +2,13 @@
 
 Parity with the reference's ENOKI_STRUCT machinery (array_macro.h:216,272):
 a user type declared once works as a scalar struct, a wide struct, a
-gathered/scattered struct, a masked struct, and a differentiable struct.
+gathered/scattered struct, a masked struct, and a differentiable struct --
+on EVERY backend. ENOKI_STRUCT instantiates across all template variants
+(array_macro.h:216-359), so ``Ray3fC`` (a struct of lazy GPU arrays) is as
+valid as ``Ray3fX``; array_struct.h:9-60 routes struct gather/scatter
+through the lazy backend. Here the helpers dispatch PER LEAF through the
+routed ops surface, so a struct of LazyArrays works identically to a
+struct of jnp arrays.
 
 In JAX all of that is the pytree protocol. ``@enoki_struct`` is
 ``jax.tree_util.register_dataclass`` plus the struct_support surface the
@@ -14,7 +20,7 @@ masked/zero/detach):
         o: Vec3
         d: Vec3
 
-    r = Ray(o, d)              # wide struct of arrays
+    r = Ray(o, d)              # wide struct of arrays (eager OR lazy)
     width(r)                   # slices() (dynamic.h slices)
     zeros_like(r)              # zero<Ray>()
     gather_struct(r, idx)      # gather<Ray>(r, idx)   (array_struct.h:9)
@@ -41,31 +47,58 @@ def enoki_struct(cls: type) -> type:
     return jax.tree_util.register_dataclass(cls)
 
 
+def _is_lazy(leaf) -> bool:
+    from ..ops.backend import is_lazy
+
+    return is_lazy(leaf)
+
+
 def width(x) -> int:
     """Number of lanes = leading-axis size of the first leaf
-    (``slices()``, dynamic.h)."""
+    (``slices()``, dynamic.h). Works for lazy leaves (LazyArray carries
+    its size on the handle)."""
     leaves = jax.tree_util.tree_leaves(x)
     if not leaves:
         return 0
-    shape = jnp.shape(leaves[0])
+    leaf = leaves[0]
+    shape = leaf.shape if _is_lazy(leaf) else jnp.shape(leaf)
     return shape[0] if shape else 1
 
 
 def zeros_like(x: T) -> T:
-    return jax.tree_util.tree_map(jnp.zeros_like, x)
+    def z(leaf):
+        if _is_lazy(leaf):
+            from ..trace import LazyArray
+
+            return LazyArray.literal(0, len(leaf), leaf.dtype)
+        return jnp.zeros_like(leaf)
+
+    return jax.tree_util.tree_map(z, x)
 
 
 def full_like(x: T, value) -> T:
-    return jax.tree_util.tree_map(lambda l: jnp.full_like(l, value), x)
+    def f(leaf):
+        if _is_lazy(leaf):
+            from ..trace import LazyArray
+
+            return LazyArray.literal(value, len(leaf), leaf.dtype)
+        return jnp.full_like(leaf, value)
+
+    return jax.tree_util.tree_map(f, x)
 
 
 def select_struct(mask, a: T, b: T) -> T:
-    """Memberwise select (the masked-assignment idiom for structs)."""
-    return jax.tree_util.tree_map(lambda u, v: jnp.where(mask, u, v), a, b)
+    """Memberwise select (the masked-assignment idiom for structs).
+    Dispatches per leaf: lazy leaves record Op.SELECT."""
+    from ..ops.router import select
+
+    return jax.tree_util.tree_map(lambda u, v: select(mask, u, v), a, b)
 
 
 def gather_struct(src: T, index, mask=None) -> T:
-    """Memberwise gather along the lane axis (array_struct.h:9-32)."""
+    """Memberwise gather along the lane axis (array_struct.h:9-32).
+    A struct of LazyArrays records lazy gathers (the reference routes
+    struct gather through the CUDA type the same way)."""
     from ..ops.router import gather
 
     return jax.tree_util.tree_map(lambda l: gather(l, index, mask=mask), src)
@@ -80,12 +113,22 @@ def scatter_struct(dst: T, value: T, index, mask=None) -> T:
 
 
 def slice_struct(x: T, i) -> T:
-    """Extract lane i as a struct of scalars (``slice()``, dynamic.h)."""
+    """Extract lane i as a struct of scalars (``slice()``, dynamic.h).
+    Lazy leaves force evaluation (cuda_fetch_element semantics)."""
     return jax.tree_util.tree_map(lambda l: l[i], x)
 
 
 def set_slice_struct(x: T, i, value: T) -> T:
-    return jax.tree_util.tree_map(lambda l, v: l.at[i].set(v), x, value)
+    def s(l, v):
+        if _is_lazy(l):
+            from ..trace import LazyArray
+
+            idx = LazyArray.literal(int(i), 1, jnp.int32)
+            return l.scatter(idx, v if _is_lazy(v)
+                             else LazyArray.literal(float(v), 1, l.dtype))
+        return l.at[i].set(v)
+
+    return jax.tree_util.tree_map(s, x, value)
 
 
 def concat_structs(*xs: T) -> T:
@@ -94,5 +137,15 @@ def concat_structs(*xs: T) -> T:
 
 
 def detach(x: T) -> T:
-    """stop_gradient leafwise (array_router.h:689 detach)."""
-    return jax.lax.stop_gradient(x)
+    """stop_gradient leafwise (array_router.h:689 detach). A lazy leaf
+    becomes a fresh data leaf holding the same values -- it forces
+    evaluation and is no longer connected to the AD tape (the reference's
+    detach reads .value off the DiffArray the same way)."""
+    def d(leaf):
+        if _is_lazy(leaf):
+            from ..trace import LazyArray
+
+            return LazyArray(leaf.jax())
+        return jax.lax.stop_gradient(leaf)
+
+    return jax.tree_util.tree_map(d, x)

@@ -86,14 +86,21 @@ def dispatch(funcs, ids: LazyArray, *args):
 
     ``funcs[i]`` handles lanes where ``ids == i`` and is called as
     ``f(mask, *gathered_args)`` (the reference threads a mask through
-    every vcall, array_call.h:238-267); it returns a LazyArray or a
-    tuple of LazyArrays (func4-style multi-results, tests/call.cpp:53).
+    every vcall, array_call.h:238-267); it returns a LazyArray, a tuple
+    of LazyArrays (func4-style multi-results, tests/call.cpp:53), or any
+    pytree of LazyArrays (an ENOKI_STRUCT value). Arguments may likewise
+    be LazyArrays OR structs (pytrees) of LazyArrays: every leaf is
+    gathered through the permutation, exactly how the reference's
+    gather_helper routes arbitrary struct args through the vcall
+    permutation (array_call.h:107-114, array_struct.h:9-60).
     Negative ids are null pointers: their lanes are skipped and produce
     zeros (array_call.h skips null entries).
 
     Everything this records stays lazy; one downstream eval fuses all
     callees into a single XLA program.
     """
+    import jax.tree_util as jtu
+
     n = len(ids)
     parts = partition(ids)
 
@@ -105,41 +112,43 @@ def dispatch(funcs, ids: LazyArray, *args):
         res = funcs[inst](_true_mask(n), *args)
         return res
 
-    pieces = []  # (perm LazyArray, results tuple)
-    single = None
+    pieces = []  # (perm LazyArray, result leaves)
+    single = None        # first callee's result leaves
+    single_tree = None   # ... and treedef (defines the output structure)
     for inst, perm in parts:
         if inst < 0:
             continue
         if inst >= len(funcs):
             raise IndexError(f"instance id {inst} out of range")
         perm_l = LazyArray(perm)
-        gathered = tuple(a.gather(perm_l) for a in args)
+        gathered = tuple(
+            jtu.tree_map(lambda a: a.gather(perm_l), arg) for arg in args)
         r = funcs[inst](_true_mask(len(perm)), *gathered)
-        tup = r if isinstance(r, tuple) else (r,)
+        leaves, tree = jtu.tree_flatten(r)
         if single is not None:
-            if len(tup) != len(single):
+            if tree != single_tree:
                 raise ValueError(
-                    f"dispatch: callees disagree on result arity "
-                    f"({len(single)} vs {len(tup)})")
-            for a, b in zip(single, tup):
+                    f"dispatch: callees disagree on result structure "
+                    f"({single_tree} vs {tree})")
+            for a, b in zip(single, leaves):
                 if a.dtype != b.dtype:
                     raise ValueError(
                         f"dispatch: callees disagree on result dtype "
                         f"({a.dtype} vs {b.dtype}) -- the scatter into "
                         "the shared output would cast silently")
-        pieces.append((perm_l, tup))
+        pieces.append((perm_l, leaves))
         if single is None:
-            single = tup
+            single, single_tree = leaves, tree
 
     if single is None:  # all lanes null: zeros, single f32 result by
         #                 convention (no callee ran to define the arity)
         return LazyArray.zeros(n)
 
     outs = [LazyArray.zeros(n, r.dtype) for r in single]
-    for perm_l, tup in pieces:
-        for o, r in zip(outs, tup):
+    for perm_l, leaves in pieces:
+        for o, r in zip(outs, leaves):
             o.scatter(perm_l, r)
-    return tuple(outs) if len(outs) > 1 else outs[0]
+    return jtu.tree_unflatten(single_tree, outs)
 
 
 def getter(table, ids: LazyArray):

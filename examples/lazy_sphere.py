@@ -56,6 +56,46 @@ def render_lazy(n: int, cx=0.0, cy=0.0, radius=1.0, extent=1.2):
     return lam * 90.0 + 0.2
 
 
+def render_lazy_struct(n: int, cx=0.0, cy=0.0, radius=1.0, extent=1.2):
+    """The same program in Ray-STRUCT form -- the Ray3fC analog: an
+    ENOKI_STRUCT of lazy arrays flows through intersect + shade and the
+    whole thing still fuses into one program (array_macro.h:216
+    instantiates Ray for the lazy backend; struct helpers dispatch per
+    leaf here)."""
+    import dataclasses
+
+    import jax
+
+    from enoki_tpu.render.vec import Vec3, dot3
+    from enoki_tpu.struct import enoki_struct, select_struct
+
+    @enoki_struct
+    class Ray:
+        o: Vec3
+        d: Vec3
+
+    idx = LazyArray.arange(n * n)
+    col = (idx % n).cast(np.float32)
+    row = (idx / n).cast(np.int32).cast(np.float32)
+    step = 2.0 * extent / (n - 1)
+    ray = Ray(o=Vec3(col * step - extent - cx, row * step - extent - cy,
+                     LazyArray.full(-1.0, 1)),
+              d=Vec3(LazyArray.full(0.0, 1), LazyArray.full(0.0, 1),
+                     LazyArray.full(1.0, 1)))
+
+    b = 2.0 * dot3(ray.o, ray.d)
+    c = dot3(ray.o, ray.o) - radius * radius
+    disc = b * b - 4.0 * c
+    valid = disc >= 0.0
+    t = (-b + tr.sqrt(tr.maximum(disc, 0.0))) * 0.5
+    hit = ray.o + ray.d * t
+    zero3 = Vec3(LazyArray.full(0.0, 1), LazyArray.full(0.0, 1),
+                 LazyArray.full(0.0, 1))
+    nrm = select_struct(valid, hit, zero3)
+    lam = tr.maximum(nrm.x * -1.0 + nrm.y * -1.0 + nrm.z * 2.0, 0.0)
+    return lam * 90.0 + 0.2
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 
@@ -73,6 +113,13 @@ def main():
     t_second = time.perf_counter() - t0
     print(f"second frame               : {t_second * 1e3:8.1f} ms "
           f"(cache: {tr.cache_stats()})")
+
+    # the Ray-struct form (Ray3fC analog) fuses identically
+    s0 = tr.stats()["n_evals"]
+    out_s = render_lazy_struct(n).numpy()
+    assert tr.stats()["n_evals"] == s0 + 1, "struct form did not fuse"
+    err_s = np.abs(out_s - out).max()
+    print(f"Ray-struct form: one fused program, max |err| {err_s:.2e}")
 
     # parity vs the jit-path renderer
     import jax

@@ -80,4 +80,25 @@ xs = np.linspace(0.5, 2, 4096)
 assert np.allclose(ga, np.sin(xs) + xs * np.cos(xs), rtol=1e-4, atol=1e-5)
 print("7) lazy trace + AD: ok")
 
-print("ALL 7 FLOWS PASS ON THE REAL CHIP")
+# 8) one source, every backend: ops/special surface over LazyArray + a
+# Ray-struct vcall, all fused on the chip
+import scipy.special as _sp
+xx = np.linspace(-2.5, 2.5, 4097).astype(np.float32)
+lz = tr.LazyArray(xx)
+out = ops.select(ops.erf(lz) > 0.0,
+                 ops.special.dawson(lz) + ops.special.i0e(lz, "poly"),
+                 ops.special.erfc(lz, "poly"))
+got = out.numpy().astype(np.float64)
+want = np.where(_sp.erf(xx) > 0, _sp.dawsn(xx) + _sp.i0e(xx), _sp.erfc(xx))
+assert np.allclose(got, want, rtol=5e-5, atol=1e-5)
+from enoki_tpu.render.vec import Vec3
+import enoki_tpu.trace.call as _tc
+v3 = Vec3(lz, lz * 2.0, lz * 3.0)
+ids8 = tr.LazyArray(np.arange(4097, dtype=np.int32) % 2)
+r8 = _tc.dispatch([lambda m, v: v.x + v.y, lambda m, v: v.z * v.z],
+                  ids8, v3)
+want8 = np.where(np.arange(4097) % 2 == 0, xx * 3.0, (3.0 * xx) ** 2)
+assert np.allclose(r8.numpy(), want8, rtol=1e-4, atol=1e-4)
+print("8) unified ops surface + struct vcall on the lazy backend: ok")
+
+print("ALL 8 FLOWS PASS ON THE REAL CHIP")
