@@ -24,7 +24,7 @@ import numpy as np
 
 
 def _bench_scan(value_and_grad_fn, x0, perturb, k_lo=100, k_hi=400,
-                windows=3):
+                windows=5):
     """Device-only per-step time: chain fwd+bwd steps inside ONE jitted
     lax.scan, fence with a single host readback, and run TWO chain
     lengths so the fixed window cost cancels exactly.
@@ -35,7 +35,13 @@ def _bench_scan(value_and_grad_fn, x0, perturb, k_lo=100, k_hi=400,
     value caches) can overlap or dedupe them. A window costs
     K*c + L where L is the ~30 ms host<->device round trip; measuring at
     two K and taking (T_hi - T_lo) / (k_hi - k_lo) removes L without
-    assuming it is small. Median over windows rejects hiccups.
+    assuming it is small.
+
+    Returns (median, spread_pct) over ``windows`` INDEPENDENT two-point
+    measurements: the two-point trick cancels tunnel latency but not
+    chip-state variance (~10% spread observed between whole runs), so
+    one sample must never become the official number -- the median is
+    reported together with its spread (max-min)/median.
     """
     import jax.numpy as jnp
     from jax import lax
@@ -65,7 +71,9 @@ def _bench_scan(value_and_grad_fn, x0, perturb, k_lo=100, k_hi=400,
         t_hi = time.perf_counter() - t0
         per_step.append((t_hi - t_lo) / (k_hi - k_lo))
     per_step.sort()
-    return per_step[len(per_step) // 2]
+    med = per_step[len(per_step) // 2]
+    spread = (per_step[-1] - per_step[0]) / med if med > 0 else 0.0
+    return med, spread
 
 
 def main():
@@ -107,7 +115,7 @@ def main():
         return 1
 
     # --- timing ---------------------------------------------------------
-    t_pallas = _bench_scan(
+    t_pallas, spread_p = _bench_scan(
         jax.value_and_grad(pallas_loss), v,
         lambda v0, loss, k: v0 + loss * 1e-12
         + 1e-6 * k.astype(jnp.float32))
@@ -118,7 +126,7 @@ def main():
                         + 1e-6 * k.astype(jnp.float32),
                         ambient=s0.ambient, gain=s0.gain, light=s0.light)
 
-    t_xla = _bench_scan(
+    t_xla, spread_x = _bench_scan(
         jax.value_and_grad(lambda s: sdf_loss_implicit(s, N, STEPS)),
         scene, perturb_scene)
 
@@ -130,6 +138,8 @@ def main():
         "value": round(rays_pallas, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_pallas / rays_xla, 4),
+        "spread_pct": round(100.0 * max(spread_p, spread_x), 2),
+        "windows": 5,
     }))
     return 0
 

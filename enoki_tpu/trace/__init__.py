@@ -980,6 +980,89 @@ class _Segment:
         self.key = key
 
 
+def _label_of(vid: int) -> str:
+    buf = ctypes.create_string_buffer(256)
+    n = _lib.et_get_label(vid, buf, len(buf))
+    return buf.value.decode() if n else ""
+
+
+def tape_whos() -> str:
+    """Live table of recorded tape segments -- the segment-tape analog of
+    the reference tape's whos() (autodiff.cpp:1165): one row per
+    segment with its program hash, input vids (with labels) and output
+    vids, plus totals for held buffer memory."""
+    lines = ["  seg  hash              inputs -> outputs"
+             "                      held bytes"]
+    total = 0
+    for i, seg in enumerate(_TAPE):
+        held = sum(int(b.size * b.dtype.itemsize) for b in seg.leaf_bufs)
+        total += held
+
+        def fmt(vid):
+            lbl = _label_of(vid)
+            return f"{vid}:{lbl}" if lbl else str(vid)
+
+        ins = ", ".join(fmt(v) for v in seg.leaf_vids[:6])
+        if len(seg.leaf_vids) > 6:
+            ins += f", ... ({len(seg.leaf_vids)} total)"
+        outs = ", ".join(fmt(v) for v in seg.out_vids[:6] if v)
+        lines.append(f"  {i:3d}  {seg.key:016x}  [{ins}] -> [{outs}]"
+                     f"  {held}")
+    lines.append(f"  segments: {len(_TAPE)}, gradients held: "
+                 f"{len(_GRADS)}, total held input bytes: {total}")
+    return "\n".join(lines)
+
+
+def tape_graphviz() -> str:
+    """DOT rendering of the recorded segment tape (the debugging story
+    for the trace AD): data-flow from input version-vids through each
+    segment's fused program to its outputs, with set_label names and
+    label-prefix clustering -- the reference renders its AD DAG the same
+    way (autodiff.cpp:1076-1163; prefixes from push_prefix group into
+    subgraphs)."""
+    lines = ["digraph tape {", "  rankdir=LR;",
+             "  node [fontsize=10 shape=box style=filled "
+             "fillcolor=\"#e0f0ff\"];"]
+    var_nodes = {}
+    clusters: dict = {}
+
+    def var_node(vid):
+        if vid in var_nodes:
+            return var_nodes[vid]
+        name = f"v{vid}"
+        lbl = _label_of(vid)
+        text = f"{vid}: {lbl}" if lbl else f"v{vid}"
+        decl = (f"  {name} [label=\"{text}\" shape=ellipse "
+                f"fillcolor=\"#ffffff\"];")
+        # prefix clustering: a label "scene/radius" lands in
+        # subgraph cluster_scene (push_prefix scoping, autodiff.cpp:776)
+        if "/" in lbl:
+            clusters.setdefault(lbl.split("/", 1)[0], []).append(decl)
+        else:
+            lines.append(decl)
+        var_nodes[vid] = name
+        return name
+
+    for i, seg in enumerate(_TAPE):
+        sname = f"seg{i}"
+        lines.append(
+            f"  {sname} [label=\"segment {i}\\nhash {seg.key:016x}\\n"
+            f"{len(seg.leaf_vids)} in / "
+            f"{sum(1 for v in seg.out_vids if v)} out\"];")
+        for vid, buf in zip(seg.leaf_vids, seg.leaf_bufs):
+            if jnp.issubdtype(buf.dtype, jnp.inexact):
+                lines.append(f"  {var_node(vid)} -> {sname};")
+        for k, vid in enumerate(seg.out_vids):
+            if vid and seg.out_diff[k]:
+                lines.append(f"  {sname} -> {var_node(vid)};")
+    for pfx, decls in clusters.items():
+        lines.append(f"  subgraph cluster_{pfx} {{ label=\"{pfx}\";")
+        lines.extend("  " + d for d in decls)
+        lines.append("  }")
+    lines.append("}")
+    return "\n".join(lines)
+
+
 def clear_tape():
     """Release all recorded tape segments (and their held buffers).
     Version entries of collected variables are pruned too (scatter
@@ -1312,4 +1395,5 @@ __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
            "clear_cache", "reset", "set_log_level", "Op", "requires_grad",
            "grad_enabled", "gradient", "clear_gradients", "backward",
            "forward_from", "isnan", "isinf", "isfinite", "clamp",
-           "lerp", "sincos", "fmod", "bitcast"] + list(_MATH_OPS)
+           "lerp", "sincos", "fmod", "bitcast", "tape_whos",
+           "tape_graphviz"] + list(_MATH_OPS)

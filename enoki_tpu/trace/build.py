@@ -89,6 +89,8 @@ def load_library() -> ctypes.CDLL:
     lib.et_var_exists.argtypes = [u32]
     lib.et_num_vars.restype = u32
     lib.et_set_label.argtypes = [u32, ctypes.c_char_p]
+    lib.et_get_label.restype = i32
+    lib.et_get_label.argtypes = [u32, ctypes.c_char_p, i32]
     lib.et_mark_side_effect.argtypes = [u32, u32]
     lib.et_unmark_side_effect.argtypes = [u32]
     lib.et_is_dirty.restype = i32

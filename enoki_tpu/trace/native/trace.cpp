@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <cstring>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -229,6 +230,19 @@ uint32_t et_num_vars(void) { return (uint32_t)ctx.vars.size(); }
 void et_set_label(uint32_t id, const char *label) {
     Variable *v = var(id);
     if (v) v->label = label ? label : "";
+}
+
+// Label read-back for the tape introspection tools (the reference's
+// graphviz/whos renderers read node labels, autodiff.cpp:1076,1165).
+// Returns the label length (0 if unset / unknown id).
+int32_t et_get_label(uint32_t id, char *buf, int32_t cap) {
+    Variable *v = var(id);
+    if (!v || v->label.empty() || cap <= 0) { if (cap > 0) buf[0] = 0; return 0; }
+    int32_t n = (int32_t)v->label.size();
+    if (n >= cap) n = cap - 1;
+    memcpy(buf, v->label.data(), (size_t)n);
+    buf[n] = 0;
+    return n;
 }
 
 // ---- scatter / dirty tracking (jit.cu:674,719-730) ----------------------

@@ -508,3 +508,22 @@ def test_gradient_off_tape_raises():
         tr.gradient(loss)
     # a marked leaf that simply received no cotangent still reads zeros
     np.testing.assert_allclose(tr.gradient(x).numpy(), [0.0, 0.0])
+
+
+def test_tape_whos_and_graphviz():
+    # segment-tape introspection (the reference's tape graphviz/whos,
+    # autodiff.cpp:1076-1163, :1165): labels flow into both views and
+    # '/'-prefixed labels cluster into subgraphs
+    r = tr.requires_grad(
+        LazyArray(np.array([1.0], np.float32)).label("scene/radius"))
+    x = LazyArray(np.linspace(0, 1, 8).astype(np.float32)).label("px")
+    img = tr.maximum(x * r - 0.5, 0.0).label("image")
+    loss = (img * img).hsum()
+    loss.eval()
+    w = tr.tape_whos()
+    assert "scene/radius" in w and "image" in w and "segments: 1" in w
+    dot = tr.tape_graphviz()
+    assert dot.startswith("digraph tape")
+    assert "cluster_scene" in dot and "segment 0" in dot and "px" in dot
+    tr.backward(loss)  # frees the tape
+    assert "segments: 0" in tr.tape_whos()

@@ -72,9 +72,10 @@ CASES = [
 ]
 
 
-def _table(n, dtype):
+def _table(n, dtype, lazy=False):
     rng = np.random.default_rng(0)
-    print(f"\n### {np.dtype(dtype).name}\n")
+    tag = " (lazy backend)" if lazy else ""
+    print(f"\n### {np.dtype(dtype).name}{tag}\n")
     print("| function | domain | poly avg/max ulp | native avg/max ulp | "
           "reference avg/max (f32) |")
     print("|---|---|---|---|---|")
@@ -105,7 +106,17 @@ def _table(n, dtype):
         cols = []
         for impl in ("poly", "native"):
             try:
-                got = np.asarray(fn(xs, impl), np.float64)
+                if lazy:
+                    # the SAME call over LazyArray: records trace ops,
+                    # evaluates in one fused program (the --lazy probe
+                    # VERDICT r2 asked for: lazy rows must meet the same
+                    # bounds as eager)
+                    from enoki_tpu.trace import LazyArray
+
+                    out = fn(LazyArray(xs), impl)
+                    got = np.asarray(out.numpy(), np.float64)
+                else:
+                    got = np.asarray(fn(xs, impl), np.float64)
                 err = ulp_error(got[finite], want[finite], dtype)
                 cols.append(f"{err.mean():.4f} / {err.max():.0f}")
             except TypeError:
@@ -115,11 +126,13 @@ def _table(n, dtype):
 
 
 def main():
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    _table(n, np.float32)
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    lazy = "--lazy" in sys.argv
+    n = int(args[0]) if args else 200_000
+    _table(n, np.float32, lazy=lazy)
     jax.config.update("jax_enable_x64", True)
     # f64 rows: mpmath references are slow -- subsample
-    _table(min(n, 20_000), np.float64)
+    _table(min(n, 20_000), np.float64, lazy=lazy)
 
 
 if __name__ == "__main__":
