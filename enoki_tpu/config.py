@@ -35,6 +35,15 @@ class Config:
     # cannot silently corrupt memory. Read at TRACE time: flip it before
     # (re)jitting. Env: ENOKI_TPU_DEBUG_BOUNDS=1.
     debug_bounds: bool = os.environ.get("ENOKI_TPU_DEBUG_BOUNDS", "0") == "1"
+    # First-eval segmentation for the lazy trace: schedules longer than
+    # this many ops compile as CHAINED sub-programs of ~this size instead
+    # of one giant XLA program. XLA compile time is superlinear in program
+    # size, so segmenting a 10k-op chain cuts the first-eval stall at the
+    # cost of k dispatches (values at segment boundaries materialize; XLA
+    # cannot fuse across them). 0 = always one fused program (the
+    # default: peak steady-state throughput). Read at schedule-compile
+    # time. Env: ENOKI_TPU_MAX_FUSED_OPS.
+    max_fused_ops: int = int(os.environ.get("ENOKI_TPU_MAX_FUSED_OPS", "0"))
     # Pre-eval hooks, analog of cuda_register_callback (jit.cu:1552): callables
     # run by runtime.eval_hooks() call sites (e.g. before a benchmark step).
     eval_callbacks: List[Callable[[], None]] = dataclasses.field(default_factory=list)

@@ -14,6 +14,7 @@ from .router import (  # noqa: F401
     popcnt, lzcnt, tzcnt, log2i, mulhi, ror, rol, reinterpret,
     ldexp, frexp,
     gather, scatter, scatter_add, transform, prefetch, binary_search,
+    extract,
     clamp, lerp, sign, copysign, mulsign, abs_, sqr,
     isnan, isinf, isfinite, allclose,
     sqrt, safe_sqrt, safe_rsqrt, safe_asin, safe_acos,

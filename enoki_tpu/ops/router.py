@@ -830,6 +830,23 @@ def rad_to_deg(x):
     return x * (180.0 / jnp.pi)
 
 
+def extract(value, mask):
+    """First element of ``value`` whose mask lane is set
+    (array_router.h:948, extract_ array_static.h:964 -- the CPU vcall
+    loop peels instances with it). Returns a size-1 array; if no lane is
+    set, element 0 (the reference reads an undefined lane there).
+    Lazy operands stay lazy (compress keeps everything in the fused
+    program)."""
+    if _lazy_any(value, mask):
+        import enoki_tpu.trace as t
+
+        packed, _ = _lift_arr(value).compress(_lift_arr(mask))
+        return packed.gather(t.LazyArray(jnp.zeros((1,), jnp.int32)))
+    value, mask = jnp.asarray(value), jnp.asarray(mask)
+    idx = jnp.argmax(mask)  # first True (0 if none)
+    return value[idx][None]
+
+
 def prefetch(source, index, mask=None):
     """Memory-prefetch hint (array_router.h:1031).
 

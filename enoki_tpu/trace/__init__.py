@@ -383,7 +383,96 @@ def _compile_schedule(entries, out_positions):
         od[i] = m
     depth = max((od[p] for p in cut_pos), default=0)
 
-    return _Compiled(jax.jit(fn), fn, cut_fn, cut_slots, depth)
+    from ..config import config
+    if config.max_fused_ops and len(entries) > config.max_fused_ops:
+        exe = _chunked_exe(entries, out_positions, config.max_fused_ops)
+    else:
+        exe = jax.jit(fn)
+    return _Compiled(exe, fn, cut_fn, cut_slots, depth)
+
+
+def _chunked_exe(entries, out_positions, chunk: int):
+    """First-eval segmentation (config.max_fused_ops): compile the
+    schedule as CHAINED sub-programs of ~`chunk` ops instead of one
+    giant XLA program. XLA compile time is superlinear in program size
+    (the 10,444-op chain compiles ~14 s whole vs ~2 s in 2k-op
+    segments, tools/jit_overhead.py --seg), so this trades steady-state
+    fusion (values materialize at segment boundaries) for a much
+    smaller first-light stall. Structure-cached like the fused exe."""
+    SENT = 0xFFFFFFFF
+    n = len(entries)
+    bounds = [(s, min(s + chunk, n)) for s in range(0, n, chunk)]
+    imports = []
+    for (s, e) in bounds:
+        need = set()
+        for i in range(s, e):
+            for p in entries[i][4]:
+                if p != SENT and p < s:
+                    need.add(p)
+        imports.append(sorted(need))
+    wanted = set(out_positions)
+    for imp in imports:
+        wanted.update(imp)
+    exports = [sorted(p for p in range(s, e) if p in wanted)
+               for (s, e) in bounds]
+    # per-chunk starting cursors into the leaf list / per-dtype literal
+    # streams (both are consumed in schedule order)
+    leaf_off = [0] * len(bounds)
+    lit_off = [None] * len(bounds)
+    li, cur = 0, [0] * len(_DTYPES)
+    for ci, (s, e) in enumerate(bounds):
+        leaf_off[ci] = li
+        lit_off[ci] = list(cur)
+        for i in range(s, e):
+            if entries[i][6]:
+                cur[entries[i][2]] += 1
+            elif entries[i][7]:
+                li += 1
+
+    def make(ci):
+        s, e = bounds[ci]
+        imp, exp = imports[ci], exports[ci]
+        l0, c0 = leaf_off[ci], lit_off[ci]
+
+        def cf(ext_vals, leaf_args, lits):
+            vals = dict(zip(imp, ext_vals))
+            leaf_i = l0
+            lit_i = list(c0)
+            for i in range(s, e):
+                (vid, opcode, dtype_c, size, dep_pos, literal, is_lit,
+                 is_data) = entries[i]
+                dt = _DTYPES[dtype_c]
+                if is_lit:
+                    v = jnp.full((size,), lits[dtype_c][lit_i[dtype_c]])
+                    lit_i[dtype_c] += 1
+                elif is_data:
+                    v = leaf_args[leaf_i]
+                    leaf_i += 1
+                elif opcode == Op.IOTA:
+                    v = jnp.arange(size, dtype=dt)
+                elif opcode == Op.CAST:
+                    v = vals[dep_pos[0]].astype(dt)
+                elif opcode == Op.BITCAST:
+                    v = jax.lax.bitcast_convert_type(vals[dep_pos[0]], dt)
+                else:
+                    args = [vals[p] for p in dep_pos if p != SENT]
+                    v = _OP_IMPL[opcode](*args)
+                vals[i] = v
+            return tuple(vals[p] for p in exp)
+
+        return jax.jit(cf), imp, exp
+
+    fns = [make(ci) for ci in range(len(bounds))]
+
+    def exe(leaf_args, lits):
+        env = {}
+        for cf, imp, exp in fns:
+            outs = cf(tuple(env[p] for p in imp), leaf_args, lits)
+            for p, v in zip(exp, outs):
+                env[p] = v
+        return tuple(env[p] for p in out_positions)
+
+    return exe
 
 
 def _read_schedule(n_entries):

@@ -335,3 +335,13 @@ def test_one_source_every_backend():
     assert isinstance(lazy_out, LazyArray)
     lazy = float(lazy_out.numpy()[0])
     assert abs(eager - lazy) <= 2e-4 * max(1.0, abs(eager))
+
+
+def test_extract_first_active_lane():
+    # extract(value, mask) (array_router.h:948): both backends
+    v = np.array([5., 6., 7., 8.], np.float32)
+    m = np.array([False, False, True, True])
+    assert float(ops.extract(jnp.asarray(v), jnp.asarray(m))[0]) == 7.0
+    out = ops.extract(LazyArray(v), LazyArray(m))
+    assert isinstance(out, LazyArray)
+    assert float(out.numpy()[0]) == 7.0

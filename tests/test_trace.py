@@ -527,3 +527,33 @@ def test_tape_whos_and_graphviz():
     assert "cluster_scene" in dot and "segment 0" in dot and "px" in dot
     tr.backward(loss)  # frees the tape
     assert "segments: 0" in tr.tape_whos()
+
+
+def test_segmented_schedule_matches_fused():
+    # config.max_fused_ops: chained sub-programs must be value-identical
+    # to the single fused program (first-eval cliff mitigation; see
+    # docs/benchmarks.md "First-eval cliff")
+    from enoki_tpu.config import config
+
+    def build(data):
+        x = LazyArray(data)
+        y = x
+        for i in range(60):
+            y = tr.sqrt(y * y + (1.0 + 1e-3 * (i % 5)))
+        # mix in gather/scatter/reduction so chunk boundaries cross
+        # non-elementwise ops too
+        idx = LazyArray(np.arange(len(data) - 1, -1, -1, dtype=np.int32))
+        g = y.gather(idx)
+        t = LazyArray(np.zeros(len(data), np.float32))
+        t.scatter_add(idx, g)
+        return (t * y).hsum()
+
+    data = np.linspace(0.5, 1.5, 64).astype(np.float32)
+    whole = build(data).numpy()
+    tr.reset()
+    config.max_fused_ops = 32
+    try:
+        seg = build(data).numpy()
+    finally:
+        config.max_fused_ops = 0
+    np.testing.assert_allclose(seg, whole, rtol=1e-6)

@@ -78,14 +78,102 @@ def main():
     hits, misses = tr.cache_stats()
     assert hits >= 4, f"expected cache hits, got {(hits, misses)}"
 
+    times.sort()
+    spread = (times[-1] - times[0]) / t_hit if t_hit else 0.0
     print(f"fused-chain ops (trace appends) : {n_appends:,}")
     print(f"trace + C++ graph build         : {t_trace * 1e3:9.3f} ms   "
           f"(reference trace->PTX: 22.763 ms @ 10,444 ops)")
     print(f"first eval (jax trace + XLA)    : {t_compile * 1e3:9.3f} ms   "
           f"(reference ptxas: 299.26 ms @ 10,444 ops)")
     print(f"cache-hit re-dispatch (median)  : {t_hit * 1e3:9.3f} ms   "
+          f"spread {100 * spread:.0f}%  "
           f"(reference: ~22.8 ms re-trace, compile skipped)")
+    return n_ops, data
+
+
+def seg_bench(n_ops, data, chunk):
+    """First-eval with schedule segmentation (config.max_fused_ops):
+    chained ~chunk-op sub-programs instead of one giant XLA program."""
+    from enoki_tpu.config import config
+
+    tr.reset()
+    config.max_fused_ops = chunk
+    try:
+        t0 = time.perf_counter()
+        y = build_chain(data + np.float32(0.5), n_ops)
+        y.eval()
+        jax.block_until_ready(y.jax())
+        t_first = time.perf_counter() - t0
+        # warm re-dispatch through the segmented driver
+        times = []
+        for k in range(3):
+            t0 = time.perf_counter()
+            y2 = build_chain(data + np.float32(10 + k), n_ops)
+            y2.eval()
+            jax.block_until_ready(y2.jax())
+            times.append(time.perf_counter() - t0)
+            del y2
+        t_hit = sorted(times)[len(times) // 2]
+    finally:
+        config.max_fused_ops = 0
+        tr.reset()
+    print(f"segmented first eval (K={chunk:5d}) : {t_first * 1e3:9.3f} ms   "
+          f"re-dispatch {t_hit * 1e3:9.3f} ms")
+
+
+def cache_bench(n_ops):
+    """Cross-process persistent compile cache: run a child process twice
+    against one jax_compilation_cache_dir; the second run's first-eval
+    shows what runtime.enable_compile_cache recovers."""
+    import os
+    import shutil
+    import subprocess
+    import sys as s
+    import tempfile
+
+    cache = tempfile.mkdtemp(prefix="enoki_xla_cache_")
+    try:
+        outs = []
+        for _ in range(2):
+            r = subprocess.run(
+                [s.executable, __file__, "--child", cache, str(n_ops)],
+                capture_output=True, text=True, timeout=600)
+            if r.returncode != 0:
+                print("cache child failed:", r.stderr[-500:])
+                return
+            outs.append(float(r.stdout.strip().splitlines()[-1]))
+        print(f"first eval, cold process+cache  : {outs[0] * 1e3:9.3f} ms")
+        print(f"first eval, cold process, WARM persistent cache"
+              f" : {outs[1] * 1e3:9.3f} ms")
+    finally:
+        shutil.rmtree(cache, ignore_errors=True)
+
+
+def child(cache_dir, n_ops):
+    from enoki_tpu.runtime import enable_compile_cache
+
+    enable_compile_cache(cache_dir)
+    data = np.linspace(0.5, 1.5, 1 << 16).astype(np.float32)
+    jax.block_until_ready(jax.numpy.asarray(data))
+    build_chain(data, 64).eval()
+    tr.reset()
+    t0 = time.perf_counter()
+    y = build_chain(data, n_ops)
+    y.eval()
+    jax.block_until_ready(y.jax())
+    print(time.perf_counter() - t0)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(sys.argv[2], int(sys.argv[3]))
+        sys.exit(0)
+    do_seg = "--seg" in sys.argv
+    do_cache = "--cache" in sys.argv
+    sys.argv = [a for a in sys.argv if not a.startswith("--")]
+    n_ops, data = main()
+    if do_seg:
+        for chunk in (512, 1024, 2048, 4096):
+            seg_bench(n_ops, data, chunk)
+    if do_cache:
+        cache_bench(n_ops)
