@@ -20,23 +20,60 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _is_lazy(x):
+    from .backend import is_lazy
+
+    return is_lazy(x)
+
+
 def round_(x):
-    """Round half to even (the TPU hardware mode)."""
+    """Round half to even (the TPU hardware mode). LazyArray operands
+    record the ROUND opcode (one source, every backend)."""
+    if _is_lazy(x):
+        import enoki_tpu.trace as t
+
+        return t.round(x)
     return jnp.round(x)
 
 
 def round_half_away(x):
     # NOT trunc(x + 0.5): adding 0.5 first double-rounds (e.g. the largest
     # f32 below 0.5 would round to 1). Compare the exact fractional part.
+    if _is_lazy(x):
+        import enoki_tpu.trace as t
+
+        tt = t.trunc(x)
+        frac = x - tt
+        bump = t.select(abs(frac) >= 0.5, x * 0.0 + 1.0, x * 0.0)
+        return tt + t.select(x >= 0.0, bump, -bump)
     t = jnp.trunc(x)
     frac = x - t  # exact: x and t share the exponent range
     bump = (jnp.abs(frac) >= 0.5).astype(x.dtype)
     return t + jnp.where(x >= 0, bump, -bump)
 
 
-floor = jnp.floor
-ceil = jnp.ceil
-trunc = jnp.trunc
+def floor(x):
+    if _is_lazy(x):
+        import enoki_tpu.trace as t
+
+        return t.floor(x)
+    return jnp.floor(x)
+
+
+def ceil(x):
+    if _is_lazy(x):
+        import enoki_tpu.trace as t
+
+        return t.ceil(x)
+    return jnp.ceil(x)
+
+
+def trunc(x):
+    if _is_lazy(x):
+        import enoki_tpu.trace as t
+
+        return t.trunc(x)
+    return jnp.trunc(x)
 
 
 def stochastic_round(x, key, dtype=jnp.bfloat16):

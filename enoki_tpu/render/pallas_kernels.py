@@ -254,29 +254,43 @@ def _sdf_shade_tile(px, py, t, hit, pvec):
     return jnp.where(hit, img, scene.ambient + jnp.zeros_like(img))
 
 
-def _sdf_fwd_kernel(params_ref, out_ref, t_ref, hit_ref, *, n, extent,
+def _sdf_fwd_kernel(params_ref, out_ref, t_ref, *, n, extent,
                     n_steps):
     tr, tc = out_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
     scene = vec_to_scene(pvec, SDFScene)
+    # loop-invariant hoist: for the orthographic ray p = (px, py, -1+t)
+    # only the z term depends on t, so the xy part of the sphere distance
+    # sqrt((p-c)|^2) - r is computed ONCE per tile instead of per march
+    # step (Mosaic does not LICM across the while_loop body; this cuts
+    # the inner step from ~12 flops to ~5 + sqrt). Algebraically
+    # identical to sdf(Vec3(px, py, -1+t), scene).
+    dx = px - scene.center.x
+    dy = py - scene.center.y
+    rxy2 = dx * dx + dy * dy + 1e-12
+    z0 = -1.0 - scene.center.z
     t, hit = _march_tile(
-        lambda t: sdf(Vec3(px, py, -1.0 + t), scene), px, n_steps)
+        lambda t: jnp.sqrt(rxy2 + (z0 + t) * (z0 + t)) - scene.radius,
+        px, n_steps)
     out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
-    # residuals for the bwd megakernel: 2 floats/pixel beats re-marching
-    # n_steps times when fwd+bwd run as a pair (value_and_grad)
-    t_ref[:, :] = t
-    hit_ref[:, :] = hit.astype(jnp.float32)
+    # residual for the bwd megakernel: ONE float/pixel beats re-marching
+    # n_steps times when fwd+bwd run as a pair (value_and_grad). The hit
+    # bit rides the sign: hit lanes store t (>= 0) EXACTLY; miss lanes
+    # store -t-1 (< 0) -- their t is only ever consumed behind the hit
+    # mask, so the 1-ulp decode rounding there is irrelevant.
+    t_ref[:, :] = jnp.where(hit, t, -t - 1.0)
 
 
-def _sdf_bwd_kernel(params_ref, g_ref, t_ref, hit_ref, dp_ref, *, n, extent,
+def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
                     n_steps):
     tr, tc = g_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
 
-    t = t_ref[:, :]
-    hit = hit_ref[:, :] > 0
+    ts = t_ref[:, :]
+    hit = ts >= 0.0
+    t = jnp.where(hit, ts, -1.0 - ts)
     g = g_ref[:, :]
 
     # direct term: d shade / d pvec and cotangent w.r.t. t
@@ -326,27 +340,26 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None):
     grid = (n // tile, n // tile_c)
     tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
-    img, t, hit = pl.pallas_call(
+    img, ts = pl.pallas_call(
         functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
                           n_steps=n_steps),
         grid=grid,
         in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_specs=(tile_spec, tile_spec),
         out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
-                   jax.ShapeDtypeStruct((n, n), jnp.float32),
                    jax.ShapeDtypeStruct((n, n), jnp.float32)),
     )(params.reshape(1, N_PARAMS))
-    return img, t, hit
+    return img, ts
 
 
 def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c):
-    img, t, hit = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c)
-    return img, (params, t, hit)
+    img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c)
+    return img, (params, ts)
 
 
 def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, res, g):
-    params, t, hit = res
+    params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)
     tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
@@ -358,12 +371,12 @@ def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, res, g):
         in_specs=[
             pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                          memory_space=pltpu.SMEM),
-            tile_spec, tile_spec, tile_spec,
+            tile_spec, tile_spec,
         ],
         out_specs=pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, N_PARAMS), jnp.float32),
-    )(params.reshape(1, N_PARAMS), g, t, hit)
+    )(params.reshape(1, N_PARAMS), g, ts)
     return (dp.reshape(N_PARAMS),)
 
 

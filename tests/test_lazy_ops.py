@@ -345,3 +345,16 @@ def test_extract_first_active_lane():
     out = ops.extract(LazyArray(v), LazyArray(m))
     assert isinstance(out, LazyArray)
     assert float(out.numpy()[0]) == 7.0
+
+
+def test_lazy_rounding_routes():
+    from enoki_tpu.ops import rounding as R
+
+    v = np.array([-1.5, -0.5, 0.5, 1.5, 2.5], np.float32)
+    lx = LazyArray(v)
+    np.testing.assert_array_equal(R.round_(lx).numpy(), np.round(v))
+    np.testing.assert_array_equal(R.floor(lx).numpy(), np.floor(v))
+    np.testing.assert_array_equal(R.ceil(lx).numpy(), np.ceil(v))
+    np.testing.assert_array_equal(R.trunc(lx).numpy(), np.trunc(v))
+    want = np.array([-2.0, -1.0, 1.0, 2.0, 3.0], np.float32)  # half away
+    np.testing.assert_array_equal(R.round_half_away(lx).numpy(), want)
