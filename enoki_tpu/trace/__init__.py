@@ -57,6 +57,9 @@ _LIT_CARRIER = {2: np.uint16, 4: np.uint32, 8: np.uint64}
 
 
 _LIT_BITS_CACHE: dict = {}
+# (code, value[, signbit]) -> shared size-1 literal LazyArray (see
+# LazyArray._coerce); cleared by reset()
+_LITERAL_ARRAYS: dict = {}
 
 
 def _literal_bits(value, code) -> int:
@@ -257,6 +260,11 @@ def clear_cache():
 def reset():
     """Drop the whole trace state (tests)."""
     import sys
+    # invalidate shared literal handles BEFORE the native reset so their
+    # __del__s don't dec-ref recycled ids later
+    for r in _LITERAL_ARRAYS.values():
+        r.index = 0
+    _LITERAL_ARRAYS.clear()
     _BUFFERS.clear()
     _SCATTER_TARGET.clear()
     _PENDING_SCATTER.clear()
@@ -772,16 +780,30 @@ class LazyArray:
         if isinstance(other, LazyArray):
             return other
         if isinstance(other, (int, float, bool)):
+            # shared literal handles: scalar constants repeat heavily in
+            # traced programs (a polynomial kernel re-coerces its
+            # coefficients every retrace) and literal vars are immutable,
+            # so one native var per (dtype, value) is enough. The cache
+            # holds an ext ref (keeping the var id valid); reset() clears
+            # it with the rest of the trace state.
             code = self._code
+            k = (code, other, math.copysign(1.0, other)) \
+                if isinstance(other, float) else (code, other)
+            r = _LITERAL_ARRAYS.get(k)
+            if r is not None:
+                return r
             r = LazyArray.__new__(LazyArray)
             r.index = _nat.literal(code, _literal_bits(other, code), 1)
             r._size = 1
             r._code = code
+            if len(_LITERAL_ARRAYS) < (1 << 14):
+                _LITERAL_ARRAYS[k] = r
             return r
         return LazyArray(other)
 
     def _bin(self, other, opcode, out_dtype=None, swap=False):
-        other = self._coerce(other)
+        if type(other) is not LazyArray:  # exact check: hot path
+            other = self._coerce(other)
         a, b = (other, self) if swap else (self, other)
         dc = _PROMOTE[a._code][b._code] if out_dtype is None else out_dtype
         sa, sb = a._size, b._size

@@ -90,7 +90,13 @@ def test_refcount_collection():
     # two literal vars + y + z
     assert tr.stats()["n_vars"] == n0 + 4
     del y, z  # z's deletion drops y's internal ref too
-    assert tr.stats()["n_vars"] == n0
+    # the op vars are collected; the two scalar LITERAL vars are
+    # intentionally retained by the shared-literal cache (immutable,
+    # reused by every later coercion of the same constant; reset()
+    # releases them)
+    assert tr.stats()["n_vars"] == n0 + 2
+    y2 = x + 1.0  # re-coercing the same constant creates NO new var
+    assert tr.stats()["n_vars"] == n0 + 3
 
 
 def test_horizontal_fused():
