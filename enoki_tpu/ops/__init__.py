@@ -14,7 +14,7 @@ from .router import (  # noqa: F401
     popcnt, lzcnt, tzcnt, log2i, mulhi, ror, rol, reinterpret,
     ldexp, frexp,
     gather, scatter, scatter_add, transform, prefetch, binary_search,
-    extract,
+    extract, range_packets,
     clamp, lerp, sign, copysign, mulsign, abs_, sqr,
     isnan, isinf, isfinite, allclose,
     sqrt, safe_sqrt, safe_rsqrt, safe_asin, safe_acos,
@@ -25,6 +25,7 @@ from .router import (  # noqa: F401
 from .horiz import (  # noqa: F401
     hsum, hprod, hmax, hmin, hmean,
     hsum_nested, hprod_nested, hmax_nested, hmin_nested,
+    all_nested, any_nested, none_nested, count_nested,
     psum, all_, any_, none, count,
     dot, abs_dot, norm, squared_norm, normalize,
     compress, partition, segment_offsets,

@@ -85,6 +85,23 @@ def hmin_nested(x):
     return jnp.min(x)
 
 
+def all_nested(mask):
+    """all() across every nesting level (array_router.h all_nested)."""
+    return jnp.all(mask)
+
+
+def any_nested(mask):
+    return jnp.any(mask)
+
+
+def none_nested(mask):
+    return ~jnp.any(mask)
+
+
+def count_nested(mask):
+    return jnp.sum(jnp.asarray(mask).astype(jnp.int32))
+
+
 def psum(x, axis=-1):
     """Inclusive prefix sum (cuda_psum, horiz.cu:193 DeviceScan::InclusiveSum)."""
     if _is_lazy(x):
@@ -182,9 +199,15 @@ def compress(x, mask, fill=0):
     (the reference must break the kernel at every cub call; zero-fill
     only, ``fill`` must be 0 there).
     """
-    if _is_lazy(x):
+    if _is_lazy(x) or _is_lazy(mask):
         if fill != 0:
             raise ValueError("lazy compress zero-fills (fill must be 0)")
+        from enoki_tpu.trace import LazyArray
+
+        if not _is_lazy(x):
+            x = LazyArray(jnp.atleast_1d(jnp.asarray(x)))
+        if not _is_lazy(mask):
+            mask = LazyArray(jnp.atleast_1d(jnp.asarray(mask)))
         return x.compress(mask)
     x = jnp.asarray(x)
     mask = jnp.asarray(mask)

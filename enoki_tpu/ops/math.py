@@ -701,13 +701,17 @@ _LAZY_ROUTES_1 = {
     "atanh": lambda t, x: t.atanh(x),
 }
 
+def _lazy_hypot(t, a, b):
+    from .backend import _TRACE_MATH
+
+    return _TRACE_MATH.hypot(a, b)
+
+
 _LAZY_ROUTES_2 = {
     "atan2": lambda t, y, x: t.atan2(y, x),
     "pow": lambda t, x, y: t.pow(x, y),
     "fmod": lambda t, a, b: t.fmod(a, b),
-    "hypot": lambda t, a, b: __import__(
-        "enoki_tpu.ops.backend", fromlist=["_TRACE_MATH"])
-        ._TRACE_MATH.hypot(a, b),
+    "hypot": _lazy_hypot,
 }
 
 for _name, _route in _LAZY_ROUTES_1.items():

@@ -193,7 +193,15 @@ def _odd_lanes_lazy(a, b, c):
     import enoki_tpu.trace as t
     from . import backend as B
 
-    n = max(len(v) for v in (a, b, c) if B.is_lazy(v))
+    # broadcast width over ALL operands (a wider eager operand sets the
+    # lane count, exactly like the eager _odd_lanes)
+    def w(v):
+        if B.is_lazy(v):
+            return len(v)
+        s = jnp.shape(v)
+        return s[-1] if s else 1
+
+    n = max(w(v) for v in (a, b, c))
     return (t.LazyArray.arange(n) & 1) == 1
 
 
@@ -248,10 +256,21 @@ def popcnt(x):
 
 
 def lzcnt(x):
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        return t.clz(x)
     return lax.clz(jnp.asarray(x))
 
 
 def tzcnt(x):
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        nbits = jnp.iinfo(x.dtype).bits
+        isolated = x & (-x)
+        return t.select(x == 0, nbits,
+                        (nbits - 1) - t.clz(isolated))
     x = jnp.asarray(x)
     nbits = jnp.iinfo(x.dtype).bits
     # tzcnt(x) = nbits - lzcnt(x & -x) - 1 for x != 0; = nbits for x == 0
@@ -261,6 +280,11 @@ def tzcnt(x):
 
 def log2i(x):
     """Integer log2 (array_router.h log2i): position of the highest set bit."""
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        nbits = jnp.iinfo(x.dtype).bits
+        return (nbits - 1) - t.clz(x)
     x = jnp.asarray(x)
     nbits = jnp.iinfo(x.dtype).bits
     return (nbits - 1) - lax.clz(x)
@@ -675,8 +699,10 @@ def _safe_lazy(x, fn):
 
 def safe_sqrt(x):
     if _lazy_any(x):
+        # the clamp must use the INPUT dtype's tiny (an f32 constant
+        # would flatten every f64 input below 1.18e-38)
         return _safe_lazy(x, lambda t, v: t.select(
-            v > 0.0, t.sqrt(t.maximum(v, jnp.finfo(jnp.float32).tiny)),
+            v > 0.0, t.sqrt(t.maximum(v, float(jnp.finfo(v.dtype).tiny))),
             0.0))
     return _safe_sqrt_eager(x)
 
@@ -698,9 +724,10 @@ def safe_rsqrt(x):
     if _lazy_any(x):
         # value AND derivative match the eager custom_jvp: the max clamp
         # zeroes the derivative at x <= 0 (max' = 0 on the clamped side)
-        # and rsqrt(tiny) is finite, so no 0*inf NaN in the VJP
+        # and rsqrt(tiny) is finite, so no 0*inf NaN in the VJP. The
+        # clamp uses the input dtype's tiny, like the eager path.
         return _safe_lazy(x, lambda t, v: t.rsqrt(
-            t.maximum(v, float(jnp.finfo(jnp.float32).tiny))))
+            t.maximum(v, float(jnp.finfo(v.dtype).tiny))))
     return _safe_rsqrt_eager(x)
 
 
@@ -830,6 +857,31 @@ def rad_to_deg(x):
     return x * (180.0 / jnp.pi)
 
 
+def range_packets(n, width, dim=1):
+    """Vectorized 'range' iterable with automatic trailing-lane masks
+    (array_utils.h:81; exercised by memory2.cpp test06_range /
+    test07_range_2d): yields ``(index, mask)`` packets of ``width``
+    lanes covering [0, n) -- the packet-loop idiom `for (auto [i, m] :
+    range<UInt32P>(n))`.
+
+    ``dim=1``: index is a 1-D int32 array. ``dim=2``: ``n`` is (nx, ny)
+    and index is a tuple ``(ix, iy)`` with x varying fastest (the
+    reference's divisor-chain unflattening, array_utils.h:117-133)."""
+    if dim == 1:
+        total = int(n)
+        for start in range(0, total, width):  # empty range: no packets
+            idx = jnp.arange(width, dtype=jnp.int32) + start
+            yield idx, idx < total
+        return
+    if dim != 2:
+        raise ValueError("range_packets supports dim 1 or 2")
+    nx, ny = int(n[0]), int(n[1])
+    total = nx * ny
+    for start in range(0, total, width):
+        flat = jnp.arange(width, dtype=jnp.int32) + start
+        yield (flat % nx, flat // nx), flat < total
+
+
 def extract(value, mask):
     """First element of ``value`` whose mask lane is set
     (array_router.h:948, extract_ array_static.h:964 -- the CPU vcall
@@ -840,8 +892,13 @@ def extract(value, mask):
     if _lazy_any(value, mask):
         import enoki_tpu.trace as t
 
-        packed, _ = _lift_arr(value).compress(_lift_arr(mask))
-        return packed.gather(t.LazyArray(jnp.zeros((1,), jnp.int32)))
+        value, mask = _lift_arr(value), _lift_arr(mask)
+        packed, _ = value.compress(mask)
+        zero = t.LazyArray(jnp.zeros((1,), jnp.int32))
+        first = packed.gather(zero)
+        # no lane set: compress zero-fills, but the contract (and the
+        # eager path) reads element 0 of value instead
+        return t.select(mask.any(), first, value.gather(zero))
     value, mask = jnp.asarray(value), jnp.asarray(mask)
     idx = jnp.argmax(mask)  # first True (0 if none)
     return value[idx][None]
@@ -873,36 +930,49 @@ def binary_search(start, end, pred):
 
     start, end = int(start), int(end)  # scalar bounds, like the reference
     iters = _math.floor(_math.log2(end - start)) + 1 if end > start else 0
-    # probe the predicate's backend once: a lazy pred makes the whole
-    # search record trace ops (the reference's binary_search instantiates
-    # for CUDAArray the same way, array_utils.h:153)
     lo = jnp.asarray(start, jnp.int32)
     hi = jnp.asarray(end, jnp.int32)
-    if iters:
+    if not iters:
+        return lo + jnp.zeros_like(hi)
+
+    # The first iteration doubles as the backend probe -- its pred call
+    # is CONSUMED (a pred with recorded side effects runs exactly once
+    # per iteration, never an extra discarded time). A pred written
+    # against LazyArray state typically rejects a plain jnp index
+    # (LazyArray.gather requires a lazy index): retry it once with lazy
+    # bounds; if that also fails, re-raise the ORIGINAL error so genuine
+    # pred bugs surface as themselves.
+    mid0 = (start + end) >> 1  # iteration-1 bounds are scalar per lane
+    cond = None
+    try:
+        cond = pred((lo + hi) >> 1)
+        probe_lazy = _lazy_any(cond)
+    except Exception as e_eager:
+        import enoki_tpu.trace as t
+
         try:
-            probe_lazy = _lazy_any(pred((lo + hi) >> 1))
+            cond = pred(t.LazyArray.literal(mid0, 1, jnp.int32))
         except Exception:
-            # a pred written against LazyArray state typically rejects a
-            # plain jnp index (e.g. LazyArray.gather requires a lazy
-            # index) -- take the lazy path
-            probe_lazy = True
-    else:
-        probe_lazy = False
+            raise e_eager
+        probe_lazy = True
     if probe_lazy:
         import enoki_tpu.trace as t
 
-        lo = t.LazyArray.literal(start, 1, jnp.int32)
-        hi = t.LazyArray.literal(end, 1, jnp.int32)
-        for _ in range(iters):
+        # consume the probe's cond as iteration 1 (scalar bounds)
+        lo = t.select(cond, min(mid0 + 1, end), start)
+        hi = t.select(cond, end, mid0)
+        for _ in range(iters - 1):
             mid = (lo + hi) >> 1
             cond = pred(mid)
             lo = t.select(cond, t.minimum(mid + 1, hi), lo)
             hi = t.select(cond, hi, mid)
         return lo + hi * 0
-    for _ in range(iters):
+    lo = jnp.where(cond, jnp.minimum(mid0 + 1, end), lo)
+    hi = jnp.where(cond, hi, mid0)
+    for _ in range(iters - 1):
         mid = (lo + hi) >> 1
         cond = pred(mid)
-        # first pred() call sets the lane shape; lo/hi broadcast up
+        # pred() sets the lane shape; lo/hi broadcast up
         lo = jnp.where(cond, jnp.minimum(mid + 1, hi), lo)
         hi = jnp.where(cond, hi, mid)
     return lo + jnp.zeros_like(hi)

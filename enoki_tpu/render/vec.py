@@ -101,3 +101,27 @@ def norm3(a: Vec3):
 
 def normalize3(a: Vec3) -> Vec3:
     return a * B.math_ns(a.x).rsqrt(dot3(a, a))
+
+
+def unit_angle(a: Vec3, b: Vec3):
+    """Numerically well-behaved angle between two UNIT vectors
+    (array_math.h:1415, Don Hatch's formulation): accurate for nearly
+    parallel and nearly antiparallel inputs where acos(dot) loses all
+    precision. Backend-generic (ns dispatch)."""
+    ns = B.math_ns(a.x)
+    d = dot3(a, b)
+    s = ns.mulsign(a.x, d), ns.mulsign(a.y, d), ns.mulsign(a.z, d)
+    diff = Vec3(b.x - s[0], b.y - s[1], b.z - s[2])
+    temp = 2.0 * ns.asin(0.5 * norm3(diff))
+    pi = 3.14159265358979323846
+    return ns.select(d >= 0.0, temp, pi - temp)
+
+
+def unit_angle_z(v: Vec3):
+    """Angle between a unit vector and the z-axis (array_math.h:1431) --
+    use wherever acos(v.z) is tempting."""
+    ns = B.math_ns(v.x)
+    zc = v.z - ns.copysign(v.z * 0.0 + 1.0, v.z)
+    temp = 2.0 * ns.asin(0.5 * ns.sqrt(v.x * v.x + v.y * v.y + zc * zc))
+    pi = 3.14159265358979323846
+    return ns.select(v.z >= 0.0, temp, pi - temp)

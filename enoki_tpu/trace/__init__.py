@@ -102,7 +102,7 @@ class Op:
      HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
      POPCNT, CBRT, SIGN, COPYSIGN, LOG1P, EXPM1, ASINH, ACOSH, ATANH,
      ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS, FMOD,
-     BITCAST) = range(78)
+     BITCAST, CLZ) = range(79)
 
 
 def _bcast(a, b):
@@ -197,6 +197,9 @@ _OP_IMPL[Op.COMPRESS] = _compress_impl
 # python % -- matching eager ops.fmod and the reference's std::fmod
 # (tests/float.cpp:285)
 _OP_IMPL[Op.FMOD] = lambda a, b: jnp.fmod(a, b)
+# leading-zero count (lzcnt, array_fallbacks.h:259; tzcnt/log2i compose
+# from it in ops.router's lazy branches)
+_OP_IMPL[Op.CLZ] = lambda a: jax.lax.clz(a)
 
 # name -> (opcode, arity, out_kind) for the functional API.
 # out_kind: None = same dtype as input, "float" = float-promoted (f32 for
@@ -785,10 +788,16 @@ class LazyArray:
             # coefficients every retrace) and literal vars are immutable,
             # so one native var per (dtype, value) is enough. The cache
             # holds an ext ref (keeping the var id valid); reset() clears
-            # it with the rest of the trace state.
+            # it with the rest of the trace state. Nonzero values take
+            # the 2-tuple key; only zeros need the sign disambiguation
+            # (-0.0 == 0.0 but their bit patterns differ) -- and -0.0 is
+            # falsy, so the guard is just truthiness.
             code = self._code
-            k = (code, other, math.copysign(1.0, other)) \
-                if isinstance(other, float) else (code, other)
+            if other:
+                k = (code, other)
+            else:
+                k = (code, other, math.copysign(1.0, other)) \
+                    if isinstance(other, float) else (code, other)
             r = _LITERAL_ARRAYS.get(k)
             if r is not None:
                 return r
@@ -805,57 +814,24 @@ class LazyArray:
         if type(other) is not LazyArray:  # exact check: hot path
             other = self._coerce(other)
         a, b = (other, self) if swap else (self, other)
+        r = _nat.binop(a, b, opcode, -1 if out_dtype is None else out_dtype)
+        if r is not None:
+            return r
+        # slow path: dirty dependency (flush + retry) or broadcast error
         dc = _PROMOTE[a._code][b._code] if out_dtype is None else out_dtype
         sa, sb = a._size, b._size
         size = sa if sa >= sb else sb
-        idx = _nat.append(opcode, dc, size, a.index, b.index, 0, 0, 0)
-        if idx <= 0:
-            return LazyArray._record(opcode, dc, size, a, b)
-        r = LazyArray.__new__(LazyArray)
-        r.index = idx
-        r._size = size
-        r._code = dc
-        return r
+        return LazyArray._record(opcode, dc, size, a, b)
 
     def _unary(self, opcode, out_dtype=None):
+        r = _nat.unop(self, opcode, -1 if out_dtype is None else out_dtype)
+        if r is not None:
+            return r
         dc = self._code if out_dtype is None else out_dtype
-        size = self._size
-        idx = _nat.append(opcode, dc, size, self.index, 0, 0, 0, 0)
-        if idx <= 0:
-            return LazyArray._record(opcode, dc, size, self)
-        r = LazyArray.__new__(LazyArray)
-        r.index = idx
-        r._size = size
-        r._code = dc
-        return r
-
-    __add__ = lambda s, o: s._bin(o, Op.ADD)
-    __radd__ = lambda s, o: s._bin(o, Op.ADD, swap=True)
-    __sub__ = lambda s, o: s._bin(o, Op.SUB)
-    __rsub__ = lambda s, o: s._bin(o, Op.SUB, swap=True)
-    __mul__ = lambda s, o: s._bin(o, Op.MUL)
-    __rmul__ = lambda s, o: s._bin(o, Op.MUL, swap=True)
-    __truediv__ = lambda s, o: s._bin(o, Op.DIV)
-    __rtruediv__ = lambda s, o: s._bin(o, Op.DIV, swap=True)
-    __mod__ = lambda s, o: s._bin(o, Op.MOD)
-    __pow__ = lambda s, o: s._bin(o, Op.POW)
-    __neg__ = lambda s: s._unary(Op.NEG)
-    __abs__ = lambda s: s._unary(Op.ABS)
-    __and__ = lambda s, o: s._bin(o, Op.AND)
-    __or__ = lambda s, o: s._bin(o, Op.OR)
-    __xor__ = lambda s, o: s._bin(o, Op.XOR)
-    __invert__ = lambda s: s._unary(Op.NOT)
-    __lshift__ = lambda s, o: s._bin(o, Op.SHL)
-    __rshift__ = lambda s, o: s._bin(o, Op.SHR)
+        return LazyArray._record(opcode, dc, self._size, self)
 
     _BOOL = 4  # dtype code of jnp.bool_
 
-    __eq__ = lambda s, o: s._bin(o, Op.EQ, out_dtype=LazyArray._BOOL)
-    __ne__ = lambda s, o: s._bin(o, Op.NE, out_dtype=LazyArray._BOOL)
-    __lt__ = lambda s, o: s._bin(o, Op.LT, out_dtype=LazyArray._BOOL)
-    __le__ = lambda s, o: s._bin(o, Op.LE, out_dtype=LazyArray._BOOL)
-    __gt__ = lambda s, o: s._bin(o, Op.GT, out_dtype=LazyArray._BOOL)
-    __ge__ = lambda s, o: s._bin(o, Op.GE, out_dtype=LazyArray._BOOL)
     __hash__ = None
 
     def cast(self, dtype):
@@ -994,6 +970,61 @@ class LazyArray:
         """Single-element fetch forces eval (cuda_fetch_element,
         jit.cu:1520)."""
         return self.numpy()[i]
+
+
+# ---------------------------------------------------------------------------
+# Operator wiring: the dunders call the C fast path (pymod.cpp binop/unop:
+# slot reads at fixed offsets, C promotion table, append, tp_alloc result)
+# and fall back to _bin/_unary for scalar coercion, dirty-flush retries and
+# broadcast errors. ~0.3 us/op vs ~1.2 us through the pure-Python route --
+# the single biggest term in the re-dispatch number (docs/benchmarks.md).
+# ---------------------------------------------------------------------------
+
+_nat.set_class(LazyArray, [c for row in _PROMOTE for c in row],
+               len(_DTYPES))
+
+
+def _bin_dunder(opcode, out_code=-1, swap=False):
+    out_dtype = None if out_code < 0 else out_code
+    if swap:
+        def op(self, other):
+            return self._bin(other, opcode, out_dtype, swap=True)
+    else:
+        def op(self, other):
+            if type(other) is not LazyArray:
+                # coerce scalars HERE (shared-literal cache) so the C
+                # fast path serves scalar operands too
+                other = self._coerce(other)
+            r = _nat.binop(self, other, opcode, out_code)
+            if r is not None:
+                return r
+            return self._bin(other, opcode, out_dtype)
+    return op
+
+
+def _un_dunder(opcode):
+    def op(self):
+        r = _nat.unop(self, opcode, -1)
+        return r if r is not None else self._unary(opcode)
+    return op
+
+
+for _n, _o in [("__add__", Op.ADD), ("__sub__", Op.SUB), ("__mul__", Op.MUL),
+               ("__truediv__", Op.DIV), ("__mod__", Op.MOD),
+               ("__pow__", Op.POW), ("__and__", Op.AND), ("__or__", Op.OR),
+               ("__xor__", Op.XOR), ("__lshift__", Op.SHL),
+               ("__rshift__", Op.SHR)]:
+    setattr(LazyArray, _n, _bin_dunder(_o))
+for _n, _o in [("__radd__", Op.ADD), ("__rsub__", Op.SUB),
+               ("__rmul__", Op.MUL), ("__rtruediv__", Op.DIV)]:
+    setattr(LazyArray, _n, _bin_dunder(_o, swap=True))
+for _n, _o in [("__eq__", Op.EQ), ("__ne__", Op.NE), ("__lt__", Op.LT),
+               ("__le__", Op.LE), ("__gt__", Op.GT), ("__ge__", Op.GE)]:
+    setattr(LazyArray, _n, _bin_dunder(_o, out_code=LazyArray._BOOL))
+for _n, _o in [("__neg__", Op.NEG), ("__abs__", Op.ABS),
+               ("__invert__", Op.NOT)]:
+    setattr(LazyArray, _n, _un_dunder(_o))
+del _n, _o
 
 
 _PY_SCALAR_CODE = {bool: 4, int: 2, float: 0}  # bool_, int32, float32
@@ -1483,6 +1514,11 @@ def bitcast(x, dtype):
     return x.bitcast(dtype)
 
 
+def clz(x):
+    """Lazy leading-zero count (lzcnt, array_fallbacks.h:259)."""
+    return x._unary(Op.CLZ)
+
+
 def fmod(x, y):
     """C fmod: remainder with the sign of the dividend (array_math.h
     fmod, std::fmod semantics). Distinct from ``x % y`` (floored)."""
@@ -1506,5 +1542,5 @@ __all__ = ["LazyArray", "select", "eval", "whos", "stats", "cache_stats",
            "clear_cache", "reset", "set_log_level", "Op", "requires_grad",
            "grad_enabled", "gradient", "clear_gradients", "backward",
            "forward_from", "isnan", "isinf", "isfinite", "clamp",
-           "lerp", "sincos", "fmod", "bitcast", "tape_whos",
+           "lerp", "sincos", "fmod", "bitcast", "clz", "tape_whos",
            "tape_graphviz"] + list(_MATH_OPS)

@@ -19,7 +19,6 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
-#include <cstring>
 #include <string>
 #include <unordered_map>
 #include <vector>

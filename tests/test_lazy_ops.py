@@ -358,3 +358,64 @@ def test_lazy_rounding_routes():
     np.testing.assert_array_equal(R.trunc(lx).numpy(), np.trunc(v))
     want = np.array([-2.0, -1.0, 1.0, 2.0, 3.0], np.float32)  # half away
     np.testing.assert_array_equal(R.round_half_away(lx).numpy(), want)
+
+
+def test_lazy_safe_math_f64_tiny():
+    # regression (r3 review): the lazy safe_sqrt/safe_rsqrt clamp must
+    # use the INPUT dtype's tiny, not f32's
+    with jax.enable_x64():
+        x = LazyArray(np.array([1e-300, 4.0], np.float64))
+        np.testing.assert_allclose(ops.safe_rsqrt(x).numpy(),
+                                   [1e150, 0.5], rtol=1e-12)
+        np.testing.assert_allclose(ops.safe_sqrt(x).numpy(),
+                                   [1e-150, 2.0], rtol=1e-12)
+
+
+def test_lazy_fmaddsub_mixed_width():
+    # regression (r3 review): a wider EAGER operand sets the lane count
+    out = ops.fmaddsub(LazyArray(np.array([2.0], np.float32)),
+                       jnp.arange(4.0, dtype=jnp.float32), 1.0)
+    want = np.asarray(ops.fmaddsub(jnp.float32(2.0),
+                                   jnp.arange(4.0, dtype=jnp.float32), 1.0))
+    np.testing.assert_allclose(out.numpy(), want)
+
+
+def test_compress_mixed_backends():
+    # regression (r3 review): lazy x + eager mask (and vice versa)
+    x = LazyArray(np.array([1., 2., 3., 4.], np.float32))
+    m = jnp.asarray([True, False, True, False])
+    packed, cnt = ops.compress(x, m)
+    np.testing.assert_allclose(packed.numpy(), [1, 3, 0, 0])
+    packed2, _ = ops.compress(jnp.asarray([1., 2., 3., 4.]),
+                              LazyArray(np.array([True, False, True, False])))
+    np.testing.assert_allclose(packed2.numpy(), [1, 3, 0, 0])
+
+
+def test_extract_no_active_lane_matches_eager():
+    # regression (r3 review): no lane set -> element 0, both backends
+    v = np.array([5., 6., 7.], np.float32)
+    m = np.zeros(3, bool)
+    assert float(ops.extract(jnp.asarray(v), jnp.asarray(m))[0]) == 5.0
+    assert float(ops.extract(LazyArray(v), LazyArray(m)).numpy()[0]) == 5.0
+
+
+def test_binary_search_single_pred_call_per_iteration():
+    # regression (r3 review): the probe call IS iteration 1 (a pred with
+    # side effects runs exactly iters times)
+    calls = []
+    table = jnp.asarray([1., 3., 5., 7., 9.])
+
+    def pred(mid):
+        calls.append(1)
+        return table[mid] < 4.0
+
+    out = ops.binary_search(0, 5, pred)
+    import math
+    iters = math.floor(math.log2(5)) + 1
+    assert len(calls) == iters
+    np.testing.assert_array_equal(np.asarray(out), 2)
+
+
+def test_range_packets_empty():
+    assert list(ops.range_packets(0, 8)) == []
+    assert list(ops.range_packets((0, 3), 4, dim=2)) == []

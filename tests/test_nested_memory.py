@@ -117,3 +117,64 @@ def test_nested_struct_reduction_pipeline():
     d = dot3(v, v)          # per-lane |v|^2 = 14
     np.testing.assert_allclose(np.asarray(d), np.full(n, 14.0))
     assert float(ops.hsum(d)) == 14.0 * n
+
+
+def test_range_packets_1d():
+    # memory2.cpp test06_range: sum over [0, n) via masked index packets
+    n, w = 23, 8
+    acc = 0.0
+    for idx, m in ops.range_packets(n, w):
+        acc += float(ops.hsum(ops.select(m, idx, 0)))
+        assert idx.shape == (w,)
+    assert acc == float(np.arange(n).sum())
+
+
+def test_range_packets_2d():
+    # memory2.cpp test07_range_2d: x varies fastest; masks drop the tail
+    nx, ny, w = 5, 3, 4
+    seen = np.zeros((ny, nx), bool)
+    for (ix, iy), m in ops.range_packets((nx, ny), w, dim=2):
+        for a, b, keep in zip(np.asarray(ix), np.asarray(iy), np.asarray(m)):
+            if keep:
+                assert not seen[b, a]
+                seen[b, a] = True
+    assert seen.all()
+
+
+def test_unit_angle():
+    from enoki_tpu.render.vec import Vec3, unit_angle, unit_angle_z, normalize3
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(3, 64)).astype(np.float32)
+    b = rng.normal(size=(3, 64)).astype(np.float32)
+    va = normalize3(Vec3(*map(jnp.asarray, a)))
+    vb = normalize3(Vec3(*map(jnp.asarray, b)))
+    got = np.asarray(unit_angle(va, vb))
+    an = np.stack([np.asarray(va.x), np.asarray(va.y), np.asarray(va.z)])
+    bn = np.stack([np.asarray(vb.x), np.asarray(vb.y), np.asarray(vb.z)])
+    want = np.arccos(np.clip((an * bn).sum(0), -1, 1))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # near-parallel accuracy: acos(dot) would be catastrophically wrong
+    eps = np.float32(1e-4)
+    v1 = normalize3(Vec3(jnp.asarray([1.0]), jnp.asarray([0.0]),
+                         jnp.asarray([0.0])))
+    v2 = normalize3(Vec3(jnp.asarray([1.0]), jnp.asarray([eps]),
+                         jnp.asarray([0.0])))
+    np.testing.assert_allclose(float(unit_angle(v1, v2)[0]), eps, rtol=1e-3)
+    # z-axis variant
+    gz = np.asarray(unit_angle_z(va))
+    wz = np.arccos(np.clip(an[2], -1, 1))
+    np.testing.assert_allclose(gz, wz, rtol=1e-4, atol=1e-5)
+
+
+def test_lazy_bit_counts():
+    from enoki_tpu.trace import LazyArray
+
+    v = np.array([1, 2, 8, 0x80000000, 0], np.uint32)
+    lx = LazyArray(v)
+    lz = ops.lzcnt(lx)
+    np.testing.assert_array_equal(lz.numpy(), [31, 30, 28, 0, 32])
+    tz = ops.tzcnt(lx)
+    np.testing.assert_array_equal(tz.numpy(), [0, 1, 3, 31, 32])
+    l2 = ops.log2i(LazyArray(np.array([1, 2, 8, 1024], np.uint32)))
+    np.testing.assert_array_equal(l2.numpy(), [0, 1, 3, 10])
