@@ -24,6 +24,7 @@ CASES = [
     ("lazy_sphere.py", "64", True),
     ("sphere.py", "64", False),
     ("lazy_histogram.py", "4096", True),
+    ("lazy_fit.py", "64", True),
 ]
 
 
