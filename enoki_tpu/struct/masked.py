@@ -17,32 +17,53 @@ import jax.numpy as jnp
 
 
 class Masked:
+    """Backend-generic: routes through ops.select/minimum/maximum, so a
+    LazyArray value records masked trace ops (the reference's masked
+    proxy instantiates for CUDAArray too, array_masked.h)."""
+
     __slots__ = ("value", "mask")
 
     def __init__(self, value, mask):
         self.value = value
         self.mask = mask
 
+    def _sel(self, taken):
+        from ..ops.router import select
+
+        return select(self.mask, taken, self.value)
+
     def assign(self, v):
-        return jnp.where(self.mask, v, self.value)
+        return self._sel(v)
 
     def add(self, v):
-        return jnp.where(self.mask, self.value + v, self.value)
+        return self._sel(self.value + v)
 
     def sub(self, v):
-        return jnp.where(self.mask, self.value - v, self.value)
+        return self._sel(self.value - v)
 
     def mul(self, v):
-        return jnp.where(self.mask, self.value * v, self.value)
+        return self._sel(self.value * v)
 
     def div(self, v):
-        return jnp.where(self.mask, self.value / v, self.value)
+        return self._sel(self.value / v)
 
     def min(self, v):
-        return jnp.where(self.mask, jnp.minimum(self.value, v), self.value)
+        from ..ops.backend import is_lazy
+
+        if is_lazy(self.value) or is_lazy(v):
+            import enoki_tpu.trace as t
+
+            return self._sel(t.minimum(self.value, v))
+        return self._sel(jnp.minimum(self.value, v))
 
     def max(self, v):
-        return jnp.where(self.mask, jnp.maximum(self.value, v), self.value)
+        from ..ops.backend import is_lazy
+
+        if is_lazy(self.value) or is_lazy(v):
+            import enoki_tpu.trace as t
+
+            return self._sel(t.maximum(self.value, v))
+        return self._sel(jnp.maximum(self.value, v))
 
 
 def masked(value, mask) -> Masked:

@@ -189,3 +189,18 @@ def test_dispatch_struct_structure_mismatch_raises():
              LazyArray(np.ones(2, np.float32)))
     with pytest.raises(ValueError, match="structure"):
         tc.dispatch([f_struct, f_flat], _ids([0, 1]), v)
+
+
+def test_masked_proxy_on_lazy():
+    # masked(x, m) op= v over LazyArray (array_masked.h on CUDAArray)
+    from enoki_tpu.struct import masked
+
+    x = LazyArray(np.array([1., 2., 3., 4.], np.float32))
+    m = x > 2.0
+    out = masked(x, m).add(10.0)
+    assert isinstance(out, LazyArray)
+    np.testing.assert_allclose(out.numpy(), [1, 2, 13, 14])
+    np.testing.assert_allclose(masked(x, m).assign(0.0).numpy(),
+                               [1, 2, 0, 0])
+    np.testing.assert_allclose(masked(x, m).min(3.5).numpy(),
+                               [1, 2, 3, 3.5])
