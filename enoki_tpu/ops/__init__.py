@@ -48,6 +48,8 @@ from .special import (  # noqa: F401
     comp_ellint_3, ellint_3,
 )
 
+from .pallas_hist import histogram  # noqa: F401
+
 from . import polys  # noqa: F401
 from . import rounding  # noqa: F401
 from .rounding import (  # noqa: F401

@@ -47,3 +47,34 @@ def test_scatter_add_conflict_all_same_bin():
     out = ops.scatter_add(jnp.zeros(4), jnp.ones(n),
                           jnp.zeros(n, jnp.int32))
     assert float(out[0]) == n
+
+
+def test_ops_histogram_counting_and_weighted():
+    # ops.histogram: the dedicated histogram hot path (Pallas kernel on
+    # TPU, dense equality-reduction fallback on CPU). OOB/negative drop.
+    from enoki_tpu import ops
+
+    rng = np.random.default_rng(7)
+    idx = rng.integers(-3, 70, size=20000).astype(np.int32)
+    keep = (idx >= 0) & (idx < 64)
+    h = ops.histogram(idx, 64)
+    np.testing.assert_array_equal(np.asarray(h),
+                                  np.bincount(idx[keep], minlength=64))
+    w = rng.normal(size=idx.size).astype(np.float32)
+    hw = ops.histogram(idx, 64, w)
+    want = np.zeros(64)
+    np.add.at(want, idx[keep], w[keep])
+    np.testing.assert_allclose(np.asarray(hw), want, rtol=1e-5, atol=1e-4)
+
+
+def test_ops_histogram_weight_gradients():
+    from enoki_tpu import ops
+
+    idx = np.array([0, 3, 3, 5, 63, -1, 64], np.int32)
+    w = jnp.ones(7, jnp.float32)
+    g = jax.grad(lambda ww: ops.histogram(idx, 64, ww)[3])(w)
+    np.testing.assert_allclose(np.asarray(g), (idx == 3).astype(np.float32))
+    # dropped lanes get zero gradient
+    g0 = jax.grad(lambda ww: jnp.sum(ops.histogram(idx, 64, ww)))(w)
+    np.testing.assert_allclose(np.asarray(g0),
+                               ((idx >= 0) & (idx < 64)).astype(np.float32))
