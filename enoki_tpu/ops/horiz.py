@@ -86,19 +86,29 @@ def hmin_nested(x):
 
 
 def all_nested(mask):
-    """all() across every nesting level (array_router.h all_nested)."""
+    """all() across every nesting level (array_router.h all_nested).
+    LazyArray is flat, so the nested variants coincide with the plain
+    reductions there."""
+    if _is_lazy(mask):
+        return mask.all()
     return jnp.all(mask)
 
 
 def any_nested(mask):
+    if _is_lazy(mask):
+        return mask.any()
     return jnp.any(mask)
 
 
 def none_nested(mask):
+    if _is_lazy(mask):
+        return ~mask.any()
     return ~jnp.any(mask)
 
 
 def count_nested(mask):
+    if _is_lazy(mask):
+        return mask.count()
     return jnp.sum(jnp.asarray(mask).astype(jnp.int32))
 
 

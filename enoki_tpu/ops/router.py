@@ -944,12 +944,29 @@ def binary_search(start, end, pred):
     # pred bugs surface as themselves.
     mid0 = (start + end) >> 1  # iteration-1 bounds are scalar per lane
     cond = None
+    # only consult the trace runtime if it is ALREADY loaded -- importing
+    # it here would build the native library for pure-eager users, and a
+    # lazy pred is impossible before the first LazyArray exists anyway
+    import sys as _sys
+
+    t = _sys.modules.get("enoki_tpu.trace")
+    se_before = t._lib.et_num_side_effects() if t is not None else 0
     try:
         cond = pred((lo + hi) >> 1)
         probe_lazy = _lazy_any(cond)
     except Exception as e_eager:
-        import enoki_tpu.trace as t
-
+        if t is None:
+            raise
+        if t._lib.et_num_side_effects() != se_before:
+            # the failed probe already RECORDED lazy side effects; a
+            # retry would record them twice. Refuse loudly instead of
+            # silently corrupting the fused program.
+            raise RuntimeError(
+                "binary_search: the predicate recorded trace side "
+                "effects before rejecting an eager index -- make the "
+                "predicate accept both index types (or side-effect-"
+                "free) so the probe call can be its first iteration"
+            ) from e_eager
         try:
             cond = pred(t.LazyArray.literal(mid0, 1, jnp.int32))
         except Exception:

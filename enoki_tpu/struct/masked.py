@@ -53,7 +53,11 @@ class Masked:
         if is_lazy(self.value) or is_lazy(v):
             import enoki_tpu.trace as t
 
-            return self._sel(t.minimum(self.value, v))
+            # the lazy operand leads (trace binaries coerce the OTHER
+            # side, which may be an eager array or scalar)
+            a, b = ((self.value, v) if is_lazy(self.value)
+                    else (v, self.value))
+            return self._sel(t.minimum(a, b))
         return self._sel(jnp.minimum(self.value, v))
 
     def max(self, v):
@@ -62,7 +66,9 @@ class Masked:
         if is_lazy(self.value) or is_lazy(v):
             import enoki_tpu.trace as t
 
-            return self._sel(t.maximum(self.value, v))
+            a, b = ((self.value, v) if is_lazy(self.value)
+                    else (v, self.value))
+            return self._sel(t.maximum(a, b))
         return self._sel(jnp.maximum(self.value, v))
 
 

@@ -805,7 +805,9 @@ class LazyArray:
             r.index = _nat.literal(code, _literal_bits(other, code), 1)
             r._size = 1
             r._code = code
-            if len(_LITERAL_ARRAYS) < (1 << 14):
+            # NaN keys can never be looked up (nan != nan): caching them
+            # would only fill the cap with dead entries
+            if other == other and len(_LITERAL_ARRAYS) < (1 << 14):
                 _LITERAL_ARRAYS[k] = r
             return r
         return LazyArray(other)

@@ -29,9 +29,10 @@ def build_histogram(gen: PCG32):
     u, gen = gen.next_float32()
     g = ops.erfinv(2.0 * u - 1.0) * np.sqrt(2.0)  # probit sampling
     bins = jnp.floor((g - LO) * (BINS / (HI - LO))).astype(jnp.int32)
-    mask = (bins >= 0) & (bins < BINS)
-    hist = ops.scatter_add(jnp.zeros(BINS), jnp.ones_like(g), bins,
-                           mask=mask)
+    # ops.histogram: the named dense-histogram op (OOB indices drop, the
+    # reference's masked-scatter_add semantics; 14.1 G samples/s for the
+    # binning alone -- docs/benchmarks.md)
+    hist = ops.histogram(bins, BINS)
     return hist, gen
 
 

@@ -419,3 +419,51 @@ def test_binary_search_single_pred_call_per_iteration():
 def test_range_packets_empty():
     assert list(ops.range_packets(0, 8)) == []
     assert list(ops.range_packets((0, 3), 4, dim=2)) == []
+
+
+def test_nested_reduction_aliases_lazy():
+    # regression (r3 review): *_nested variants route LazyArray too
+    m = LazyArray(np.array([True, False, True]))
+    assert bool(ops.any_nested(m).numpy()[0])
+    assert not bool(ops.all_nested(m).numpy()[0])
+    assert not bool(ops.none_nested(m).numpy()[0])
+    assert int(ops.count_nested(m).numpy()[0]) == 2
+
+
+def test_masked_min_mixed_backends():
+    # regression (r3 review): eager value + lazy operand
+    from enoki_tpu.struct import masked
+
+    v = jnp.asarray([1., 2., 3., 4.])
+    m = jnp.asarray([False, False, True, True])
+    out = masked(v, m).min(LazyArray(np.array([3.5], np.float32)))
+    assert isinstance(out, LazyArray)
+    np.testing.assert_allclose(out.numpy(), [1, 2, 3, 3.5])
+
+
+def test_binary_search_probe_side_effect_guard():
+    # regression (r3 review): a pred that records lazy side effects and
+    # then rejects the eager probe index must error loudly (a silent
+    # retry would record the side effect twice)
+    acc = LazyArray(np.zeros(8, np.float32))
+    table = LazyArray(np.array([1., 3., 5., 7., 9.], np.float32))
+
+    def bad_pred(mid):
+        acc.scatter_add(LazyArray(np.zeros(1, np.int32)),
+                        LazyArray(np.ones(1, np.float32)))
+        return table.gather(mid) < 4.0  # rejects a jnp mid
+
+    with pytest.raises(RuntimeError, match="side"):
+        ops.binary_search(0, 5, bad_pred)
+
+
+def test_nan_literal_not_cached():
+    # regression (r3 review): NaN keys are unreachable (nan != nan) and
+    # must not consume the literal-cache capacity
+    from enoki_tpu.trace import _LITERAL_ARRAYS
+
+    x = LazyArray(np.ones(4, np.float32))
+    n0 = len(_LITERAL_ARRAYS)
+    for _ in range(10):
+        _ = x + float("nan")
+    assert len(_LITERAL_ARRAYS) == n0

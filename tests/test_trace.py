@@ -563,3 +563,24 @@ def test_segmented_schedule_matches_fused():
     finally:
         config.max_fused_ops = 0
     np.testing.assert_allclose(seg, whole, rtol=1e-6)
+
+
+def test_c_operator_path_no_leaks():
+    # 200k results built by the C fast path (pymod.cpp binop/unop):
+    # native vars and Python refcounts must come back to baseline
+    # (+ the retained shared literals)
+    import gc
+    import sys
+
+    x = LazyArray(np.ones(8, np.float32))
+    base = tr.stats()["n_vars"]
+    z = w = None
+    for _ in range(200000):
+        z = x * x + 1.0
+        w = tr.sqrt(z) > 0.5
+    del z, w
+    gc.collect()
+    assert tr.stats()["n_vars"] <= base + 4  # shared literal handles only
+    z = x * x
+    assert sys.getrefcount(z) == 2  # no hidden reference kept by C code
+    assert isinstance(z.index, int) and isinstance(z._size, int)
