@@ -44,6 +44,13 @@ class Config:
     # default: peak steady-state throughput). Read at schedule-compile
     # time. Env: ENOKI_TPU_MAX_FUSED_OPS.
     max_fused_ops: int = int(os.environ.get("ENOKI_TPU_MAX_FUSED_OPS", "0"))
+    # Trace export cache: directory for jax.export artifacts of compiled
+    # trace programs, keyed by the C++ structural hash. A cold process
+    # then skips the jax re-trace of a big op chain entirely
+    # (deserialize is ~free; combined with the persistent compile cache
+    # the 10k-op first light drops from ~4 s to ~1 s -- measured in
+    # docs/benchmarks.md). Empty = off. Env: ENOKI_TPU_EXPORT_CACHE.
+    trace_export_dir: str = os.environ.get("ENOKI_TPU_EXPORT_CACHE", "")
     # Pre-eval hooks, analog of cuda_register_callback (jit.cu:1552): callables
     # run by runtime.eval_hooks() call sites (e.g. before a benchmark step).
     eval_callbacks: List[Callable[[], None]] = dataclasses.field(default_factory=list)

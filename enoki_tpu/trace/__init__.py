@@ -542,6 +542,43 @@ def _collect_literals(n):
     return tuple(streams)
 
 
+def _export_cache_swap(key, comp, leaves, lits):
+    """Trace export cache (config.trace_export_dir): on the first miss
+    for a structure, either load a serialized jax.export artifact
+    (skipping the jax re-trace of the whole op chain -- deserialization
+    is ~free vs seconds of tracing for 10k-op programs) or export the
+    freshly built program for the next process. Returns a replacement
+    executable or None. Any failure (platform mismatch, version skew)
+    falls back silently to the in-process jit."""
+    from ..config import config
+
+    d = config.trace_export_dir
+    if not d:
+        return None
+    import os
+
+    try:
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, f"{key:016x}.jaxexp")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                rt = jax.export.deserialize(f.read())
+
+            def exe(leaf_args, lits_):
+                return rt.call(leaf_args, lits_)
+
+            comp.exe = exe
+            return exe
+        exported = jax.export.export(jax.jit(comp.fn))(leaves, lits)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(exported.serialize())
+        os.replace(tmp, path)
+    except Exception:
+        return None
+    return None
+
+
 def _eval_ids(ids):
     """Evaluate the given variable ids (plus pending side effects)."""
     global _CACHE_HITS, _CACHE_MISSES
@@ -554,7 +591,8 @@ def _eval_ids(ids):
     key = _lib.et_schedule_hash()
 
     comp = _EXE_CACHE.get(key)
-    if comp is None:
+    fresh_miss = comp is None
+    if fresh_miss:
         _CACHE_MISSES += 1
         entries, out_positions = _read_schedule(n)
         comp = _compile_schedule(entries, out_positions)
@@ -573,6 +611,11 @@ def _eval_ids(ids):
     lits = _collect_literals(n)
     n_out = _lib.et_schedule_output_ids(buf, n)
     out_vids = [buf[i] for i in range(n_out)]
+
+    if fresh_miss:
+        loaded = _export_cache_swap(key, comp, leaves, lits)
+        if loaded is not None:
+            exe = loaded
 
     results = exe(leaves, lits)
 

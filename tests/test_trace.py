@@ -584,3 +584,36 @@ def test_c_operator_path_no_leaks():
     z = x * x
     assert sys.getrefcount(z) == 2  # no hidden reference kept by C code
     assert isinstance(z.index, int) and isinstance(z._size, int)
+
+
+def test_trace_export_cache_roundtrip(tmp_path):
+    # config.trace_export_dir: first miss exports the compiled program;
+    # a later process (simulated by clearing the in-process caches)
+    # loads the jax.export artifact instead of re-tracing
+    from enoki_tpu.config import config
+
+    def prog(data):
+        x = LazyArray(data)
+        y = x
+        for i in range(20):
+            y = tr.sqrt(y * y + (1.0 + 0.1 * (i % 3)))
+        return y
+
+    config.trace_export_dir = str(tmp_path)
+    try:
+        a = prog(np.linspace(0.5, 1.5, 32).astype(np.float32)).numpy()
+        files = list(tmp_path.glob("*.jaxexp"))
+        assert len(files) == 1  # exported on the first miss
+        # "new process": drop the executable cache, keep the disk artifact
+        tr.clear_cache()
+        b = prog(np.linspace(0.5, 1.5, 32).astype(np.float32) + 1.0)
+        got = b.numpy()
+        ref = np.linspace(0.5, 1.5, 32).astype(np.float32) + 1.0
+        for i in range(20):
+            ref = np.sqrt(ref * ref + (1.0 + 0.1 * (i % 3)))
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+        np.testing.assert_allclose(
+            a, np.asarray(prog(np.linspace(0.5, 1.5, 32)
+                               .astype(np.float32)).numpy()), rtol=1e-6)
+    finally:
+        config.trace_export_dir = ""
