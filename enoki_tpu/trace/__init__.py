@@ -170,9 +170,12 @@ _OP_IMPL = {
     Op.SHR: lambda a, b: a >> b,
     Op.POPCNT: lambda a: jax.lax.population_count(a),
     Op.CBRT: lambda a: jnp.cbrt(a),
-    # reference sign semantics: sign(0) = 1 (branchless copysign flavor,
-    # matching enoki_tpu.ops.sign)
-    Op.SIGN: lambda a: jnp.where(a < 0, -1, 1).astype(a.dtype),
+    # reference sign semantics: sign(0) = 1, sign(-0.0) = -1 (the
+    # branchless copysign form, matching enoki_tpu.ops.sign -- the sign
+    # BIT decides for floats, a < 0 for ints)
+    Op.SIGN: lambda a: (jnp.copysign(jnp.ones_like(a), a)
+                        if jnp.issubdtype(a.dtype, jnp.floating)
+                        else jnp.where(a < 0, -1, 1).astype(a.dtype)),
     Op.COPYSIGN: lambda a, b: jnp.copysign(a, b),
     Op.LOG1P: lambda a: jnp.log1p(a),
     Op.EXPM1: lambda a: jnp.expm1(a),

@@ -143,3 +143,12 @@ def test_division_by_zero_semantics():
     for got in (eager, lazy):
         assert np.isposinf(got[0]) and np.isneginf(got[1])
         assert np.isnan(got[2]) and np.isneginf(got[3])
+
+
+@pytest.mark.parametrize("lazy", [False, True], ids=["eager", "lazy"])
+def test_sign_signed_zero(lazy):
+    # reference sign: copysign(1, x) -- the sign BIT decides, so
+    # sign(-0.0) = -1 and sign(+0.0) = +1, identical on both backends
+    v = np.array([0.0, -0.0, 3.0, -3.0], np.float32)
+    got = _run(ops.sign, v, lazy=lazy)
+    np.testing.assert_array_equal(got, [1.0, -1.0, 1.0, -1.0])
