@@ -966,6 +966,19 @@ class LazyArray:
         value = self._coerce(value)
         index._ensure_clean()
         value._ensure_clean()
+        # write-after-pending-read: recorded-but-unevaluated ops that
+        # READ this target (int_ref > 0 -- materialization releases dep
+        # refs) must materialize against the PRE-scatter value before
+        # the target's buffer can be rebound, or their eventual eval
+        # would see the post-scatter state (program order violated). The
+        # reference leaves this case as an in-kernel st/ld race
+        # (cuda.h:867 raw st.global); here it is made deterministic by
+        # evaluating the pending readers first. Scatters into fresh
+        # arrays (the vcall dispatch / histogram patterns) have no
+        # readers and stay fully fused.
+        if (self.index not in _PENDING_SCATTER
+                and _lib.et_var_int_ref(self.index) > 0):
+            eval()
         # chain on the newest pending scatter into this target, so a
         # sequence of scatters (a k-instance vcall dispatch) stays ONE
         # fused program; only the chain tail rebinds the target

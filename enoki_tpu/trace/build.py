@@ -85,6 +85,8 @@ def load_library() -> ctypes.CDLL:
     lib.et_var_opcode.argtypes = [u32]
     lib.et_var_materialized.restype = i32
     lib.et_var_materialized.argtypes = [u32]
+    lib.et_var_int_ref.restype = i32
+    lib.et_var_int_ref.argtypes = [u32]
     lib.et_var_exists.restype = i32
     lib.et_var_exists.argtypes = [u32]
     lib.et_num_vars.restype = u32

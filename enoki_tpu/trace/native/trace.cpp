@@ -223,6 +223,11 @@ uint64_t et_var_size(uint32_t id) { Variable *v = var(id); return v ? v->size : 
 int32_t et_var_dtype(uint32_t id) { Variable *v = var(id); return v ? v->dtype : -1; }
 int32_t et_var_opcode(uint32_t id) { Variable *v = var(id); return v ? v->opcode : -1; }
 int32_t et_var_materialized(uint32_t id) { Variable *v = var(id); return v && v->materialized; }
+// Internal (dep-held) reference count: > 0 means recorded, not-yet-
+// evaluated ops read this variable (materialization releases dep refs,
+// et_set_materialized). The scatter path uses it to detect
+// write-after-pending-read hazards.
+int32_t et_var_int_ref(uint32_t id) { Variable *v = var(id); return v ? v->int_ref : 0; }
 int32_t et_var_exists(uint32_t id) { return var(id) != nullptr; }
 uint32_t et_num_vars(void) { return (uint32_t)ctx.vars.size(); }
 

@@ -1,0 +1,130 @@
+"""Differential fuzzing of the lazy trace runtime.
+
+Random op DAGs are built twice from one recipe -- once over LazyArray
+(exercising the C operator dispatch, literal sharing, promotion,
+scheduling, structural hashing) and once over plain numpy in f64 -- and
+must agree. Each seed also re-traces its program with fresh data to
+exercise the executable-cache hit path, and a scatter/gather round
+mixes side effects in. This is the trace-runtime analog of the
+reference harness's randomized validate sweeps.
+"""
+
+import numpy as np
+import pytest
+
+import enoki_tpu.trace as tr
+from enoki_tpu.trace import LazyArray
+
+
+@pytest.fixture(autouse=True)
+def _fresh():
+    tr.reset()
+    yield
+    tr.reset()
+
+
+# (name, arity, lazy fn, numpy reference) -- domain-safe op set
+OPS = [
+    ("add", 2, lambda a, b: a + b, lambda a, b: a + b),
+    ("sub", 2, lambda a, b: a - b, lambda a, b: a - b),
+    ("mul", 2, lambda a, b: a * b, lambda a, b: a * b),
+    ("min", 2, tr.minimum, np.minimum),
+    ("max", 2, tr.maximum, np.maximum),
+    ("fma", 3, tr.fmadd, lambda a, b, c: a * b + c),
+    ("neg", 1, lambda a: -a, lambda a: -a),
+    ("abs", 1, abs, np.abs),
+    ("sqrt|x|", 1, lambda a: tr.sqrt(abs(a) + 0.25),
+     lambda a: np.sqrt(np.abs(a) + 0.25)),
+    ("tanh", 1, tr.tanh, np.tanh),
+    ("sin", 1, tr.sin, np.sin),
+    ("exp/8", 1, lambda a: tr.exp(a * 0.125), lambda a: np.exp(a * 0.125)),
+    ("sel", 2, lambda a, b: tr.select(a > b, a, b * 0.5),
+     lambda a, b: np.where(a > b, a, b * 0.5)),
+    ("scal", 1, lambda a: a * 1.5 + 0.25, lambda a: a * 1.5 + 0.25),
+]
+
+
+def _build(recipe, leaves_np, lazy):
+    """Replay a recipe (list of (op_idx, operand_slots)) over a value
+    pool seeded with the leaves."""
+    pool = ([LazyArray(l.astype(np.float32)) for l in leaves_np]
+            if lazy else [l.copy() for l in leaves_np])
+    for op_idx, slots in recipe:
+        name, arity, f_lazy, f_np = OPS[op_idx]
+        args = [pool[s] for s in slots]
+        pool.append(f_lazy(*args) if lazy else f_np(*args))
+    return pool[-1]
+
+
+@pytest.mark.parametrize("seed", range(20))
+def test_fuzz_random_dag(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(4, 65))
+    n_leaves = int(rng.integers(2, 5))
+    leaves = [rng.uniform(-2, 2, n) for _ in range(n_leaves)]
+    depth = int(rng.integers(5, 40))
+    recipe = []
+    pool_size = n_leaves
+    for _ in range(depth):
+        op_idx = int(rng.integers(len(OPS)))
+        arity = OPS[op_idx][1]
+        slots = tuple(int(rng.integers(pool_size)) for _ in range(arity))
+        recipe.append((op_idx, slots))
+        pool_size += 1
+
+    lazy_out = _build(recipe, leaves, lazy=True)
+    want = _build(recipe, leaves, lazy=False)
+    got = lazy_out.numpy().astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-6)
+
+    # retrace with fresh data: structural cache hit, same agreement
+    h0, m0 = tr.cache_stats()
+    leaves2 = [rng.uniform(-2, 2, n) for _ in range(n_leaves)]
+    lazy2 = _build(recipe, leaves2, lazy=True)
+    got2 = lazy2.numpy().astype(np.float64)
+    h1, m1 = tr.cache_stats()
+    assert m1 == m0, "retrace of an identical structure recompiled"
+    assert h1 == h0 + 1
+    np.testing.assert_allclose(got2, _build(recipe, leaves2, lazy=False),
+                               rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_scatter_gather_rounds(seed):
+    # interleave computed values with gather/scatter_add side effects;
+    # the dirty protocol must keep lazy == numpy
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.integers(8, 33))
+    base_np = rng.uniform(-1, 1, n).astype(np.float32)
+    src_np = rng.uniform(-1, 1, n).astype(np.float32)
+
+    base_l = LazyArray(base_np.copy())
+    src_l = LazyArray(src_np.copy())
+    ref = base_np.astype(np.float64).copy()
+    src_ref = src_np.astype(np.float64)
+
+    for _ in range(int(rng.integers(2, 6))):
+        k = int(rng.integers(1, n))
+        idx = rng.integers(0, n, k).astype(np.int32)
+        idx_l = LazyArray(idx)
+        choice = rng.integers(3)
+        if choice == 0:
+            vals = src_l.gather(idx_l) * 0.5
+            base_l.scatter_add(idx_l, vals)
+            np.add.at(ref, idx, src_ref[idx] * 0.5)
+        elif choice == 1:
+            # read-after-scatter: the op below forces the pending flush
+            s = base_l.hsum()
+            src_l = src_l + s
+            src_ref = src_ref + ref.sum()
+        else:
+            uniq = np.unique(idx)  # scatter (overwrite): unique indices
+            #                         so lazy/np winner ambiguity vanishes
+            base_l.scatter(LazyArray(uniq.astype(np.int32)),
+                           LazyArray(np.full(len(uniq), 0.25, np.float32)))
+            ref[uniq] = 0.25
+
+    np.testing.assert_allclose(base_l.numpy().astype(np.float64), ref,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(src_l.numpy().astype(np.float64), src_ref,
+                               rtol=1e-4, atol=1e-5)
