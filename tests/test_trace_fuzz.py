@@ -128,3 +128,81 @@ def test_fuzz_scatter_gather_rounds(seed):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(src_l.numpy().astype(np.float64), src_ref,
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_backward_matches_jax_grad(seed):
+    # the same random recipes through the segment tape: backward() of
+    # hsum(out) must match jax.grad of the eagerly-replayed recipe
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(500 + seed)
+    n = int(rng.integers(4, 33))
+    n_leaves = int(rng.integers(2, 4))
+    leaves = [rng.uniform(-1.5, 1.5, n).astype(np.float32)
+              for _ in range(n_leaves)]
+    depth = int(rng.integers(4, 25))
+    recipe = []
+    pool_size = n_leaves
+    for _ in range(depth):
+        op_idx = int(rng.integers(len(OPS)))
+        arity = OPS[op_idx][1]
+        slots = tuple(int(rng.integers(pool_size)) for _ in range(arity))
+        recipe.append((op_idx, slots))
+        pool_size += 1
+
+    # lazy: trace AD
+    lazy_leaves = [tr.requires_grad(LazyArray(l)) for l in leaves]
+    pool = list(lazy_leaves)
+    for op_idx, slots in recipe:
+        pool.append(OPS[op_idx][2](*[pool[s] for s in slots]))
+    loss = pool[-1].hsum()
+    tr.backward(loss)
+    got = [tr.gradient(l).numpy().astype(np.float64)
+           for l in lazy_leaves]
+
+    # reference: jax.grad over the eager replay (jnp ops mirror the
+    # trace opcodes' lowerings exactly)
+    def f(ls):
+        pool = list(ls)
+        for op_idx, slots in recipe:
+            name = OPS[op_idx][0]
+            args = [pool[s] for s in slots]
+            if name == "min":
+                v = jnp.minimum(*args)
+            elif name == "max":
+                v = jnp.maximum(*args)
+            elif name == "fma":
+                v = args[0] * args[1] + args[2]
+            elif name == "sqrt|x|":
+                v = jnp.sqrt(jnp.abs(args[0]) + 0.25)
+            elif name == "tanh":
+                v = jnp.tanh(args[0])
+            elif name == "sin":
+                v = jnp.sin(args[0])
+            elif name == "exp/8":
+                v = jnp.exp(args[0] * 0.125)
+            elif name == "sel":
+                v = jnp.where(args[0] > args[1], args[0], args[1] * 0.5)
+            elif name == "scal":
+                v = args[0] * 1.5 + 0.25
+            elif name == "neg":
+                v = -args[0]
+            elif name == "abs":
+                v = jnp.abs(args[0])
+            elif name == "add":
+                v = args[0] + args[1]
+            elif name == "sub":
+                v = args[0] - args[1]
+            elif name == "mul":
+                v = args[0] * args[1]
+            else:
+                raise AssertionError(name)
+            pool.append(v)
+        return jnp.sum(pool[-1])
+
+    want = jax.grad(f)([jnp.asarray(l) for l in leaves])
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w, np.float64),
+                                   rtol=5e-4, atol=1e-5)
