@@ -206,3 +206,54 @@ def test_fuzz_backward_matches_jax_grad(seed):
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, np.asarray(w, np.float64),
                                    rtol=5e-4, atol=1e-5)
+
+
+def test_promotion_matrix_matches_jnp():
+    # the C promote table (pymod.cpp set_class wiring) must agree with
+    # jnp.promote_types for every 32/16-bit dtype pair, and the computed
+    # VALUES must match the eager op
+    import jax.numpy as jnp
+
+    dtypes = [np.float32, jnp.bfloat16, np.float16, np.int32, np.uint32,
+              np.bool_]
+    for da in dtypes:
+        for db in dtypes:
+            a_np = np.array([0, 1, 2, 3]).astype(da)
+            b_np = np.array([1, 1, 2, 2]).astype(db)
+            ea = jnp.asarray(a_np) + jnp.asarray(b_np)
+            la = LazyArray(a_np) + LazyArray(b_np)
+            assert la.dtype == ea.dtype, (da, db, la.dtype, ea.dtype)
+            np.testing.assert_array_equal(
+                np.asarray(la.numpy(), np.float64),
+                np.asarray(ea, np.float64), err_msg=f"{da} {db}")
+
+
+def test_fuzz_random_dag_f64():
+    # a few DAG seeds in double precision (x64 promotion rows of the C
+    # dispatch table + f64 lowerings)
+    import jax
+
+    with jax.enable_x64():
+        for seed in (301, 302, 303):
+            rng = np.random.default_rng(seed)
+            n = int(rng.integers(4, 33))
+            leaves = [rng.uniform(-2, 2, n) for _ in range(3)]
+            recipe = []
+            pool_size = 3
+            for _ in range(15):
+                op_idx = int(rng.integers(len(OPS)))
+                arity = OPS[op_idx][1]
+                slots = tuple(int(rng.integers(pool_size))
+                              for _ in range(arity))
+                recipe.append((op_idx, slots))
+                pool_size += 1
+            pool = [LazyArray(l) for l in leaves]  # f64 leaves
+            for op_idx, slots in recipe:
+                pool.append(OPS[op_idx][2](*[pool[s] for s in slots]))
+            assert pool[-1].dtype == np.float64
+            got = pool[-1].numpy()
+            ref = [l.copy() for l in leaves]
+            for op_idx, slots in recipe:
+                ref.append(OPS[op_idx][3](*[ref[s] for s in slots]))
+            np.testing.assert_allclose(got, ref[-1], rtol=1e-12,
+                                       atol=1e-14)
