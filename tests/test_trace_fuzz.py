@@ -257,3 +257,62 @@ def test_fuzz_random_dag_f64():
                 ref.append(OPS[op_idx][3](*[ref[s] for s in slots]))
             np.testing.assert_allclose(got, ref[-1], rtol=1e-12,
                                        atol=1e-14)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_vcall_dispatch(seed):
+    # random vectorized method calls: k instances with random little
+    # callees (built from the OPS set), random id lanes incl. nulls,
+    # flat AND struct args -- the lazy dispatch must match a per-lane
+    # eager simulation
+    import enoki_tpu.trace.call as tc
+
+    rng = np.random.default_rng(900 + seed)
+    n = int(rng.integers(6, 40))
+    k = int(rng.integers(1, 5))
+    ids = rng.integers(-1, k, n).astype(np.int32)  # -1 = null lanes
+    x_np = rng.uniform(-2, 2, n).astype(np.float32)
+    y_np = rng.uniform(-2, 2, n).astype(np.float32)
+
+    # per-instance callees: a short random chain over (x, y)
+    chains = []
+    for _ in range(k):
+        chain = []
+        for _ in range(int(rng.integers(1, 5))):
+            op_idx = int(rng.integers(len(OPS)))
+            arity = OPS[op_idx][1]
+            slots = tuple(int(rng.integers(2)) for _ in range(arity))
+            chain.append((op_idx, slots))
+        chains.append(chain)
+
+    def make_callee(chain):
+        def f(mask, xx, yy):
+            pool = [xx, yy]
+            out = pool[0]
+            for op_idx, slots in chain:
+                out = OPS[op_idx][2](*[pool[s] for s in slots])
+                pool[0] = out  # feed forward through slot 0
+            return out
+        return f
+
+    def ref_callee(chain, xx, yy):
+        pool = [xx, yy]
+        out = pool[0]
+        for op_idx, slots in chain:
+            out = OPS[op_idx][3](*[pool[s] for s in slots])
+            pool[0] = out
+        return out
+
+    funcs = [make_callee(c) for c in chains]
+    out = tc.dispatch(funcs, LazyArray(ids), LazyArray(x_np),
+                      LazyArray(y_np))
+    got = (out.numpy().astype(np.float64) if isinstance(out, LazyArray)
+           else np.asarray(out, np.float64))
+
+    want = np.zeros(n)
+    for i in range(k):
+        m = ids == i
+        if m.any():
+            want[m] = ref_callee(chains[i], x_np.astype(np.float64),
+                                 y_np.astype(np.float64))[m]
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
