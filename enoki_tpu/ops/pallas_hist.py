@@ -82,7 +82,6 @@ def _hist_pallas(idx2d, w2d, bins, rows):
     )(idx2d, w2d)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
 def histogram(index, bins: int, weights=None, impl: str = "fused"):
     """``hist[b] = sum_i (index_i == b) * weights_i`` -> (bins,) f32.
 
@@ -90,8 +89,36 @@ def histogram(index, bins: int, weights=None, impl: str = "fused"):
     dropped. ``weights`` defaults to ones (a counting histogram).
     ``impl``: "fused" (default -- the equality-reduction XLA fuses to
     14.1 G samples/s on v5e) or "pallas" (the measured-slower kernel,
-    kept for the record; bins <= 128).
+    kept for the record; bins <= 128). LazyArray operands record a
+    masked scatter_add chain instead (one source, every backend);
+    their gradients flow through the trace tape.
     """
+    from .backend import is_lazy
+
+    if is_lazy(index) or is_lazy(weights):
+        return _hist_lazy(index, bins, weights)
+    return _histogram_vjp(index, bins, weights, impl)
+
+
+def _hist_lazy(index, bins, weights):
+    # OOB lanes redirect to a dropped slot like the eager path (the
+    # FloatC histogram of examples/lazy_histogram.py)
+    import enoki_tpu.trace as t
+
+    from .router import _lift_arr
+
+    index = _lift_arr(index)
+    w = (t.LazyArray.literal(1.0, 1, jnp.float32) if weights is None
+         else _lift_arr(weights))
+    tgt = t.LazyArray.zeros(bins, jnp.float32)
+    ok = (index >= 0) & (index < bins)
+    safe = t.select(ok, index, bins)  # dropped by .at[].add default
+    tgt.scatter_add(safe, t.select(ok, w, 0.0))
+    return tgt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3))
+def _histogram_vjp(index, bins: int, weights=None, impl: str = "fused"):
     return _hist_fwd(index, bins, weights, impl)[0]
 
 
@@ -140,4 +167,4 @@ def _hist_bwd(bins, impl, res, g):
     return (zi, gi.reshape(jnp.shape(weights)))
 
 
-histogram.defvjp(_hist_fwd, _hist_bwd)
+_histogram_vjp.defvjp(_hist_fwd, _hist_bwd)

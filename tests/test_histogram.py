@@ -78,3 +78,27 @@ def test_ops_histogram_weight_gradients():
     g0 = jax.grad(lambda ww: jnp.sum(ops.histogram(idx, 64, ww)))(w)
     np.testing.assert_allclose(np.asarray(g0),
                                ((idx >= 0) & (idx < 64)).astype(np.float32))
+
+
+def test_ops_histogram_lazy_backend():
+    # one source, every backend: histogram over LazyArray records a
+    # masked scatter_add chain and fuses
+    import enoki_tpu.trace as tr
+    from enoki_tpu.trace import LazyArray
+
+    tr.reset()
+    try:
+        rng = np.random.default_rng(11)
+        idx = rng.integers(-2, 20, size=4096).astype(np.int32)
+        keep = (idx >= 0) & (idx < 16)
+        out = ops.histogram(LazyArray(idx), 16)
+        assert isinstance(out, LazyArray)
+        np.testing.assert_array_equal(
+            out.numpy(), np.bincount(idx[keep], minlength=16))
+        w = rng.normal(size=idx.size).astype(np.float32)
+        hw = ops.histogram(LazyArray(idx), 16, LazyArray(w))
+        want = np.zeros(16)
+        np.add.at(want, idx[keep], w[keep])
+        np.testing.assert_allclose(hw.numpy(), want, rtol=1e-4, atol=1e-4)
+    finally:
+        tr.reset()
