@@ -108,6 +108,8 @@ def _hist_lazy(index, bins, weights):
     from .router import _lift_arr
 
     index = _lift_arr(index)
+    if not jnp.issubdtype(index.dtype, jnp.integer):
+        index = index.cast(jnp.int32)  # match the eager path's cast
     w = (t.LazyArray.literal(1.0, 1, jnp.float32) if weights is None
          else _lift_arr(weights))
     tgt = t.LazyArray.zeros(bins, jnp.float32)

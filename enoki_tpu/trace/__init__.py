@@ -551,35 +551,65 @@ def _export_cache_swap(key, comp, leaves, lits):
     (skipping the jax re-trace of the whole op chain -- deserialization
     is ~free vs seconds of tracing for 10k-op programs) or export the
     freshly built program for the next process. Returns a replacement
-    executable or None. Any failure (platform mismatch, version skew)
-    falls back silently to the in-process jit."""
+    executable or None. Any failure -- platform mismatch, version skew,
+    corrupt artifact -- falls back to the in-process jit (and deletes a
+    bad artifact so a later process can re-export it)."""
     from ..config import config
 
     d = config.trace_export_dir
-    if not d:
+    if not d or config.max_fused_ops:
+        # segmentation configured: the monolithic exported program would
+        # silently override max_fused_ops (and pay the whole-program
+        # compile the knob exists to avoid)
         return None
     import os
+
+    jit_fallback = comp.exe
+
+    def wrap(rt):
+        # jit the call so steady-state re-dispatch stays on the cached-
+        # executable path (a bare Exported.call rebuilds its machinery
+        # per invocation, ~10x slower dispatch)
+        jitted = jax.jit(lambda l, s: rt.call(l, s))
+
+        def exe(leaf_args, lits_):
+            try:
+                return jitted(leaf_args, lits_)
+            except Exception:
+                # e.g. artifact exported for another platform: the
+                # error only surfaces at call time. Un-poison the
+                # executable cache and fall back permanently.
+                comp.exe = jit_fallback
+                return jit_fallback(leaf_args, lits_)
+
+        return exe
 
     try:
         os.makedirs(d, exist_ok=True)
         path = os.path.join(d, f"{key:016x}.jaxexp")
         if os.path.exists(path):
-            with open(path, "rb") as f:
-                rt = jax.export.deserialize(f.read())
-
-            def exe(leaf_args, lits_):
-                return rt.call(leaf_args, lits_)
-
+            try:
+                with open(path, "rb") as f:
+                    rt = jax.export.deserialize(f.read())
+            except Exception:
+                os.remove(path)  # corrupt/stale: let someone re-export
+                return None
+            exe = wrap(rt)
             comp.exe = exe
             return exe
         exported = jax.export.export(jax.jit(comp.fn))(leaves, lits)
-        tmp = path + ".tmp"
+        tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(exported.serialize())
         os.replace(tmp, path)
+        # run THIS eval through the just-exported program too -- the
+        # export already traced/lowered the chain; returning None here
+        # would trace it a second time through the plain jit path
+        exe = wrap(exported)
+        comp.exe = exe
+        return exe
     except Exception:
         return None
-    return None
 
 
 def _eval_ids(ids):
@@ -973,9 +1003,13 @@ class LazyArray:
         # would see the post-scatter state (program order violated). The
         # reference leaves this case as an in-kernel st/ld race
         # (cuda.h:867 raw st.global); here it is made deterministic by
-        # evaluating the pending readers first. Scatters into fresh
-        # arrays (the vcall dispatch / histogram patterns) have no
-        # readers and stay fully fused.
+        # evaluating the pending readers first. The flush is COARSE
+        # (eval of all live vars -- the var table stores deps, not
+        # reader back-references), so an unrelated half-built chain
+        # materializes at its prefix too; correctness over fusion for
+        # this rare hazard. Scatters into fresh arrays (the vcall
+        # dispatch / histogram patterns) have no readers and stay fully
+        # fused.
         if (self.index not in _PENDING_SCATTER
                 and _lib.et_var_int_ref(self.index) > 0):
             eval()

@@ -102,3 +102,20 @@ def test_ops_histogram_lazy_backend():
         np.testing.assert_allclose(hw.numpy(), want, rtol=1e-4, atol=1e-4)
     finally:
         tr.reset()
+
+
+def test_ops_histogram_lazy_float_index_casts():
+    # regression (r3 review): float indices cast to int32 on the lazy
+    # path exactly like the eager path
+    import enoki_tpu.trace as tr
+    from enoki_tpu.trace import LazyArray
+
+    tr.reset()
+    try:
+        v = np.array([0.0, 1.0, 2.0, 1.0], np.float32)
+        e = np.asarray(ops.histogram(v, 4))
+        l = ops.histogram(LazyArray(v), 4).numpy()
+        np.testing.assert_array_equal(l, e)
+        np.testing.assert_array_equal(l, [1, 2, 1, 0])
+    finally:
+        tr.reset()

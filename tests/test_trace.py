@@ -617,3 +617,50 @@ def test_trace_export_cache_roundtrip(tmp_path):
                                .astype(np.float32)).numpy()), rtol=1e-6)
     finally:
         config.trace_export_dir = ""
+
+
+def test_trace_export_cache_corrupt_artifact_recovers(tmp_path):
+    # regression (r3 review): a corrupt artifact is deleted and
+    # re-exported instead of permanently disabling the cache entry
+    from enoki_tpu.config import config
+
+    def prog(data):
+        x = LazyArray(data)
+        return (tr.sqrt(x * x + 1.0) * 2.0)
+
+    config.trace_export_dir = str(tmp_path)
+    try:
+        prog(np.ones(8, np.float32)).numpy()
+        files = list(tmp_path.glob("*.jaxexp"))
+        assert len(files) == 1
+        files[0].write_bytes(b"garbage")
+        tr.clear_cache()
+        out = prog(np.full(8, 2.0, np.float32)).numpy()
+        np.testing.assert_allclose(out, np.sqrt(5.0) * 2.0, rtol=1e-6)
+        # the bad artifact was removed; the next miss re-exports
+        tr.clear_cache()
+        prog(np.ones(8, np.float32)).numpy()
+        assert len(list(tmp_path.glob("*.jaxexp"))) == 1
+        data = list(tmp_path.glob("*.jaxexp"))[0].read_bytes()
+        assert data != b"garbage"
+    finally:
+        config.trace_export_dir = ""
+
+
+def test_trace_export_cache_respects_segmentation(tmp_path):
+    # regression (r3 review): with max_fused_ops configured, the export
+    # cache must not override segmentation with a monolithic program
+    from enoki_tpu.config import config
+
+    config.trace_export_dir = str(tmp_path)
+    config.max_fused_ops = 8
+    try:
+        x = LazyArray(np.ones(16, np.float32))
+        y = x
+        for _ in range(20):
+            y = tr.sqrt(y * y + 1.0)
+        y.numpy()
+        assert list(tmp_path.glob("*.jaxexp")) == []  # nothing exported
+    finally:
+        config.max_fused_ops = 0
+        config.trace_export_dir = ""
