@@ -16,6 +16,7 @@ from .router import (  # noqa: F401
     gather, scatter, scatter_add, transform, prefetch, binary_search,
     extract, range_packets,
     clamp, lerp, sign, copysign, mulsign, abs_, sqr,
+    cross, copysign_neg, mulsign_neg,
     isnan, isinf, isfinite, allclose,
     sqrt, safe_sqrt, safe_rsqrt, safe_asin, safe_acos,
     tile, repeat, reverse, head, tail, concat,

@@ -623,6 +623,35 @@ def mulsign(a, b):
     return lax.bitcast_convert_type(ab ^ (bb & smask), dt)
 
 
+def cross(a, b, axis=-1):
+    """3-D cross product (array_router.h cross). Accepts (..., 3)
+    arrays along ``axis`` or Vec3-style component structs (which route
+    through render.vec.cross3 and therefore work on any backend)."""
+    if hasattr(a, "x") and hasattr(a, "z"):
+        from ..render.vec import cross3
+
+        return cross3(a, b)
+    return jnp.cross(jnp.asarray(a), jnp.asarray(b), axis=axis)
+
+
+def copysign_neg(a, b):
+    """copysign(a, -b) (array_router.h copysign_neg)."""
+    if _lazy_any(a, b):
+        import enoki_tpu.trace as t
+
+        return t.copysign(_lift_arr(a), -_lift_arr(b))
+    return _copysign(a, jnp.negative(b))
+
+
+def mulsign_neg(a, b):
+    """a * sign(-b) via the sign bit (array_router.h mulsign_neg)."""
+    if _lazy_any(a, b):
+        from .backend import _TRACE_MATH
+
+        return _TRACE_MATH.mulsign(_lift_arr(a), -_lift_arr(b))
+    return mulsign(a, jnp.negative(b))
+
+
 def abs_(x):
     if _lazy_any(x):
         return abs(x)

@@ -227,3 +227,38 @@ def test_debug_bounds_mode_drops_oob_scatter():
         np.testing.assert_array_equal(out, [0, 5, 0, 0])
     finally:
         config.debug_bounds = False
+
+
+def test_cross_and_sign_neg_variants():
+    # the last unmapped array_router.h names: cross, copysign_neg,
+    # mulsign_neg (both backends for the sign variants)
+    import numpy as np
+    from enoki_tpu.trace import LazyArray
+    import enoki_tpu.trace as tr
+
+    a = jnp.asarray([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    b = jnp.asarray([[0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+    np.testing.assert_allclose(np.asarray(ops.cross(a, b)),
+                               [[0, 0, 1], [1, 0, 0]])
+    # Vec3 form (backend-generic)
+    from enoki_tpu.render.vec import Vec3
+
+    v1 = Vec3(jnp.asarray([1.0]), jnp.asarray([0.0]), jnp.asarray([0.0]))
+    v2 = Vec3(jnp.asarray([0.0]), jnp.asarray([1.0]), jnp.asarray([0.0]))
+    c = ops.cross(v1, v2)
+    assert float(c.z[0]) == 1.0
+
+    x = jnp.asarray([3.0, -3.0])
+    s = jnp.asarray([2.0, 2.0])
+    np.testing.assert_allclose(np.asarray(ops.copysign_neg(x, s)),
+                               [-3.0, -3.0])
+    np.testing.assert_allclose(np.asarray(ops.mulsign_neg(x, s)),
+                               [-3.0, 3.0])
+    tr.reset()
+    lx = LazyArray(np.array([3.0, -3.0], np.float32))
+    ls = LazyArray(np.array([2.0, 2.0], np.float32))
+    np.testing.assert_allclose(ops.copysign_neg(lx, ls).numpy(),
+                               [-3.0, -3.0])
+    np.testing.assert_allclose(ops.mulsign_neg(lx, ls).numpy(),
+                               [-3.0, 3.0])
+    tr.reset()
