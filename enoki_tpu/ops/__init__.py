@@ -17,7 +17,7 @@ from .router import (  # noqa: F401
     extract, range_packets,
     clamp, lerp, sign, copysign, mulsign, abs_, sqr,
     cross, copysign_neg, mulsign_neg,
-    isnan, isinf, isfinite, allclose,
+    isnan, isinf, isfinite, isdenormal, allclose,
     sqrt, safe_sqrt, safe_rsqrt, safe_asin, safe_acos,
     tile, repeat, reverse, head, tail, concat,
     next_float, prev_float, deg_to_rad, rad_to_deg,
@@ -36,7 +36,7 @@ from .math import (  # noqa: F401
     sin, cos, sincos, tan, cot,
     asin, acos, atan, atan2,
     exp, exp2, log, log2, log1p, expm1, cbrt, pow,
-    sinh, cosh, sincosh, tanh, csch, sech, coth,
+    sinh, cosh, sincosh, tanh, csc, sec, csch, sech, coth,
     asinh, acosh, atanh,
     fmod, hypot,
 )

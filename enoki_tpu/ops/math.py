@@ -619,6 +619,22 @@ def atanh(x, impl=_NATIVE):
 
 
 @_bf16_safe
+def csc(x, impl=_NATIVE):
+    """Cosecant 1/sin (array_math.h csc)."""
+    if impl == _NATIVE:
+        return 1.0 / jnp.sin(_f(x))
+    return 1.0 / sin(x, impl)
+
+
+@_bf16_safe
+def sec(x, impl=_NATIVE):
+    """Secant 1/cos (array_math.h sec)."""
+    if impl == _NATIVE:
+        return 1.0 / jnp.cos(_f(x))
+    return 1.0 / cos(x, impl)
+
+
+@_bf16_safe
 def csch(x, impl=_NATIVE):
     return 1.0 / sinh(x, impl)
 
@@ -694,6 +710,8 @@ _LAZY_ROUTES_1 = {
     "sinh": lambda t, x: t.sinh(x), "cosh": lambda t, x: t.cosh(x),
     "sincosh": lambda t, x: (t.sinh(x), t.cosh(x)),
     "tanh": lambda t, x: t.tanh(x),
+    "csc": lambda t, x: 1.0 / t.sin(x),
+    "sec": lambda t, x: 1.0 / t.cos(x),
     "csch": lambda t, x: 1.0 / t.sinh(x),
     "sech": lambda t, x: 1.0 / t.cosh(x),
     "coth": lambda t, x: 1.0 / t.tanh(x),

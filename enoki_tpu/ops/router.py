@@ -686,6 +686,23 @@ def isfinite(x):
     return jnp.isfinite(x)
 
 
+def isdenormal(x):
+    """True where x is a nonzero denormal (array_math.h isdenormal).
+    NOTE: XLA flushes f32 denormals to zero on TPU/CPU, so this can
+    only fire for values produced outside the FTZ pipeline (e.g. f64 on
+    platforms that keep them, or bit-cast patterns)."""
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        tiny = float(jnp.finfo(x.dtype).tiny)
+        a = abs(x)
+        return (a < tiny) & (a > 0.0)
+    x = jnp.asarray(x)
+    tiny = jnp.finfo(x.dtype).tiny
+    a = jnp.abs(x)
+    return (a < tiny) & (a > 0)
+
+
 def allclose(a, b, rtol=None, atol=None, equal_nan=False):
     """``allclose`` with the reference's dtype-dependent defaults
     (array_router.h:1310: rtol = 5*eps^(1/2)-ish; we mirror its published
