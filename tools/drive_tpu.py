@@ -101,4 +101,24 @@ want8 = np.where(np.arange(4097) % 2 == 0, xx * 3.0, (3.0 * xx) ** 2)
 assert np.allclose(r8.numpy(), want8, rtol=1e-4, atol=1e-4)
 print("8) unified ops surface + struct vcall on the lazy backend: ok")
 
-print("ALL 8 FLOWS PASS ON THE REAL CHIP")
+# 9) round-3 additions: histogram op (fused) + export cache roundtrip
+h9 = np.asarray(ops.histogram(bins, 64))  # reuse flow 4's bin indices
+assert abs(h9.sum() - np.asarray(mask).sum()) < 1
+import tempfile, shutil, glob
+from enoki_tpu.config import config as _cfg
+_d = tempfile.mkdtemp(prefix="drive_exp_")
+try:
+    _cfg.trace_export_dir = _d
+    lx9 = tr.LazyArray(np.linspace(0.5, 1.5, 2048).astype(np.float32))
+    v9a = tr.sqrt(lx9 * lx9 + 1.0).numpy()
+    assert glob.glob(_d + "/*.jaxexp"), "export artifact missing"
+    tr.clear_cache()  # "new process": the identical structure must LOAD
+    ly9 = tr.LazyArray(np.linspace(0.5, 1.5, 2048).astype(np.float32))
+    v9b = tr.sqrt(ly9 * ly9 + 1.0).numpy()
+    assert np.allclose(v9a, v9b, rtol=1e-6)
+finally:
+    _cfg.trace_export_dir = ""
+    shutil.rmtree(_d, ignore_errors=True)
+print("9) histogram op + export-cache roundtrip on chip: ok")
+
+print("ALL 9 FLOWS PASS ON THE REAL CHIP")
