@@ -545,71 +545,108 @@ def _collect_literals(n):
     return tuple(streams)
 
 
-def _export_cache_swap(key, comp, leaves, lits):
-    """Trace export cache (config.trace_export_dir): on the first miss
-    for a structure, either load a serialized jax.export artifact
-    (skipping the jax re-trace of the whole op chain -- deserialization
-    is ~free vs seconds of tracing for 10k-op programs) or export the
-    freshly built program for the next process. Returns a replacement
-    executable or None. Any failure -- platform mismatch, version skew,
-    corrupt artifact -- falls back to the in-process jit (and deletes a
-    bad artifact so a later process can re-export it)."""
+def _load_or_export(tag, fn, fallback, args, install):
+    """Shared export-cache engine (config.trace_export_dir): load the
+    jax.export artifact named ``tag`` or export ``fn`` traced on
+    ``args``; returns an executable (the loaded/exported program,
+    jit-wrapped for cached dispatch, or ``fallback``). ``install(exe)``
+    re-points the caller's cache slot -- used to un-poison it when a
+    loaded artifact fails at call time (e.g. platform mismatch, which
+    jax.export only reports on the first call). Corrupt artifacts are
+    deleted so a later process can re-export them."""
     from ..config import config
 
-    d = config.trace_export_dir
-    if not d or config.max_fused_ops:
-        # segmentation configured: the monolithic exported program would
-        # silently override max_fused_ops (and pay the whole-program
-        # compile the knob exists to avoid)
-        return None
     import os
 
-    jit_fallback = comp.exe
+    d = config.trace_export_dir
 
     def wrap(rt):
         # jit the call so steady-state re-dispatch stays on the cached-
         # executable path (a bare Exported.call rebuilds its machinery
         # per invocation, ~10x slower dispatch)
-        jitted = jax.jit(lambda l, s: rt.call(l, s))
+        jitted = jax.jit(lambda *a: rt.call(*a))
 
-        def exe(leaf_args, lits_):
+        def exe(*a):
             try:
-                return jitted(leaf_args, lits_)
+                return jitted(*a)
             except Exception:
-                # e.g. artifact exported for another platform: the
-                # error only surfaces at call time. Un-poison the
-                # executable cache and fall back permanently.
-                comp.exe = jit_fallback
-                return jit_fallback(leaf_args, lits_)
+                install(fallback)
+                return fallback(*a)
 
         return exe
 
     try:
         os.makedirs(d, exist_ok=True)
-        path = os.path.join(d, f"{key:016x}.jaxexp")
+        path = os.path.join(d, tag + ".jaxexp")
         if os.path.exists(path):
             try:
                 with open(path, "rb") as f:
                     rt = jax.export.deserialize(f.read())
             except Exception:
                 os.remove(path)  # corrupt/stale: let someone re-export
-                return None
-            exe = wrap(rt)
-            comp.exe = exe
-            return exe
-        exported = jax.export.export(jax.jit(comp.fn))(leaves, lits)
+                return fallback
+            return wrap(rt)
+        exported = jax.export.export(jax.jit(fn))(*args)
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             f.write(exported.serialize())
         os.replace(tmp, path)
-        # run THIS eval through the just-exported program too -- the
-        # export already traced/lowered the chain; returning None here
-        # would trace it a second time through the plain jit path
-        exe = wrap(exported)
+        # run the CURRENT call through the just-exported program too --
+        # the export already traced/lowered the chain; going back to the
+        # plain jit path would trace it a second time
+        return wrap(exported)
+    except Exception:
+        return fallback
+
+
+def _export_enabled():
+    from ..config import config
+
+    # segmentation configured: a monolithic exported program would
+    # silently override max_fused_ops (and pay the whole-program
+    # compile the knob exists to avoid)
+    return bool(config.trace_export_dir) and not config.max_fused_ops
+
+
+def _export_cache_swap(key, comp, leaves, lits):
+    """Trace export cache for the forward program: on the first miss
+    for a structure, either load a serialized jax.export artifact
+    (skipping the jax re-trace of the whole op chain -- deserialization
+    is ~free vs seconds of tracing for 10k-op programs) or export the
+    freshly built program for the next process. Returns a replacement
+    executable or None; failures fall back to the in-process jit."""
+    if not _export_enabled():
+        return None
+
+    def install(e):
+        comp.exe = e
+
+    exe = _load_or_export(f"{key:016x}", comp.fn, comp.exe,
+                          (leaves, lits), install)
+    if exe is not comp.exe:
         comp.exe = exe
         return exe
-    except Exception:
-        return None
+    return None
+
+
+def _exportable_jit(ckey, tag, fn):
+    """jax.jit with optional export-cache backing for the AD segment
+    executables: the first call resolves the artifact (load or export,
+    needing the real call args) and replaces _EXE_CACHE[ckey] with the
+    resolved executable."""
+    base = jax.jit(fn)
+    if not _export_enabled():
+        return base
+
+    def install(e):
+        _EXE_CACHE[ckey] = e
+
+    def first(*args):
+        exe = _load_or_export(tag, fn, base, args, install)
+        _EXE_CACHE[ckey] = exe
+        return exe(*args)
+
+    return first
 
 
 def _eval_ids(ids):
@@ -1420,7 +1457,9 @@ def _seg_vjp_exe(seg, mask, diff_pos):
         g_l, _ = vjp_fn(t)
         return g_l, t
 
-    exe = jax.jit(run)
+    tag = (f"{seg.key:016x}-bwd-"
+           f"{hash((mask, diff_pos)) & 0xFFFFFFFFFFFF:012x}")
+    exe = _exportable_jit(ckey, tag, run)
     _EXE_CACHE[ckey] = exe
     return exe
 
@@ -1505,7 +1544,9 @@ def _seg_jvp_exe(seg, in_pos, out_slots):
         _, out_tans = jax.jvp(f, (tuple(tan_leaves),), (tuple(tans),))
         return out_tans
 
-    exe = jax.jit(run)
+    tag = (f"{seg.key:016x}-fwd-"
+           f"{hash((in_pos, out_slots)) & 0xFFFFFFFFFFFF:012x}")
+    exe = _exportable_jit(ckey, tag, run)
     _EXE_CACHE[ckey] = exe
     return exe
 

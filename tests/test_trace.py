@@ -664,3 +664,29 @@ def test_trace_export_cache_respects_segmentation(tmp_path):
     finally:
         config.max_fused_ops = 0
         config.trace_export_dir = ""
+
+
+def test_export_cache_covers_segment_vjp(tmp_path):
+    # the AD-segment VJP executables export too: a "new process"
+    # (cleared caches) replays backward from the artifacts and produces
+    # identical gradients
+    from enoki_tpu.config import config
+
+    def step(data):
+        x = tr.requires_grad(LazyArray(data))
+        loss = (tr.tanh(x * 2.0) * x).hsum()
+        tr.backward(loss)
+        return tr.gradient(x).numpy()
+
+    config.trace_export_dir = str(tmp_path)
+    try:
+        g1 = step(np.array([0.3, -0.7], np.float32))
+        names = sorted(p.name for p in tmp_path.glob("*.jaxexp"))
+        assert any("-bwd-" in n for n in names), names  # VJP exported
+        tr.clear_cache()  # "new process"
+        g2 = step(np.array([0.3, -0.7], np.float32))
+        np.testing.assert_allclose(g2, g1, rtol=1e-6)
+        # no NEW artifacts: the second run loaded everything
+        assert sorted(p.name for p in tmp_path.glob("*.jaxexp")) == names
+    finally:
+        config.trace_export_dir = ""
