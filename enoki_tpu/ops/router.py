@@ -626,29 +626,34 @@ def mulsign(a, b):
 def cross(a, b, axis=-1):
     """3-D cross product (array_router.h cross). Accepts (..., 3)
     arrays along ``axis`` or Vec3-style component structs (which route
-    through render.vec.cross3 and therefore work on any backend)."""
+    through render.vec.cross3 and therefore work on any backend --
+    including Vec3s of LazyArrays)."""
     if hasattr(a, "x") and hasattr(a, "z"):
         from ..render.vec import cross3
 
         return cross3(a, b)
+    if _lazy_any(a, b):
+        # a LazyArray is strictly 1-D (the flat-index model): there is
+        # no 3-component axis to cross over, and silently falling
+        # through to jnp would force evaluation mid-trace
+        raise TypeError(
+            "cross over the lazy backend takes Vec3 component structs "
+            "(render.vec.Vec3 of LazyArrays), not flat 1-D arrays")
     return jnp.cross(jnp.asarray(a), jnp.asarray(b), axis=axis)
 
 
 def copysign_neg(a, b):
-    """copysign(a, -b) (array_router.h copysign_neg)."""
+    """copysign(a, -b) (array_router.h copysign_neg); delegates to
+    copysign so both backends share one dispatch body."""
     if _lazy_any(a, b):
-        import enoki_tpu.trace as t
-
-        return t.copysign(_lift_arr(a), -_lift_arr(b))
+        return copysign(a, -_lift_arr(b))
     return _copysign(a, jnp.negative(b))
 
 
 def mulsign_neg(a, b):
     """a * sign(-b) via the sign bit (array_router.h mulsign_neg)."""
     if _lazy_any(a, b):
-        from .backend import _TRACE_MATH
-
-        return _TRACE_MATH.mulsign(_lift_arr(a), -_lift_arr(b))
+        return mulsign(a, -_lift_arr(b))
     return mulsign(a, jnp.negative(b))
 
 

@@ -262,3 +262,27 @@ def test_cross_and_sign_neg_variants():
     np.testing.assert_allclose(ops.mulsign_neg(lx, ls).numpy(),
                                [-3.0, 3.0])
     tr.reset()
+
+
+def test_cross_lazy_flat_rejected():
+    # regression (r3 review): flat 1-D LazyArrays cannot be crossed (no
+    # component axis); silent de-lazification would break fusion/AD
+    import numpy as np
+    import pytest as _pytest
+    from enoki_tpu.trace import LazyArray
+    import enoki_tpu.trace as tr
+
+    tr.reset()
+    a = LazyArray(np.ones(3, np.float32))
+    b = LazyArray(np.ones(3, np.float32))
+    with _pytest.raises(TypeError, match="Vec3"):
+        ops.cross(a, b)
+    # the Vec3 form stays lazy
+    from enoki_tpu.render.vec import Vec3
+
+    v1 = Vec3(a, b * 0.0, b * 0.0)
+    v2 = Vec3(b * 0.0, b, b * 0.0)
+    c = ops.cross(v1, v2)
+    assert isinstance(c.z, LazyArray)
+    np.testing.assert_allclose(c.z.numpy(), [1, 1, 1])
+    tr.reset()
