@@ -9,4 +9,4 @@ from .masked import masked, Masked  # noqa: F401
 from .call import (  # noqa: F401
     dispatch_masked, dispatch_partition, dispatch_switch, InstanceRegistry,
 )
-from .vectorize import vectorize, vectorize_wrapper  # noqa: F401
+from .vectorize import vectorize, vectorize_safe, vectorize_wrapper  # noqa: F401

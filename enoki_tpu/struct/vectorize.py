@@ -45,6 +45,13 @@ def vectorize(f: Callable, *args, jit: bool = True):
     return fn(*args)
 
 
+def vectorize_safe(f: Callable, *args, jit: bool = True):
+    """Name-parity alias of ``vectorize`` (dynamic.h:1077): the
+    reference's _safe variant keeps the size checks in release builds;
+    here the checks always run, so the two entry points coincide."""
+    return vectorize(f, *args, jit=jit)
+
+
 def vectorize_wrapper(f: Callable) -> Callable:
     """Adapt a per-lane (packet) function to wide arrays: jax.vmap."""
     return jax.vmap(f)
