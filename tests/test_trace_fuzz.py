@@ -107,7 +107,7 @@ def test_fuzz_scatter_gather_rounds(seed):
         k = int(rng.integers(1, n))
         idx = rng.integers(0, n, k).astype(np.int32)
         idx_l = LazyArray(idx)
-        choice = rng.integers(3)
+        choice = rng.integers(4)
         if choice == 0:
             vals = src_l.gather(idx_l) * 0.5
             base_l.scatter_add(idx_l, vals)
@@ -117,12 +117,21 @@ def test_fuzz_scatter_gather_rounds(seed):
             s = base_l.hsum()
             src_l = src_l + s
             src_ref = src_ref + ref.sum()
-        else:
+        elif choice == 2:
             uniq = np.unique(idx)  # scatter (overwrite): unique indices
             #                         so lazy/np winner ambiguity vanishes
             base_l.scatter(LazyArray(uniq.astype(np.int32)),
                            LazyArray(np.full(len(uniq), 0.25, np.float32)))
             ref[uniq] = 0.25
+        else:
+            # held-read-before-scatter: the write-after-pending-read
+            # hazard guard must keep g at the PRE-scatter values
+            g = base_l.gather(idx_l)
+            base_l.scatter_add(idx_l,
+                               LazyArray(np.full(k, 0.125, np.float32)))
+            src_l = src_l + g.hsum()
+            src_ref = src_ref + ref[idx].sum()
+            np.add.at(ref, idx, 0.125)
 
     np.testing.assert_allclose(base_l.numpy().astype(np.float64), ref,
                                rtol=1e-4, atol=1e-5)
