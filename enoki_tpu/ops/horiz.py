@@ -64,6 +64,11 @@ def hmin(x, axis=None):
 
 def hmean(x, axis=None):
     if _is_lazy(x):
+        # Promote integer inputs first: LazyArray._coerce would pull the
+        # 1/n float scalar down to the int dtype (truncating it to 0).
+        # jnp.mean promotes the same way.
+        if not jnp.issubdtype(x.dtype, jnp.inexact):
+            x = x.cast(jnp.float32)
         return x.hsum() * (1.0 / len(x))
     return jnp.mean(x, axis=axis)
 

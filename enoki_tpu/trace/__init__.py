@@ -560,7 +560,7 @@ def _load_or_export(tag, fn, fallback, args, install):
 
     d = config.trace_export_dir
 
-    def wrap(rt):
+    def wrap(rt, path=None):
         # jit the call so steady-state re-dispatch stays on the cached-
         # executable path (a bare Exported.call rebuilds its machinery
         # per invocation, ~10x slower dispatch)
@@ -569,7 +569,22 @@ def _load_or_export(tag, fn, fallback, args, install):
         def exe(*a):
             try:
                 return jitted(*a)
-            except Exception:
+            except (ValueError, TypeError, RuntimeError) as e:
+                # platform/shape mismatch or XLA runtime failure of the
+                # exported program (XlaRuntimeError subclasses
+                # RuntimeError): warn, drop the artifact so peers stop
+                # loading it, and fall back to the in-process jit. Other
+                # exceptions (user errors, KeyboardInterrupt) propagate.
+                import warnings
+                warnings.warn(
+                    f"enoki_tpu export-cache artifact failed at call "
+                    f"time ({type(e).__name__}: {e}); falling back to "
+                    f"in-process jit", RuntimeWarning)
+                if path is not None:
+                    try:
+                        os.remove(path)
+                    except OSError:
+                        pass
                 install(fallback)
                 return fallback(*a)
 
@@ -585,7 +600,7 @@ def _load_or_export(tag, fn, fallback, args, install):
             except Exception:
                 os.remove(path)  # corrupt/stale: let someone re-export
                 return fallback
-            return wrap(rt)
+            return wrap(rt, path)
         exported = jax.export.export(jax.jit(fn))(*args)
         tmp = path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
@@ -1031,6 +1046,15 @@ class LazyArray:
             callmod._PARTITION_CACHE.pop(self.index, None)
         index = self._coerce(index)
         value = self._coerce(value)
+        from ..config import config
+        if config.debug_bounds:
+            # debug mode (array_base.h:109 discipline): the jnp scatter
+            # impl wraps negative indices numpy-style BEFORE the drop
+            # mode applies; redirect them to the dropped OOB slot at
+            # record time so lazy scatters catch the same corruption the
+            # eager path does (ops/router.py scatter).
+            index = select(index < index._coerce(0),
+                           index._coerce(len(self)), index)
         index._ensure_clean()
         value._ensure_clean()
         # write-after-pending-read: recorded-but-unevaluated ops that

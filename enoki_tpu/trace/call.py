@@ -140,8 +140,18 @@ def dispatch(funcs, ids: LazyArray, *args):
         if single is None:
             single, single_tree = leaves, tree
 
-    if single is None:  # all lanes null: zeros, single f32 result by
-        #                 convention (no callee ran to define the arity)
+    if single is None:
+        # All lanes null: no callee ran to define the result structure.
+        # Derive it from funcs[0] under an all-false mask (the reference's
+        # static return type decides this at compile time; the Python
+        # equivalent is introspection-by-tracing). The probe's recorded
+        # ops are dropped unreferenced -- only dtypes/structure are kept
+        # -- so nothing of it is evaluated.
+        if funcs:
+            probe = funcs[0](LazyArray.literal(False, n, jnp.bool_), *args)
+            leaves, tree = jtu.tree_flatten(probe)
+            return jtu.tree_unflatten(
+                tree, [LazyArray.zeros(n, l.dtype) for l in leaves])
         return LazyArray.zeros(n)
 
     outs = [LazyArray.zeros(n, r.dtype) for r in single]

@@ -198,6 +198,16 @@ PyObject *make_result(uint32_t id, PyObject *size_obj, PyObject *code_obj) {
     return r;
 }
 
+// make_result that releases the appended native var's ext reference on
+// failure (OOM-only today, but the var would otherwise leak for the
+// lifetime of the trace).
+PyObject *make_result_or_release(uint32_t id, PyObject *size_obj,
+                                 PyObject *code_obj) {
+    PyObject *r = make_result(id, size_obj, code_obj);
+    if (!r) et_dec_ref_ext(id);
+    return r;
+}
+
 // binop(a, b, opcode, out_code) -> LazyArray | None (caller falls back)
 //   out_code: -1 = promote(a._code, b._code), else the fixed dtype code
 PyObject *py_binop(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
@@ -231,10 +241,10 @@ PyObject *py_binop(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
     if (id == 0 || id == (uint32_t)-1) Py_RETURN_NONE;
     PyObject *size_obj = sa >= sb ? as : bs;
     PyObject *code_obj = dc == ca ? ac : (dc == cb ? bc : nullptr);
-    if (code_obj) return make_result(id, size_obj, code_obj);
+    if (code_obj) return make_result_or_release(id, size_obj, code_obj);
     PyObject *co = PyLong_FromLong(dc);
     if (!co) { et_dec_ref_ext(id); return nullptr; }
-    PyObject *r = make_result(id, size_obj, co);
+    PyObject *r = make_result_or_release(id, size_obj, co);
     Py_DECREF(co);
     return r;
 }
@@ -262,10 +272,10 @@ PyObject *py_unop(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
     if (ida && et_is_dirty(ida)) Py_RETURN_NONE;
     uint32_t id = et_append((int32_t)opcode, (int32_t)dc, sa, ida, 0, 0, 0);
     if (id == 0 || id == (uint32_t)-1) Py_RETURN_NONE;
-    if (dc == ca) return make_result(id, as, ac);
+    if (dc == ca) return make_result_or_release(id, as, ac);
     PyObject *co = PyLong_FromLong(dc);
     if (!co) { et_dec_ref_ext(id); return nullptr; }
-    PyObject *r = make_result(id, as, co);
+    PyObject *r = make_result_or_release(id, as, co);
     Py_DECREF(co);
     return r;
 }

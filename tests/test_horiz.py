@@ -16,6 +16,22 @@ def test_reductions():
     assert np.array_equal(ops.psum(x), [1, 3, 6, 10])
 
 
+def test_hmean_lazy_integer_promotes():
+    # r3 advisor: lazy hmean of an int array used to coerce the 1/n
+    # scalar down to the int dtype (truncating it to 0). It must promote
+    # like jnp.mean.
+    from enoki_tpu.trace import LazyArray
+    import enoki_tpu.trace as tr
+
+    x = LazyArray(jnp.array([1, 2, 3, 4], jnp.int32))
+    got = np.asarray(ops.hmean(x).jax())
+    np.testing.assert_allclose(got, [2.5])
+    # float input unchanged
+    y = LazyArray(jnp.array([1.0, 2.0, 3.0, 4.0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(ops.hmean(y).jax()), [2.5])
+    tr.reset()
+
+
 def test_mask_reductions():
     m = jnp.array([True, False, True])
     assert ops.any_(m)

@@ -229,6 +229,41 @@ def test_debug_bounds_mode_drops_oob_scatter():
         config.debug_bounds = False
 
 
+def test_debug_bounds_lazy_scatter_drops_negative_index():
+    # r3 review: the lazy backend's scatter let negative indices wrap
+    # numpy-style even under debug_bounds -- exactly the corruption the
+    # flag exists to catch. The record path now redirects them to the
+    # dropped OOB slot (mirroring the eager fix above).
+    from enoki_tpu.config import config
+    from enoki_tpu.trace import LazyArray
+    import enoki_tpu.trace as tr
+
+    config.debug_bounds = True
+    try:
+        tgt = LazyArray(jnp.zeros(4, jnp.float32))
+        idx = LazyArray(jnp.array([-1, 1], jnp.int32))
+        val = LazyArray(jnp.array([7.0, 8.0], jnp.float32))
+        tgt.scatter(idx, val)
+        np.testing.assert_array_equal(np.asarray(tgt.jax()), [0, 8, 0, 0])
+        tgt2 = LazyArray(jnp.zeros(4, jnp.float32))
+        tgt2.scatter_add(idx, val)
+        np.testing.assert_array_equal(np.asarray(tgt2.jax()), [0, 8, 0, 0])
+        # through the router's lazy masked branch too
+        tgt3 = LazyArray(jnp.zeros(4, jnp.float32))
+        ops.scatter(tgt3, val, idx, mask=LazyArray(
+            jnp.array([True, True])))
+        np.testing.assert_array_equal(np.asarray(tgt3.jax()), [0, 8, 0, 0])
+    finally:
+        config.debug_bounds = False
+    # fast mode still wraps (promise_in_bounds parity with the
+    # reference's raw st.global)
+    tgt4 = LazyArray(jnp.zeros(4, jnp.float32))
+    tgt4.scatter(LazyArray(jnp.array([-1, 1], jnp.int32)),
+                 LazyArray(jnp.array([7.0, 8.0], jnp.float32)))
+    np.testing.assert_array_equal(np.asarray(tgt4.jax()), [0, 8, 0, 7])
+    tr.reset()
+
+
 def test_cross_and_sign_neg_variants():
     # the last unmapped array_router.h names: cross, copysign_neg,
     # mulsign_neg (both backends for the sign variants)

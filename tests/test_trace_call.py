@@ -130,6 +130,30 @@ def test_dispatch_null_ids_produce_zeros():
     np.testing.assert_allclose(out.numpy(), [11, 0, 21, 0])
 
 
+def test_dispatch_all_null_keeps_result_structure():
+    # r3 review: the all-null case used to return a single f32 zeros
+    # array "by convention", silently changing the result STRUCTURE
+    # depending on runtime data. It must match funcs[0]'s structure
+    # (derived by probing under an all-false mask -- the reference's
+    # static return type decides this at compile time).
+    a, b = Thing(10), Thing(20)
+    ids = _ids([-1, -1, -1])
+    first, second = tc.dispatch([a.func4, b.func4], ids)
+    np.testing.assert_allclose(first.numpy(), [0, 0, 0])
+    np.testing.assert_allclose(second.numpy(), [0, 0, 0])
+
+    # struct-result callee: pytree structure also survives all-null
+    def struct_callee(mask, x):
+        return {"y": x * 2.0, "z": (x + 1.0, x.cast(np.int32))}
+
+    x = LazyArray(np.array([1.0, 2.0, 3.0], np.float32))
+    out = tc.dispatch([struct_callee], _ids([-1, -1, -1]), x)
+    assert set(out.keys()) == {"y", "z"}
+    np.testing.assert_allclose(out["y"].numpy(), [0, 0, 0])
+    assert out["z"][1].dtype == np.int32
+    np.testing.assert_allclose(out["z"][0].numpy(), [0, 0, 0])
+
+
 def test_dispatch_multi_results():
     a, b = Thing(10), Thing(20)
     ids = _ids([1, 0, 1])
