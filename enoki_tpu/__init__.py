@@ -26,9 +26,15 @@ Layout:
   dist/     device-mesh sharding, distributed render/train steps
 """
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 from . import config  # noqa: F401
+from . import cache  # noqa: F401
+
+# Zero-config persistent compile cache (round 4): the reference's kernel
+# cache needs no setup (jit.cu:1239-1331); ours shouldn't either. Honors
+# user/jax settings and ENOKI_TPU_COMPILE_CACHE=off (see cache.py).
+cache.enable_default_compile_cache()
 from . import ops  # noqa: F401
 from . import types  # noqa: F401
 from . import struct  # noqa: F401

@@ -48,9 +48,17 @@ class Config:
     # trace programs, keyed by the C++ structural hash. A cold process
     # then skips the jax re-trace of a big op chain entirely
     # (deserialize is ~free; combined with the persistent compile cache
-    # the 10k-op first light drops from ~4 s to ~1 s -- measured in
-    # docs/benchmarks.md). Empty = off. Env: ENOKI_TPU_EXPORT_CACHE.
-    trace_export_dir: str = os.environ.get("ENOKI_TPU_EXPORT_CACHE", "")
+    # the 10k-op first light drops from ~7 s to ~0.5 s -- measured in
+    # docs/benchmarks.md). Default "auto" = ON under the version-keyed
+    # user cache dir (~/.cache/enoki_tpu/export/<tag>, see cache.py --
+    # the reference's kernel cache is likewise zero-config,
+    # jit.cu:1239-1331); "off" disables; any other value is a literal
+    # directory. Env: ENOKI_TPU_EXPORT_CACHE.
+    trace_export_dir: str = os.environ.get("ENOKI_TPU_EXPORT_CACHE", "auto")
+    # LRU size bound for each persistent cache directory (cache.py).
+    # Env: ENOKI_TPU_CACHE_MAX_BYTES.
+    cache_max_bytes: int = int(os.environ.get(
+        "ENOKI_TPU_CACHE_MAX_BYTES", str(2 << 30)))
     # Pre-eval hooks, analog of cuda_register_callback (jit.cu:1552): callables
     # run by runtime.eval_hooks() call sites (e.g. before a benchmark step).
     eval_callbacks: List[Callable[[], None]] = dataclasses.field(default_factory=list)

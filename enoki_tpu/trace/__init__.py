@@ -554,11 +554,11 @@ def _load_or_export(tag, fn, fallback, args, install):
     loaded artifact fails at call time (e.g. platform mismatch, which
     jax.export only reports on the first call). Corrupt artifacts are
     deleted so a later process can re-export them."""
-    from ..config import config
-
     import os
 
-    d = config.trace_export_dir
+    from .. import cache as _cache
+
+    d = _cache.export_dir()
 
     def wrap(rt, path=None):
         # jit the call so steady-state re-dispatch stays on the cached-
@@ -606,6 +606,7 @@ def _load_or_export(tag, fn, fallback, args, install):
         with open(tmp, "wb") as f:
             f.write(exported.serialize())
         os.replace(tmp, path)
+        _cache.evict_lru(d)
         # run the CURRENT call through the just-exported program too --
         # the export already traced/lowered the chain; going back to the
         # plain jit path would trace it a second time
@@ -615,12 +616,13 @@ def _load_or_export(tag, fn, fallback, args, install):
 
 
 def _export_enabled():
+    from .. import cache as _cache
     from ..config import config
 
     # segmentation configured: a monolithic exported program would
     # silently override max_fused_ops (and pay the whole-program
     # compile the knob exists to avoid)
-    return bool(config.trace_export_dir) and not config.max_fused_ops
+    return bool(_cache.export_dir()) and not config.max_fused_ops
 
 
 def _export_cache_swap(key, comp, leaves, lits):

@@ -12,6 +12,15 @@ import os
 # environment points JAX_PLATFORMS at the real TPU, but the test suite runs
 # on a virtual 8-device CPU mesh (override with ENOKI_TPU_TEST_PLATFORM).
 os.environ["JAX_PLATFORMS"] = os.environ.get("ENOKI_TPU_TEST_PLATFORM", "cpu")
+
+# Hermetic suite: the round-4 zero-config persistent caches (cache.py)
+# default ON for users, but the suite must not read or write
+# ~/.cache/enoki_tpu (stale artifacts could mask regressions; parallel
+# CI runs would race). Tests that exercise the caches point them at
+# tmp_path explicitly.
+os.environ.setdefault("ENOKI_TPU_EXPORT_CACHE", "off")
+os.environ.setdefault("ENOKI_TPU_COMPILE_CACHE", "off")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
