@@ -16,8 +16,21 @@ Design: every function takes ``impl``:
   * ``"poly"``   -- our own branch-free range-reduction + Estrin polynomial
     implementation. This is what Pallas kernels call (identical codegen
     inside a kernel) and what the ULP test-suite validates against the
-    reference's published bounds. All branches are ``jnp.where`` lane masks,
+    reference's published bounds. All branches are ``where`` lane masks,
     exactly like the reference's mask-based implementations.
+
+Every kernel is written against a tiny primitive namespace (``_EPrim`` /
+``_LPrim`` below), so the SAME source instantiates for eager jnp arrays
+AND for LazyArray on the trace -- ``sin(lazy_x, impl="poly")`` records
+the full Cody-Waite reduction + polynomial as trace opcodes (FLOOR /
+SELECT / BITCAST / SHL / ...) and fuses into the surrounding lazy
+program at eval. This extends the reference's "one source, every
+backend" property (array_math.h:121-150's 5-way dispatch) to the
+accuracy dimension: the reference's CUDA backend FORCES the HW-approx
+route (cuda.h:433-453) and cannot honor an accuracy request on the lazy
+backend; here ``impl`` means the same thing on both. The eager
+instantiation performs the identical operation sequence as rounds 1-3,
+so the published ULP results are unchanged.
 
 The polynomial coefficient sets are the classic Cephes minimax fits
 (public domain, Moshier), the same family the reference derives from.
@@ -27,8 +40,8 @@ Pallas kernel bodies.
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 from . import polys as P
 from . import polys64 as P64
@@ -51,12 +64,16 @@ def _bf16_safe(fn):
     """bf16/f16 policy for the polynomial paths: 8-10 mantissa bits cannot
     carry a Cody-Waite reduction, so 16-bit inputs are computed in f32 and
     rounded back on exit (the round-trip is exact-to-format). This is the
-    'bf16-safe variants' requirement of SURVEY §7 step 1."""
+    'bf16-safe variants' requirement of SURVEY §7 step 1. Applies to both
+    backends (LazyArray.astype aliases .cast)."""
     import functools
 
     @functools.wraps(fn)
     def wrapped(x, impl=_NATIVE, **kw):
-        x = jnp.asarray(x)
+        from . import backend as B
+
+        if not B.is_lazy(x):
+            x = jnp.asarray(x)
         if x.dtype in _16BIT:
             out = fn(x.astype(jnp.float32), impl, **kw)
             if isinstance(out, tuple):
@@ -69,6 +86,117 @@ def _bf16_safe(fn):
 
 def _is64(x):
     return x.dtype == jnp.float64
+
+
+# ---------------------------------------------------------------------------
+# Primitive namespaces. The poly kernels below use ONLY: arithmetic /
+# comparison / bit operators (both backends implement the dunders), the
+# primitives here, and the dual-backend router helpers (_ldexp, _frexp,
+# _mulsign, _copysign). The eager instance maps to exactly the jnp calls
+# of the pre-generic implementation -- eager results are bit-identical.
+# ---------------------------------------------------------------------------
+
+
+class _EPrim:
+    abs = staticmethod(jnp.abs)
+    floor = staticmethod(jnp.floor)
+    sqrt = staticmethod(jnp.sqrt)
+    maximum = staticmethod(jnp.maximum)
+    minimum = staticmethod(jnp.minimum)
+    isinf = staticmethod(jnp.isinf)
+    where = staticmethod(jnp.where)
+
+    @staticmethod
+    def full_like(x, v):
+        # scalar constant in x's dtype (broadcasts downstream)
+        return jnp.asarray(v, x.dtype)
+
+    # XLA's own lowerings (the ``impl="native"`` route)
+    sin_native = staticmethod(jnp.sin)
+    cos_native = staticmethod(jnp.cos)
+    tan_native = staticmethod(jnp.tan)
+    asin_native = staticmethod(jnp.arcsin)
+    acos_native = staticmethod(jnp.arccos)
+    atan_native = staticmethod(jnp.arctan)
+    atan2_native = staticmethod(jnp.arctan2)
+    exp_native = staticmethod(jnp.exp)
+    exp2_native = staticmethod(jnp.exp2)
+    log_native = staticmethod(jnp.log)
+    log2_native = staticmethod(jnp.log2)
+    log1p_native = staticmethod(jnp.log1p)
+    expm1_native = staticmethod(jnp.expm1)
+    cbrt_native = staticmethod(jnp.cbrt)
+    pow_native = staticmethod(jnp.power)
+    sinh_native = staticmethod(jnp.sinh)
+    cosh_native = staticmethod(jnp.cosh)
+    tanh_native = staticmethod(jnp.tanh)
+    asinh_native = staticmethod(jnp.arcsinh)
+    acosh_native = staticmethod(jnp.arccosh)
+    atanh_native = staticmethod(jnp.arctanh)
+    fmod_native = staticmethod(jnp.fmod)
+
+
+class _LPrim:
+    """Trace instance: primitives record opcodes; ``*_native`` resolves to
+    the trace's named opcode for the same function (XLA's lowering after
+    eval -- the trace analog of eager "native")."""
+
+    def __getattr__(self, name):
+        import enoki_tpu.trace as tr
+
+        fn = getattr(tr, name[:-7] if name.endswith("_native") else name)
+        setattr(self, name, fn)  # cache
+        return fn
+
+    @staticmethod
+    def where(m, a, b):
+        import enoki_tpu.trace as tr
+
+        return tr.select(m, a, b)
+
+    @staticmethod
+    def full_like(x, v):
+        return x._coerce(v)  # shared scalar-literal handle
+
+
+_EP = _EPrim()
+_LP = _LPrim()
+
+
+def _prim(x):
+    """(ns, x): primitive namespace for x's backend, x float-coerced."""
+    from . import backend as B
+
+    if B.is_lazy(x):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.cast(jnp.float32)
+        return _LP, x
+    return _EP, _f(x)
+
+
+def _prim2(a, b):
+    """Two-operand dispatch: if either operand is lazy, both are lifted
+    onto the trace (scalars become shared literals, arrays data leaves)."""
+    from . import backend as B
+
+    if not (B.is_lazy(a) or B.is_lazy(b)):
+        return _EP, _f(a), _f(b)
+    import enoki_tpu.trace as t
+
+    def float_lazy(v):
+        return v if jnp.issubdtype(v.dtype, jnp.floating) \
+            else v.cast(jnp.float32)
+
+    ref = float_lazy(a) if B.is_lazy(a) else float_lazy(b)
+
+    def lift(v):
+        if B.is_lazy(v):
+            return float_lazy(v)
+        if isinstance(v, (bool, int, float, np.number)):
+            return ref._coerce(float(v))
+        return t.LazyArray(jnp.atleast_1d(_f(v)))
+
+    return _LP, lift(a), lift(b)
 
 
 # ---------------------------------------------------------------------------
@@ -97,16 +225,16 @@ _COSCOF_F64 = (-1.13585365213876817300e-11, 2.08757008419747316778e-9,
                -1.38888888888730564116e-3, 4.16666666666665929218e-2)
 
 
-def _sincos_reduce(x):
+def _sincos_reduce(ns, x):
     """Cody-Waite reduction of |x| by pi/4: returns (q, r) with
     x = q*(pi/4) + r, q integer (as float), |r| <= pi/4 + eps."""
-    xa = jnp.abs(x)
-    q = jnp.floor(xa * (4.0 / jnp.pi))
+    xa = ns.abs(x)
+    q = ns.floor(xa * (4.0 / jnp.pi))
     qi = q.astype(jnp.int32 if not _is64(x) else jnp.int64)
     # map quadrant: if odd, bump to even (Cephes: j = (j+1) & ~1 then y++)
     odd = (qi & 1).astype(bool)
-    qi = jnp.where(odd, qi + 1, qi)
-    q = jnp.where(odd, q + 1.0, q)
+    qi = ns.where(odd, qi + 1, qi)
+    q = ns.where(odd, q + 1.0, q)
     if _is64(x):
         dp1, dp2, dp3 = _DP_F64
         r = ((xa - q * dp1) - q * dp2) - q * dp3
@@ -116,9 +244,9 @@ def _sincos_reduce(x):
     return qi, r
 
 
-def _sincos_poly(x):
+def _sincos_poly(ns, x):
     """Returns (sin(|x| reduced), cos(|x| reduced), quadrant int) pieces."""
-    qi, r = _sincos_reduce(x)
+    qi, r = _sincos_reduce(ns, x)
     z = r * r
     if _is64(x):
         s_poly = P.horner(z, list(reversed(_SINCOF_F64)))
@@ -134,16 +262,16 @@ def _sincos_poly(x):
 @_bf16_safe
 def sincos(x, impl=_NATIVE):
     """Simultaneous sin+cos sharing one range reduction (array_math.h sincos)."""
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.sin(x), jnp.cos(x)
-    qi, sin_r, cos_r = _sincos_poly(x)
+        return ns.sin_native(x), ns.cos_native(x)
+    qi, sin_r, cos_r = _sincos_poly(ns, x)
     # After the even-ing step the octant j = qi & 7 is in {0, 2, 4, 6}:
     j = qi & 7
     # For j in {0}: sin=s, cos=c; {2}: sin=c, cos=-s; {4}: sin=-s, cos=-c;
     # {6}: sin=-c, cos=s.
-    sin_v = jnp.where(j == 0, sin_r, jnp.where(j == 2, cos_r, jnp.where(j == 4, -sin_r, -cos_r)))
-    cos_v = jnp.where(j == 0, cos_r, jnp.where(j == 2, -sin_r, jnp.where(j == 4, -cos_r, sin_r)))
+    sin_v = ns.where(j == 0, sin_r, ns.where(j == 2, cos_r, ns.where(j == 4, -sin_r, -cos_r)))
+    cos_v = ns.where(j == 0, cos_r, ns.where(j == 2, -sin_r, ns.where(j == 4, -cos_r, sin_r)))
     sin_v = _mulsign(sin_v, x)
     return sin_v, cos_v
 
@@ -151,14 +279,16 @@ def sincos(x, impl=_NATIVE):
 @_bf16_safe
 def sin(x, impl=_NATIVE):
     if impl == _NATIVE:
-        return jnp.sin(_f(x))
+        ns, x = _prim(x)
+        return ns.sin_native(x)
     return sincos(x, impl)[0]
 
 
 @_bf16_safe
 def cos(x, impl=_NATIVE):
     if impl == _NATIVE:
-        return jnp.cos(_f(x))
+        ns, x = _prim(x)
+        return ns.cos_native(x)
     return sincos(x, impl)[1]
 
 
@@ -169,22 +299,22 @@ _TANCOF_F32 = (9.38540185543e-3, 3.11992232697e-3, 2.44301354525e-2,
 @_bf16_safe
 def tan(x, impl=_NATIVE):
     """Tangent (array_math.h tan); f32 poly path, f64 via sincos."""
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.tan(x)
+        return ns.tan_native(x)
     if _is64(x):
-        qi, r = _sincos_reduce(x)
+        qi, r = _sincos_reduce(ns, x)
         z = r * r
         t = r + r * z * P.horner(z, P64._TAN64)
         flip = (qi & 2).astype(bool)
-        t = jnp.where(flip, -1.0 / t, t)
+        t = ns.where(flip, -1.0 / t, t)
         return _mulsign(t, x)
-    xa = jnp.abs(x)
-    q = jnp.floor(xa * (4.0 / jnp.pi))
+    xa = ns.abs(x)
+    q = ns.floor(xa * (4.0 / jnp.pi))
     qi = q.astype(jnp.int32)
     odd = (qi & 1).astype(bool)
-    qi = jnp.where(odd, qi + 1, qi)
-    q = jnp.where(odd, q + 1.0, q)
+    qi = ns.where(odd, qi + 1, qi)
+    q = ns.where(odd, q + 1.0, q)
     c1, c2, c3, c4 = _DP4_F32
     r = (((xa - q * c1) - q * c2) - q * c3) - q * c4
     z = r * r
@@ -192,14 +322,15 @@ def tan(x, impl=_NATIVE):
     t = r + r * z * t
     # odd half-quadrants: tan = -1/tan
     flip = (qi & 2).astype(bool)
-    t = jnp.where(flip, -1.0 / t, t)
+    t = ns.where(flip, -1.0 / t, t)
     return _mulsign(t, x)
 
 
 @_bf16_safe
 def cot(x, impl=_NATIVE):
     if impl == _NATIVE:
-        return 1.0 / jnp.tan(_f(x))
+        ns, x = _prim(x)
+        return 1.0 / ns.tan_native(x)
     return 1.0 / tan(x, impl)
 
 
@@ -216,76 +347,76 @@ def _asin_kernel64(xx, z):
     return xx + xx * z * P.horner(z, P64._ASIN64)
 
 
-def _asin64(x):
+def _asin64(ns, x):
     """f64 asin: |x| <= 0.5 direct kernel; |x| > 0.5 via the half-angle
     identity asin(a) = pi/2 - 2 asin(sqrt((1-a)/2)) with a two-part pi/2
     (the same branch split as the f32 path / array_math.h asin)."""
-    a = jnp.abs(x)
+    a = ns.abs(x)
     big = a > 0.5
     zb = 0.5 * (1.0 - a)
-    z = jnp.where(big, zb, a * a)
-    xx = jnp.where(big, jnp.sqrt(zb), a)
+    z = ns.where(big, zb, a * a)
+    xx = ns.where(big, ns.sqrt(zb), a)
     p = _asin_kernel64(xx, z)
     rb = P64._PIO2_HI_64 - (2.0 * p - P64._PIO2_LO_64)
-    r = jnp.where(big, rb, p)
+    r = ns.where(big, rb, p)
     return _mulsign(r, x)
 
 
-def _acos64(x):
+def _acos64(ns, x):
     """f64 acos: pi/2 - asin for |x| <= 0.5; 2 asin(sqrt((1-x)/2)) for
     x > 0.5 and pi - that for x < -0.5 (exact at the endpoints)."""
-    a = jnp.abs(x)
+    a = ns.abs(x)
     big = a > 0.5
     zb = 0.5 * (1.0 - a)
-    z = jnp.where(big, zb, a * a)
-    xx = jnp.where(big, jnp.sqrt(zb), a)
+    z = ns.where(big, zb, a * a)
+    xx = ns.where(big, ns.sqrt(zb), a)
     p = _asin_kernel64(xx, z)
     small_v = P64._PIO2_HI_64 - (_mulsign(p, x) - P64._PIO2_LO_64)
     big_pos = 2.0 * p
-    big_v = jnp.where(x < 0, 2.0 * P64._PIO2_HI_64 - (big_pos - 2.0 * P64._PIO2_LO_64), big_pos)
-    return jnp.where(big, big_v, small_v)
+    big_v = ns.where(x < 0, 2.0 * P64._PIO2_HI_64 - (big_pos - 2.0 * P64._PIO2_LO_64), big_pos)
+    return ns.where(big, big_v, small_v)
 
 
 @_bf16_safe
 def asin(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.arcsin(x)
+        return ns.asin_native(x)
     if _is64(x):
-        return _asin64(x)
-    a = jnp.abs(x)
+        return _asin64(ns, x)
+    a = ns.abs(x)
     big = a > 0.5
     z1 = 0.5 * (1.0 - a)
-    x1 = jnp.sqrt(z1)
+    x1 = ns.sqrt(z1)
     z2 = a * a
-    zz = jnp.where(big, z1, z2)
-    xx = jnp.where(big, x1, a)
+    zz = ns.where(big, z1, z2)
+    xx = ns.where(big, x1, a)
     p = P.poly4(zz, *reversed(_ASINCOF_F32))
     r = xx + xx * zz * p
     # split pi/2 to cancel rounding in the pi/2 - 2r branch
     pio2_hi, pio2_lo = 1.5707962513, 7.54978941586e-8
-    r = jnp.where(big, pio2_hi - (2.0 * r - pio2_lo), r)
+    r = ns.where(big, pio2_hi - (2.0 * r - pio2_lo), r)
     return _mulsign(r, x)
 
 
 @_bf16_safe
 def acos(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.arccos(x)
+        return ns.acos_native(x)
     if _is64(x):
-        return _acos64(x)
+        return _acos64(ns, x)
     # acos(x) = pi/2 - asin(x), with the |x|>0.5 branch rewritten for accuracy
-    a = jnp.abs(x)
+    a = ns.abs(x)
     big = a > 0.5
     z = 0.5 * (1.0 - a)
-    s = jnp.sqrt(z)
-    p = P.poly4(jnp.where(big, z, a * a), *reversed(_ASINCOF_F32))
-    xx = jnp.where(big, s, a)
-    r_small = jnp.pi / 2 - _mulsign(xx + xx * jnp.where(big, z, a * a) * p, x)
+    s = ns.sqrt(z)
+    p = P.poly4(ns.where(big, z, a * a), *reversed(_ASINCOF_F32))
+    xx = ns.where(big, s, a)
+    r_small = jnp.pi / 2 - _mulsign(xx + xx * ns.where(big, z, a * a) * p, x)
     r_big_pos = 2.0 * (s + s * z * p)
-    r_big = jnp.where(x < 0, jnp.pi - r_big_pos, r_big_pos)
-    return jnp.where(big, r_big, r_small)
+    r_big = ns.where(x < 0, jnp.pi - r_big_pos, r_big_pos)
+    return ns.where(big, r_big, r_small)
 
 
 _ATANCOF_F32 = (8.05374449538e-2, -1.38776856032e-1, 1.99777106478e-1,
@@ -294,25 +425,32 @@ _ATANCOF_F32 = (8.05374449538e-2, -1.38776856032e-1, 1.99777106478e-1,
 
 @_bf16_safe
 def atan(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.arctan(x)
-    a = jnp.abs(x)
+        return ns.atan_native(x)
+    a = ns.abs(x)
     if _is64(x):
         t3 = a > 2.414213562373095049  # tan(3*pi/8) = 1 + sqrt(2)
         t1 = (a > 0.4142135623730950488) & ~t3  # tan(pi/8) = sqrt(2) - 1
-        y_hi = jnp.where(t3, P64._PIO2_HI_64, jnp.where(t1, P64._PIO4_HI_64, 0.0))
-        y_lo = jnp.where(t3, P64._PIO2_LO_64, jnp.where(t1, P64._PIO4_LO_64, 0.0))
-        xr = jnp.where(t3, -1.0 / jnp.maximum(a, 1e-300),
-                       jnp.where(t1, (a - 1.0) / (a + 1.0), a))
+        # the innermost constant is anchored to x's dtype via full_like: a
+        # bare scalar-scalar select would make an f32 literal on the trace
+        # (the trace cannot see the intended precision), truncating the
+        # two-part pi/2 split to f32 and costing ~1e8 ulp in f64
+        y_hi = ns.where(t3, P64._PIO2_HI_64,
+                        ns.where(t1, P64._PIO4_HI_64, ns.full_like(x, 0.0)))
+        y_lo = ns.where(t3, P64._PIO2_LO_64,
+                        ns.where(t1, P64._PIO4_LO_64, ns.full_like(x, 0.0)))
+        xr = ns.where(t3, -1.0 / ns.maximum(a, 1e-300),
+                      ns.where(t1, (a - 1.0) / (a + 1.0), a))
         z = xr * xr
         r = y_hi + (xr + xr * z * P.horner(z, P64._ATAN64) + y_lo)
         return _mulsign(r, x)
     t3 = a > 2.414213562373095  # tan(3*pi/8)
     t1 = (a > 0.4142135623730950) & ~t3  # tan(pi/8)
-    y = jnp.where(t3, jnp.pi / 2, jnp.where(t1, jnp.pi / 4, 0.0))
-    xr = jnp.where(t3, -1.0 / jnp.maximum(a, 1e-30),
-                   jnp.where(t1, (a - 1.0) / (a + 1.0), a))
+    y = ns.where(t3, jnp.pi / 2,
+                 ns.where(t1, jnp.pi / 4, ns.full_like(x, 0.0)))
+    xr = ns.where(t3, -1.0 / ns.maximum(a, 1e-30),
+                  ns.where(t1, (a - 1.0) / (a + 1.0), a))
     z = xr * xr
     p = P.poly3(z, *reversed(_ATANCOF_F32))
     r = y + (xr + xr * z * p)
@@ -320,16 +458,16 @@ def atan(x, impl=_NATIVE):
 
 
 def atan2(y, x, impl=_NATIVE):
-    y, x = _f(y), _f(x)
+    ns, y, x = _prim2(y, x)
     if impl == _NATIVE:
-        return jnp.arctan2(y, x)
+        return ns.atan2_native(y, x)
     # Quadrant fixup around atan(y/x) with mask logic (array_math.h atan2)
-    base = atan(y / jnp.where(x == 0.0, jnp.finfo(x.dtype).tiny, x), impl)
-    base = jnp.where(x == 0.0, 0.0, base)
-    adj = jnp.where(x < 0, _copysign(jnp.asarray(jnp.pi, x.dtype), y), 0.0)
+    base = atan(y / ns.where(x == 0.0, jnp.finfo(x.dtype).tiny, x), impl)
+    base = ns.where(x == 0.0, 0.0, base)
+    adj = ns.where(x < 0, _copysign(ns.full_like(x, jnp.pi), y), 0.0)
     r = base + adj
     # x == 0: +/- pi/2 by sign of y
-    r = jnp.where(x == 0.0, _copysign(jnp.asarray(jnp.pi / 2, x.dtype), y), r)
+    r = ns.where(x == 0.0, _copysign(ns.full_like(x, jnp.pi / 2), y), r)
     return r
 
 
@@ -348,11 +486,11 @@ _EXP_Q_F64 = (3.00198505138664455042e-6, 2.52448340349684104192e-3,
 
 @_bf16_safe
 def exp(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.exp(x)
+        return ns.exp_native(x)
     if _is64(x):
-        n = jnp.floor(1.4426950408889634073599 * x + 0.5)
+        n = ns.floor(1.4426950408889634073599 * x + 0.5)
         xr = x - n * 6.93145751953125e-1 - n * 1.42860682030941723212e-6
         xx = xr * xr
         px = xr * P.horner(xx, list(reversed(_EXP_P_F64)))
@@ -360,15 +498,15 @@ def exp(x, impl=_NATIVE):
         ex = 1.0 + 2.0 * px / (qx - px)
         r = _ldexp(ex, n)
     else:
-        n = jnp.floor(1.44269504088896341 * x + 0.5)
+        n = ns.floor(1.44269504088896341 * x + 0.5)
         xr = x - n * 0.693359375 - n * (-2.12194440e-4)
         z = P.poly5(xr, *reversed(_EXPCOF_F32))
         r = 1.0 + xr + xr * xr * z
         r = _ldexp(r, n)
     hi = 88.3762626647949 if not _is64(x) else 709.782712893384
     lo = -87.33654 if not _is64(x) else -708.396
-    r = jnp.where(x > hi, jnp.inf, r)
-    r = jnp.where(x < lo, 0.0, r)
+    r = ns.where(x > hi, jnp.inf, r)
+    r = ns.where(x < lo, 0.0, r)
     return r
 
 
@@ -386,14 +524,14 @@ _LOG_Q_F64 = (1.12873587189167450590e1, 4.52279145837532221105e1,
 
 @_bf16_safe
 def log(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.log(x)
+        return ns.log_native(x)
     mant, e = _frexp(x)
     e = e.astype(x.dtype)
     small = mant < 0.70710678118654752440  # sqrt(0.5)
-    mant = jnp.where(small, 2.0 * mant, mant)
-    e = jnp.where(small, e - 1.0, e)
+    mant = ns.where(small, 2.0 * mant, mant)
+    e = ns.where(small, e - 1.0, e)
     m = mant - 1.0
     if _is64(x):
         pp = P.horner(m, list(reversed(_LOG_P_F64)))
@@ -414,9 +552,9 @@ def log(x, impl=_NATIVE):
     y = y + e * (-2.121944400546905827679e-4)
     r = m + y
     r = r + e * 0.693359375
-    r = jnp.where(x == 0.0, -jnp.inf, r)
-    r = jnp.where(x < 0.0, jnp.nan, r)
-    r = jnp.where(jnp.isinf(x) & (x > 0), jnp.inf, r)
+    r = ns.where(x == 0.0, -jnp.inf, r)
+    r = ns.where(x < 0.0, jnp.nan, r)
+    r = ns.where(ns.isinf(x) & (x > 0), jnp.inf, r)
     return r
 
 
@@ -425,10 +563,10 @@ def exp2(x, impl=_NATIVE):
     """2^x. Poly path: n = round(x) splits off EXACTLY, the residue
     |r| <= 0.5 runs through the exp polynomial on r*ln2 (rounding of ln2 is
     ~1e-9 relative -- negligible), then an exact ldexp."""
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.exp2(x)
-    n = jnp.floor(x + 0.5)
+        return ns.exp2_native(x)
+    n = ns.floor(x + 0.5)
     r = (x - n) * 0.69314718055994530942
     if _is64(x):
         xx = r * r
@@ -441,47 +579,49 @@ def exp2(x, impl=_NATIVE):
     out = _ldexp(y, n)
     hi = 128.0 if not _is64(x) else 1024.0
     lo = -126.0 if not _is64(x) else -1022.0
-    out = jnp.where(x >= hi, jnp.inf, out)
-    out = jnp.where(x < lo, 0.0, out)
+    out = ns.where(x >= hi, jnp.inf, out)
+    out = ns.where(x < lo, 0.0, out)
     return out
 
 
 @_bf16_safe
 def log2(x, impl=_NATIVE):
-    x = _f(x)
     if impl == _NATIVE:
-        return jnp.log2(x)
+        ns, x = _prim(x)
+        return ns.log2_native(x)
     return log(x, impl) * 1.4426950408889634074
 
 
 def log1p(x, impl=_NATIVE):
-    return jnp.log1p(_f(x))
+    ns, x = _prim(x)
+    return ns.log1p_native(x)
 
 
 def expm1(x, impl=_NATIVE):
-    return jnp.expm1(_f(x))
+    ns, x = _prim(x)
+    return ns.expm1_native(x)
 
 
 @_bf16_safe
 def cbrt(x, impl=_NATIVE):
     """Cube root: exp2(log2|x|/3) + one Newton step (array_math.h cbrt)."""
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.cbrt(x)
-    a = jnp.abs(x)
-    y = exp2(log2(jnp.maximum(a, jnp.finfo(x.dtype).tiny), impl) * (1.0 / 3.0), impl)
+        return ns.cbrt_native(x)
+    a = ns.abs(x)
+    y = exp2(log2(ns.maximum(a, jnp.finfo(x.dtype).tiny), impl) * (1.0 / 3.0), impl)
     # Newton: y <- y - (y - a/y^2)/3
     y = y - (y - a / (y * y)) * (1.0 / 3.0)
-    y = jnp.where(a == 0.0, 0.0, y)
-    y = jnp.where(jnp.isinf(a), jnp.inf, y)
+    y = ns.where(a == 0.0, 0.0, y)
+    y = ns.where(ns.isinf(a), jnp.inf, y)
     return _mulsign(y, x)
 
 
 def pow(x, y, impl=_NATIVE):
     """x**y = exp2(y*log2 x) (array_math.h pow: exp(log(x)*y))."""
-    x, y = _f(x), _f(y)
+    ns, x, y = _prim2(x, y)
     if impl == _NATIVE:
-        return jnp.power(x, y)
+        return ns.pow_native(x, y)
     return exp(log(x, impl) * y, impl)
 
 
@@ -494,28 +634,28 @@ _SINHCOF_F32 = (2.03721912945e-4, 8.33028376239e-3, 1.66667160211e-1)
 
 @_bf16_safe
 def sinh(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.sinh(x)
-    a = jnp.abs(x)
+        return ns.sinh_native(x)
+    a = ns.abs(x)
     big = a > 1.0
     e = exp(a, impl)
     big_v = 0.5 * (e - 1.0 / e)
     z = x * x
     if _is64(x):
-        small_v_abs = jnp.abs(x + x * z * P.horner(z, P64._SINH64))
+        small_v_abs = ns.abs(x + x * z * P.horner(z, P64._SINH64))
     else:
-        small_v_abs = jnp.abs(x + x * z * P.poly2(z, *reversed(_SINHCOF_F32)))
-    r = jnp.where(big, big_v, small_v_abs)
+        small_v_abs = ns.abs(x + x * z * P.poly2(z, *reversed(_SINHCOF_F32)))
+    r = ns.where(big, big_v, small_v_abs)
     return _mulsign(r, x)
 
 
 @_bf16_safe
 def cosh(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.cosh(x)
-    e = exp(jnp.abs(x), impl)
+        return ns.cosh_native(x)
+    e = exp(ns.abs(x), impl)
     return 0.5 * (e + 1.0 / e)
 
 
@@ -531,19 +671,19 @@ _TANHCOF_F32 = (-5.70498872745e-3, 2.06390887954e-2, -5.37397155531e-2,
 
 @_bf16_safe
 def tanh(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.tanh(x)
-    a = jnp.abs(x)
+        return ns.tanh_native(x)
+    a = ns.abs(x)
     big = a > 0.625
     big_v = 1.0 - 2.0 / (exp(2.0 * a, impl) + 1.0)
     z = x * x
     if _is64(x):
-        small_v = jnp.abs(x + x * z * P.horner(z, P64._TANH64))
+        small_v = ns.abs(x + x * z * P.horner(z, P64._TANH64))
     else:
-        small_v = jnp.abs(x + x * z * P.poly4(z, *reversed(_TANHCOF_F32)))
-    r = jnp.where(big, big_v, small_v)
-    r = jnp.where(a > (20.0 if _is64(x) else 10.0), 1.0, r)
+        small_v = ns.abs(x + x * z * P.poly4(z, *reversed(_TANHCOF_F32)))
+    r = ns.where(big, big_v, small_v)
+    r = ns.where(a > (20.0 if _is64(x) else 10.0), 1.0, r)
     return _mulsign(r, x)
 
 
@@ -553,10 +693,10 @@ _ASINHCOF_F32 = (2.0122003309e-2, -4.2699340972e-2, 7.4847586088e-2,
 
 @_bf16_safe
 def asinh(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.arcsinh(x)
-    a = jnp.abs(x)
+        return ns.asinh_native(x)
+    a = ns.abs(x)
     huge = a > (1e8 if _is64(x) else 1500.0)
     big = (a > 0.5) & ~huge
     z = x * x
@@ -564,35 +704,41 @@ def asinh(x, impl=_NATIVE):
         small_v = a + a * z * P.horner(z, P64._ASINH64)
     else:
         small_v = a + a * z * P.poly3(z, *reversed(_ASINHCOF_F32))
-    big_v = log(a + jnp.sqrt(jnp.minimum(z, jnp.finfo(x.dtype).max) + 1.0), impl)
-    huge_v = log(jnp.maximum(a, 1.0), impl) + 0.6931471805599453
-    r = jnp.where(huge, huge_v, jnp.where(big, big_v, small_v))
+    big_v = log(a + ns.sqrt(ns.minimum(z, jnp.finfo(x.dtype).max) + 1.0), impl)
+    huge_v = log(ns.maximum(a, 1.0), impl) + 0.6931471805599453
+    r = ns.where(huge, huge_v, ns.where(big, big_v, small_v))
     return _mulsign(r, x)
 
 
 _ACOSHCOF_F32 = (1.4142135263e0, -1.1784741703e-1, 2.6454905019e-2,
                  -7.5272886713e-3, 1.7596881071e-3)
 
+# sqrt(float_max), precomputed IN the working precision (np.sqrt on an
+# f32 scalar computes in f32) so results match the pre-generic
+# jnp.sqrt(finfo.max) exactly.
+_SQRT_MAX_F32 = float(np.sqrt(np.float32(np.finfo(np.float32).max)))
+_SQRT_MAX_F64 = float(np.sqrt(np.finfo(np.float64).max))
+
 
 @_bf16_safe
 def acosh(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.arccosh(x)
+        return ns.acosh_native(x)
     z = x - 1.0
     huge = x > (1e8 if _is64(x) else 1500.0)
     small = (z < 0.5) & ~huge
-    zs = jnp.maximum(z, 0.0)
+    zs = ns.maximum(z, 0.0)
     if _is64(x):
         # acosh(1+z) = sqrt(2z) * C(z) (own fit, tools/fit_math_f64.py)
-        small_v = jnp.sqrt(2.0 * zs) * P.horner(zs, P64._ACOSH64)
+        small_v = ns.sqrt(2.0 * zs) * P.horner(zs, P64._ACOSH64)
     else:
-        small_v = jnp.sqrt(zs) * P.horner(zs, list(_ACOSHCOF_F32))
-    xc = jnp.minimum(x, jnp.sqrt(jnp.finfo(x.dtype).max))
-    big_v = log(xc + jnp.sqrt(jnp.maximum(xc * xc - 1.0, 0.0)), impl)
-    huge_v = log(jnp.maximum(x, 1.0), impl) + 0.6931471805599453
-    r = jnp.where(huge, huge_v, jnp.where(small, small_v, big_v))
-    return jnp.where(x < 1.0, jnp.nan, r)
+        small_v = ns.sqrt(zs) * P.horner(zs, list(_ACOSHCOF_F32))
+    xc = ns.minimum(x, _SQRT_MAX_F64 if _is64(x) else _SQRT_MAX_F32)
+    big_v = log(xc + ns.sqrt(ns.maximum(xc * xc - 1.0, 0.0)), impl)
+    huge_v = log(ns.maximum(x, 1.0), impl) + 0.6931471805599453
+    r = ns.where(huge, huge_v, ns.where(small, small_v, big_v))
+    return ns.where(x < 1.0, jnp.nan, r)
 
 
 _ATANHCOF_F32 = (1.81740078349e-1, 8.24370301058e-2, 1.46691431730e-1,
@@ -601,20 +747,20 @@ _ATANHCOF_F32 = (1.81740078349e-1, 8.24370301058e-2, 1.46691431730e-1,
 
 @_bf16_safe
 def atanh(x, impl=_NATIVE):
-    x = _f(x)
+    ns, x = _prim(x)
     if impl == _NATIVE:
-        return jnp.arctanh(x)
-    a = jnp.abs(x)
+        return ns.atanh_native(x)
+    a = ns.abs(x)
     big = a >= 0.5
     z = x * x
     if _is64(x):
         small_v = x + x * z * P.horner(z, P64._ATANH64)
     else:
         small_v = x + x * z * P.poly4(z, *reversed(_ATANHCOF_F32))
-    big_v = _mulsign(0.5 * log((1.0 + a) / jnp.maximum(1.0 - a, jnp.finfo(x.dtype).tiny), impl), x)
-    r = jnp.where(big, big_v, small_v)
-    r = jnp.where(a >= 1.0, _mulsign(jnp.asarray(jnp.inf, x.dtype), x), r)
-    r = jnp.where(a > 1.0, jnp.nan, r)
+    big_v = _mulsign(0.5 * log((1.0 + a) / ns.maximum(1.0 - a, jnp.finfo(x.dtype).tiny), impl), x)
+    r = ns.where(big, big_v, small_v)
+    r = ns.where(a >= 1.0, _mulsign(ns.full_like(x, jnp.inf), x), r)
+    r = ns.where(a > 1.0, jnp.nan, r)
     return r
 
 
@@ -622,7 +768,8 @@ def atanh(x, impl=_NATIVE):
 def csc(x, impl=_NATIVE):
     """Cosecant 1/sin (array_math.h csc)."""
     if impl == _NATIVE:
-        return 1.0 / jnp.sin(_f(x))
+        ns, x = _prim(x)
+        return 1.0 / ns.sin_native(x)
     return 1.0 / sin(x, impl)
 
 
@@ -630,7 +777,8 @@ def csc(x, impl=_NATIVE):
 def sec(x, impl=_NATIVE):
     """Secant 1/cos (array_math.h sec)."""
     if impl == _NATIVE:
-        return 1.0 / jnp.cos(_f(x))
+        ns, x = _prim(x)
+        return 1.0 / ns.cos_native(x)
     return 1.0 / cos(x, impl)
 
 
@@ -654,86 +802,16 @@ def coth(x, impl=_NATIVE):
 # ---------------------------------------------------------------------------
 
 
-def fmod(a, b):
-    return jnp.fmod(_f(a), _f(b))
+def fmod(a, b, impl=_NATIVE):
+    ns, a, b = _prim2(a, b)
+    return ns.fmod_native(a, b)
 
 
 def hypot(a, b):
     """Overflow-safe hypot (array_math.h:1364)."""
-    a, b = jnp.abs(_f(a)), jnp.abs(_f(b))
-    mx = jnp.maximum(a, b)
-    mn = jnp.minimum(a, b)
-    t = mn / jnp.where(mx == 0.0, 1.0, mx)
-    return jnp.where(mx == 0.0, 0.0, mx * jnp.sqrt(1.0 + t * t))
-
-
-# ---------------------------------------------------------------------------
-# Lazy-backend routing: "one source, every backend" (array_router.h:23-158,
-# array_math.h:121-150's 5-way dispatch macro). Every public function above
-# also accepts LazyArray operands: the call then records trace opcodes (the
-# CUDAArray route -- the reference's lazy backend likewise takes the
-# HW/native transcendental path, cuda.h:433-453, so the impl selector does
-# not apply) and fuses into the surrounding lazy program at eval.
-# ---------------------------------------------------------------------------
-
-
-def _wrap_lazy(fn, route, nargs):
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kw):
-        from . import backend as B
-
-        head = args[:nargs]
-        if any(B.is_lazy(a) for a in head):
-            import enoki_tpu.trace as t
-
-            ref = next(a for a in head if B.is_lazy(a))
-            head = tuple(a if B.is_lazy(a) else ref._coerce(a)
-                         for a in head)
-            return route(t, *head)
-        return fn(*args, **kw)
-
-    return wrapped
-
-
-_LAZY_ROUTES_1 = {
-    "sin": lambda t, x: t.sin(x), "cos": lambda t, x: t.cos(x),
-    "sincos": lambda t, x: t.sincos(x), "tan": lambda t, x: t.tan(x),
-    "cot": lambda t, x: 1.0 / t.tan(x),
-    "asin": lambda t, x: t.asin(x), "acos": lambda t, x: t.acos(x),
-    "atan": lambda t, x: t.atan(x),
-    "exp": lambda t, x: t.exp(x), "exp2": lambda t, x: t.exp2(x),
-    "log": lambda t, x: t.log(x), "log2": lambda t, x: t.log2(x),
-    "log1p": lambda t, x: t.log1p(x), "expm1": lambda t, x: t.expm1(x),
-    "cbrt": lambda t, x: t.cbrt(x),
-    "sinh": lambda t, x: t.sinh(x), "cosh": lambda t, x: t.cosh(x),
-    "sincosh": lambda t, x: (t.sinh(x), t.cosh(x)),
-    "tanh": lambda t, x: t.tanh(x),
-    "csc": lambda t, x: 1.0 / t.sin(x),
-    "sec": lambda t, x: 1.0 / t.cos(x),
-    "csch": lambda t, x: 1.0 / t.sinh(x),
-    "sech": lambda t, x: 1.0 / t.cosh(x),
-    "coth": lambda t, x: 1.0 / t.tanh(x),
-    "asinh": lambda t, x: t.asinh(x), "acosh": lambda t, x: t.acosh(x),
-    "atanh": lambda t, x: t.atanh(x),
-}
-
-def _lazy_hypot(t, a, b):
-    from .backend import _TRACE_MATH
-
-    return _TRACE_MATH.hypot(a, b)
-
-
-_LAZY_ROUTES_2 = {
-    "atan2": lambda t, y, x: t.atan2(y, x),
-    "pow": lambda t, x, y: t.pow(x, y),
-    "fmod": lambda t, a, b: t.fmod(a, b),
-    "hypot": _lazy_hypot,
-}
-
-for _name, _route in _LAZY_ROUTES_1.items():
-    globals()[_name] = _wrap_lazy(globals()[_name], _route, 1)
-for _name, _route in _LAZY_ROUTES_2.items():
-    globals()[_name] = _wrap_lazy(globals()[_name], _route, 2)
-del _name, _route
+    ns, a, b = _prim2(a, b)
+    a, b = ns.abs(a), ns.abs(b)
+    mx = ns.maximum(a, b)
+    mn = ns.minimum(a, b)
+    t = mn / ns.where(mx == 0.0, 1.0, mx)
+    return ns.where(mx == 0.0, 0.0, mx * ns.sqrt(1.0 + t * t))

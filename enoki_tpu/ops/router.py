@@ -355,6 +355,20 @@ def ldexp(x, e):
     inf/NaN propagate unchanged -- same contract as the reference's
     vectorized path (array_fallbacks.h:310, which also assumes normal x).
     """
+    if _lazy_any(x, e):
+        import enoki_tpu.trace as t
+
+        x = _lift_arr(x)
+        if x.dtype == jnp.float64:
+            mbits, itype = 52, jnp.int64
+        else:
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.cast(jnp.float32)
+            mbits, itype = 23, jnp.int32
+        e = (e if _lazy_any(e) else _lift_arr(e)).cast(itype)
+        bits = x.bitcast(itype)
+        scaled = (bits + (e << mbits)).bitcast(x.dtype)
+        return t.select((x == 0.0) | ~t.isfinite(x), x, scaled)
     x = jnp.asarray(x)
     if x.dtype == jnp.float64:
         ebits, mbits, itype = 11, 52, jnp.int64
@@ -378,6 +392,24 @@ def frexp(x):
     (mantissa in [0.5, 1), exponent) matching std::frexp so that
     x == mantissa * 2**exponent.
     """
+    if _lazy_any(x):
+        import enoki_tpu.trace as t
+
+        if x.dtype == jnp.float64:
+            ebits, mbits, itype, bias = 11, 52, jnp.int64, 1023
+        else:
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.cast(jnp.float32)
+            ebits, mbits, itype, bias = 8, 23, jnp.int32, 127
+        bits = x.bitcast(itype)
+        emask = (1 << ebits) - 1
+        raw_exp = (bits >> mbits) & emask
+        exp = raw_exp - (bias - 1)
+        mant_bits = (bits & ~(emask << mbits)) | ((bias - 1) << mbits)
+        mant = mant_bits.bitcast(x.dtype)
+        zero = x == 0.0
+        return (t.select(zero, x._coerce(0.0), mant),
+                t.select(zero, exp._coerce(0), exp))
     x = jnp.asarray(x)
     if x.dtype == jnp.float64:
         ebits, mbits, itype, bias = 11, 52, jnp.int64, 1023

@@ -118,6 +118,103 @@ def test_sincos_and_sincosh_unified():
                                    atol=1e-6)
 
 
+# Poly-capable transcendentals: impl="poly" must be HONORED on the lazy
+# backend (round 4; extends one-source to the accuracy dimension -- the
+# reference's CUDA backend forces HW approx, cuda.h:433-453, but our
+# ops/math.py kernels are written against a generic primitive namespace
+# so the same Cody-Waite source records trace opcodes).
+POLY_FNS = [
+    (M.sin, SYM * 100), (M.cos, SYM * 100), (M.tan, SYM * 30),
+    (M.asin, UNIT), (M.acos, UNIT), (M.atan, SYM * 30),
+    (M.exp, SYM * 30), (M.exp2, SYM * 30), (M.log, POS), (M.log2, POS),
+    (M.cbrt, SYM * 1e4), (M.sinh, SYM * 30), (M.cosh, SYM * 30),
+    (M.tanh, SYM * 5), (M.asinh, SYM * 1e3), (M.acosh, GT1 * 100),
+    (M.atanh, UNIT), (M.csc, POS), (M.sec, SYM), (M.cot, POS),
+    (M.csch, POS), (M.sech, SYM), (M.coth, POS),
+]
+
+
+@pytest.mark.parametrize("fn,dom", POLY_FNS,
+                         ids=[f.__name__ for f, _ in POLY_FNS])
+def test_lazy_impl_poly_honored(fn, dom):
+    """impl='poly' on a LazyArray (a) stays on the trace, (b) records the
+    polynomial program (more ops than the single native opcode -- the
+    impl-SENSITIVITY assertion: a silently-dropped kwarg fails here) and
+    (c) agrees with the eager poly result to FMA-contraction noise (the
+    fused XLA program may contract a*b+c; a few ulp)."""
+    tr.reset()
+    x = LazyArray(dom)
+    native = fn(x, "native")
+    n_native = tr.stats()["n_appends"]
+    tr.reset()
+    x = LazyArray(dom)
+    out = fn(x, "poly")
+    n_poly = tr.stats()["n_appends"]
+    assert isinstance(out, LazyArray), f"{fn.__name__} left the trace"
+    assert n_poly > n_native + 3, \
+        (f"{fn.__name__}(impl='poly') recorded {n_poly} ops vs native "
+         f"{n_native}: the kwarg looks silently dropped")
+    eager = np.asarray(fn(jnp.asarray(dom), "poly"), np.float64)
+    lazy = np.asarray(out.numpy(), np.float64)
+    np.testing.assert_allclose(lazy, eager, rtol=1e-6, atol=1e-30,
+                               equal_nan=True, err_msg=fn.__name__)
+    assert isinstance(native, LazyArray)
+
+
+def test_lazy_impl_poly_binary():
+    tr.reset()
+    for fn, d1, d2 in [(M.atan2, SYM, POS), (M.pow, POS, SYM)]:
+        out = fn(LazyArray(d1), LazyArray(d2), "poly")
+        assert isinstance(out, LazyArray)
+        eager = np.asarray(fn(jnp.asarray(d1), jnp.asarray(d2), "poly"),
+                           np.float64)
+        np.testing.assert_allclose(np.asarray(out.numpy(), np.float64),
+                                   eager, rtol=1e-6, atol=1e-30,
+                                   equal_nan=True, err_msg=fn.__name__)
+
+
+def test_lazy_impl_poly_sincos_fuses_one_program():
+    """sincos(impl='poly') shares ONE range reduction on the trace and the
+    pair evaluates in one fused program."""
+    tr.reset()
+    s, c = M.sincos(LazyArray(SYM * 100), "poly")
+    before = tr.stats()["n_evals"]
+    tr.eval(s, c)
+    assert tr.stats()["n_evals"] == before + 1
+    np.testing.assert_allclose(s.numpy(), np.sin(SYM * 100), rtol=2e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(c.numpy(), np.cos(SYM * 100), rtol=2e-5,
+                               atol=1e-6)
+
+
+def test_lazy_impl_poly_bf16_policy():
+    """16-bit lazy inputs run the poly kernel in f32 and round back
+    (_bf16_safe is backend-generic)."""
+    x = LazyArray(SYM.astype(np.dtype("bfloat16")))
+    out = M.sin(x, "poly")
+    assert isinstance(out, LazyArray)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out.numpy(), np.float32),
+                               np.sin(SYM), atol=0.01)
+
+
+def test_lazy_ldexp_frexp():
+    """The dual-backend ldexp/frexp the lazy poly kernels ride on
+    (router.py; exponent-field bit arithmetic as trace opcodes)."""
+    from enoki_tpu import ops
+
+    x = np.array([0.0, 1.5, -3.25, 1e-20, 7.0], np.float32)
+    e = np.array([0, 3, -2, 10, -1], np.int32)
+    got = ops.ldexp(LazyArray(x), LazyArray(e))
+    assert isinstance(got, LazyArray)
+    np.testing.assert_array_equal(got.numpy(), np.ldexp(x, e))
+    m, ex = ops.frexp(LazyArray(x))
+    assert isinstance(m, LazyArray) and isinstance(ex, LazyArray)
+    m_ref, e_ref = np.frexp(x)
+    np.testing.assert_array_equal(m.numpy(), m_ref)
+    np.testing.assert_array_equal(ex.numpy(), e_ref)
+
+
 def test_reductions_unified():
     x = POS
     for fn in (ops.hsum, ops.hprod, ops.hmax, ops.hmin, ops.hmean,
