@@ -109,6 +109,161 @@ def collective_stats(n: int, n_devices: Optional[int] = None,
     return CollectiveStats(n, nd, flops, total, shapes)
 
 
+@dataclasses.dataclass
+class OverlapReport:
+    """Schedule-level evidence for the overlap north star (round 4).
+
+    BASELINE.json asks for "grad all-reduce overlapped with backward,
+    >= 90% scaling efficiency". The r3 dryrun proved the payload bound
+    (36 B, resolution-independent); this report reads the compiled
+    SCHEDULE and classifies what actually happens to that payload:
+
+    * async pairs (TPU): ``all-reduce-start``/``all-reduce-done`` with
+      compute instructions scheduled BETWEEN them -- direct overlap.
+    * sync all-reduce: instructions scheduled after it that do NOT
+      transitively depend on its result -- issued-early evidence an
+      async backend would overlap.
+    * neither (the MEASURED outcome for this model, documented in
+      docs/distributed.md): XLA's all-reduce COMBINER merges the loss
+      psum and all nine scalar grad psums into ONE ~40 B all-reduce
+      that every trailing instruction (the optimizer update) consumes.
+      There is no backward left to overlap -- the whole gradient is one
+      cacheline, all of it becomes ready in the final grad fusion, and
+      the combiner's single-collective schedule is the OPTIMAL one.
+      For this case ``ok`` requires the zero-overlap wire cost to fit
+      inside the north star's headroom: comm_share <= 1 - 0.90 (it is
+      ~1e-2 at 16 devices), which the dryrun asserts every run.
+
+    ``n_allreduce`` doubles as the per-pixel-collective regression
+    guard at the schedule level: > 1 combined all-reduce means the
+    combiner found something it could not merge (e.g. a reintroduced
+    per-pixel psum with different replica groups).
+    """
+
+    n_allreduce: int              # combined all-reduce count (expect 1)
+    async_pairs: int              # all-reduce-start/done pairs found
+    overlapped_between: int       # instrs scheduled between start..done
+    trailing_total: int           # instrs after the (first) all-reduce
+    trailing_independent: int     # ...of which independent of its result
+    comm_share: float             # zero-overlap wire cost / step time
+    ok: bool                      # overlap evidenced OR cost in headroom
+
+
+# instruction line: "  [ROOT ]%name = <type> opcode(operands), ..." where
+# <type> is either a tuple "(f32[], /*index=5*/f32[], ...)" (no nested
+# parens; [] for array dims) or a single token "f32[16,32]{1,0}"
+_INSTR_RE = re.compile(r"^\s+(ROOT\s+)?(%?[\w.\-]+)\s*=\s*"
+                       r"(?:\([^()]*\)|\S+)\s+([a-z][a-z0-9\-]*)\(")
+
+
+def _parse_hlo_computations(hlo: str):
+    """{computation: [(instr_name, opcode, {referenced names})]} in the
+    printed (scheduled) order."""
+    comps = {}
+    cur = None
+    for line in hlo.splitlines():
+        if (line and not line[0].isspace() and "{" in line
+                and "=" not in line.split("{")[0]):
+            name = line.split("{")[0].strip()
+            cur = comps.setdefault(name, [])
+            continue
+        m = _INSTR_RE.match(line)
+        if m and cur is not None:
+            iname = m.group(2).lstrip("%")
+            op = m.group(3)
+            rest = line[m.end():]
+            deps = {d.lstrip("%") for d in re.findall(r"%[\w.\-]+", rest)}
+            if not deps:
+                # unprefixed operand form (newer HLO dumps drop the %)
+                head = rest.split(")", 1)[0]
+                deps = {t.strip() for t in head.split(",") if t.strip()
+                        and not t.strip()[0].isdigit()}
+            cur.append((iname, op, deps))
+    return comps
+
+
+# opcodes that represent real work when scheduled after the all-reduce
+_COMPUTE_OPS = ("fusion", "dot", "convolution", "while", "custom-call",
+                "reduce", "scatter", "sort")
+
+
+def schedule_overlap_report(n: int = 256,
+                            n_devices: Optional[int] = None,
+                            renderer=None,
+                            target_eff: float = 0.90) -> OverlapReport:
+    """Compile the N-device shard_map train step and classify, from the
+    scheduled HLO, how the grad all-reduce relates to the surrounding
+    compute (see OverlapReport)."""
+    import optax
+
+    from .mesh import make_mesh, image_sharding
+    from .render import make_train_step_shardmap
+    from ..render.sphere import SphereScene
+
+    mesh = make_mesh(n_devices)
+    nd = mesh.devices.size
+    opt = optax.adam(1e-2)
+    step = make_train_step_shardmap(n, mesh, opt, **(
+        {} if renderer is None else {"renderer": renderer}))
+    scene = SphereScene.reference()
+    target = jax.device_put(jnp.zeros((n, n), jnp.float32),
+                            image_sharding(mesh))
+    hlo = step.lower(scene, target, opt.init(scene)).compile().as_text()
+    comps = _parse_hlo_computations(hlo)
+
+    n_allreduce = 0
+    allreduce_bytes = 0
+    async_pairs = 0
+    overlapped_between = 0
+    trailing_total = 0
+    trailing_independent = 0
+    for instrs in comps.values():
+        starts = [i for i, (_, op, _) in enumerate(instrs)
+                  if op == "all-reduce-start"]
+        for i in starts:
+            async_pairs += 1
+            n_allreduce += 1
+            done = next((j for j in range(i + 1, len(instrs))
+                         if instrs[j][1] == "all-reduce-done"
+                         and instrs[i][0] in instrs[j][2]), len(instrs))
+            overlapped_between += sum(
+                1 for j in range(i + 1, min(done, len(instrs)))
+                if instrs[j][1] in _COMPUTE_OPS)
+        ars = [i for i, (_, op, _) in enumerate(instrs)
+               if op == "all-reduce"]
+        n_allreduce += len(ars)
+        for i in ars:
+            # transitive closure of the all-reduce's users in schedule
+            # order: anything after it NOT in the closure was held back
+            # by the scheduler, not by a data dependency
+            dependent = {instrs[i][0]}
+            for j in range(i + 1, len(instrs)):
+                name, _, deps = instrs[j]
+                if deps & dependent:
+                    dependent.add(name)
+            tail = [instrs[j] for j in range(i + 1, len(instrs))
+                    if instrs[j][1] in _COMPUTE_OPS]
+            trailing_total += len(tail)
+            trailing_independent += sum(
+                1 for name, _, _ in tail if name not in dependent)
+
+    # zero-overlap wire cost as a share of the step time in the
+    # PRODUCTION regime the north star speaks about: weak scaling, one
+    # 1024^2 tile per device, >= 2 hosts (16 devices). The payload is
+    # asserted resolution-independent elsewhere, so probing at a tiny n
+    # measures the same bytes.
+    allreduce_bytes = collective_stats(n, n_devices,
+                                       renderer=renderer).allreduce_bytes \
+        if n_allreduce else 0
+    t_comm = _torus_allreduce_s(allreduce_bytes, max(nd, 16))
+    comm_share = t_comm / MEASURED_STEP_S_1024
+    ok = (overlapped_between > 0 or trailing_independent > 0
+          or (n_allreduce == 1 and comm_share <= 1.0 - target_eff))
+    return OverlapReport(n_allreduce, async_pairs, overlapped_between,
+                         trailing_total, trailing_independent,
+                         comm_share, ok)
+
+
 def _torus_allreduce_s(nbytes: int, n_devices: int) -> float:
     """Ring all-reduce decomposed over the axes of the (near-)square 2-D
     torus the mesh maps onto: per axis, 2(a-1)/a bandwidth steps and
