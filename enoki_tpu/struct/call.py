@@ -106,6 +106,12 @@ def dispatch_switch(funcs: Sequence[Callable], uniform_id, *args):
                           [lambda a, f=f: f(*a) for f in funcs], args)
 
 
+# strategy="auto" crossover: masked select-tree below this instance
+# count, sort+partition at/above. Set from the measured chip table in
+# docs/structs.md (tools/bench_vcall.py).
+_AUTO_PARTITION_MIN_K = 16
+
+
 class InstanceRegistry:
     """Host-side instance registry (the analog of enoki's pointer registry).
 
@@ -150,19 +156,31 @@ class InstanceRegistry:
         ids = jnp.asarray(ids, jnp.int32)
         return gather(self.stack(attr), ids, mask=ids >= 0)
 
-    def dispatch(self, method: str, ids, *args, strategy: str = "masked"):
+    def dispatch(self, method: str, ids, *args, strategy: str = "auto"):
         """Vectorized virtual call: ``ptrs->method(args...)``.
 
         Each instance's bound method is called as f(mask, *args).
         LazyArray ids route to the lazy-trace dispatcher (partition +
         gather/callee/scatter recorded into the trace -- the CUDAArray
         vcall path, array_call.h:147-165), regardless of ``strategy``.
+
+        ``strategy="auto"`` (default) picks by instance count using the
+        measured chip crossover (tools/bench_vcall.py, table in
+        docs/structs.md): masked below _AUTO_PARTITION_MIN_K, partition
+        at or above. The reference's partition path exists because it
+        wins at high instance counts (horiz.cu:35); on TPU the masked
+        tree holds on much longer because XLA's static shapes run every
+        callee at full width under BOTH strategies.
         """
         funcs = [getattr(o, method) for o in self._instances]
         if _is_lazy(ids):
             from ..trace.call import dispatch as dispatch_lazy
 
             return dispatch_lazy(funcs, ids, *args)
+        if strategy == "auto":
+            strategy = ("partition"
+                        if len(funcs) >= _AUTO_PARTITION_MIN_K
+                        else "masked")
         if strategy == "masked":
             return dispatch_masked(funcs, ids, *args)
         if strategy == "partition":

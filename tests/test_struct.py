@@ -195,3 +195,49 @@ def test_registry_getter_null_ids():
     reg.register(Mat(7.0))
     got = np.asarray(reg.getter("scale", jnp.asarray([1, -1, 0])))
     np.testing.assert_allclose(got, [7.0, 0.0, 5.0])
+
+
+def test_dispatch_auto_picks_by_instance_count(monkeypatch):
+    """strategy="auto" (round 4): masked below the measured crossover,
+    partition at/above; identical results either way."""
+    from enoki_tpu.struct import call as C
+
+    picked = []
+    orig_m, orig_p = C.dispatch_masked, C.dispatch_partition
+    monkeypatch.setattr(C, "dispatch_masked",
+                        lambda *a, **k: picked.append("masked") or orig_m(*a, **k))
+    monkeypatch.setattr(C, "dispatch_partition",
+                        lambda *a, **k: picked.append("partition") or orig_p(*a, **k))
+
+    class Inst:
+        def __init__(self, c):
+            self.c = float(c)
+
+        def eval(self, m, x):
+            return x * self.c
+
+    x = jnp.arange(12, dtype=jnp.float32)
+
+    small = C.InstanceRegistry()
+    for i in range(3):
+        small.register(Inst(i + 1))
+    ids = jnp.asarray(np.arange(12) % 3, jnp.int32)
+    out = small.dispatch("eval", ids, x)  # default strategy = auto
+    np.testing.assert_allclose(np.asarray(out),
+                               np.arange(12) * (np.arange(12) % 3 + 1))
+    assert picked[-1] == "masked"
+
+    big = C.InstanceRegistry()
+    k = C._AUTO_PARTITION_MIN_K
+    for i in range(k):
+        big.register(Inst(i + 1))
+    ids = jnp.asarray(np.arange(12) % k, jnp.int32)
+    out = big.dispatch("eval", ids, x)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.arange(12) * (np.arange(12) % k + 1))
+    assert picked[-1] == "partition"
+
+    # explicit strategy still respected
+    small.dispatch("eval", jnp.zeros(4, jnp.int32), x[:4],
+                   strategy="partition")
+    assert picked[-1] == "partition"
