@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .implicit import implicit_t_vjp
 from .vec import Vec2, Vec3, dot3
 from .sphere import SphereScene, combined
-from .sdf import SDFScene, sdf
+from .sdf import SDFScene, sdf, sdf_ortho_dist as _sdf_ortho_dist
 
 # Flat parameter-vector layout (padded to 16 for SMEM friendliness):
 # [cx, cy, cz, radius, ambient, gain, lx, ly, lz, 0...]
@@ -180,7 +180,8 @@ render_sphere_pallas.defvjp(_sphere_vjp_fwd, _sphere_vjp_bwd)
 
 
 def _march_tile(dist_at, like, n_steps: int,
-                eps: float = 1e-4, t_max: float = 10.0, chunk: int = 16):
+                eps: float = 1e-4, t_max: float = 10.0, chunk: int = 16,
+                t0=None):
     """Sphere-trace a pixel tile with tile-level early exit.
 
     ``dist_at(t) -> distance`` evaluates the scene SDF at parameter ``t``
@@ -188,7 +189,8 @@ def _march_tile(dist_at, like, n_steps: int,
     orthographic or perspective; the caller closes over origin/direction);
     ``like`` fixes the lane shape/dtype. The generic-renderer factory in
     render/generic.py routes composed scenes and cameras through here
-    unchanged.
+    unchanged. ``t0`` optionally starts each lane at a caller-proven-safe
+    parameter (the cone-march prepass, _cone_t0) instead of 0.
 
     The loop carry is ``t`` alone -- the active/hit masks of the naive
     formulation are recomputable from ``t`` because a frozen lane stays
@@ -199,10 +201,12 @@ def _march_tile(dist_at, like, n_steps: int,
 
     Early exit: an outer ``while_loop`` checks ``any(alive)`` once per
     ``chunk`` unrolled steps and stops marching the whole tile once every
-    lane has converged or escaped. The XLA baseline cannot do this -- its
+    lane has converged or escaped -- including BEFORE the first chunk
+    (the entry aliveness test), so a tile whose lanes all arrive
+    converged or escaped (a cone-prepass background/interior tile)
+    executes ZERO march steps. The XLA baseline cannot do this -- its
     batched ``fori_loop`` runs all n_steps for the whole image -- so this
-    is where the megakernel beats compiler fusion (tiles away from the
-    silhouette converge in far fewer than n_steps steps).
+    is where the megakernel beats compiler fusion.
 
     Exact parity with the fixed-step reference loop: the advance at check
     ``n_steps - 1`` is masked out, so the post-loop hit test reproduces
@@ -210,7 +214,7 @@ def _march_tile(dist_at, like, n_steps: int,
     lanes, where it is frozen, so skipping the last advance never changes
     the image).
     """
-    t = jnp.zeros_like(like)
+    t = jnp.zeros_like(like) if t0 is None else t0
 
     def step(t, k):
         d = dist_at(t)
@@ -232,7 +236,9 @@ def _march_tile(dist_at, like, n_steps: int,
         t, alive = step(t, k + chunk - 1)
         return k + chunk, t, jnp.any(alive)
 
-    _, t, _ = lax.while_loop(cond, body, (0, t, True))
+    d0 = dist_at(t)
+    go0 = jnp.any((d0 >= eps) & (t + d0 <= t_max))
+    _, t, _ = lax.while_loop(cond, body, (0, t, go0))
     d = dist_at(t)
     return t, d < eps
 
@@ -254,25 +260,60 @@ def _sdf_shade_tile(px, py, t, hit, pvec):
     return jnp.where(hit, img, scene.ambient + jnp.zeros_like(img))
 
 
-def _sdf_fwd_kernel(params_ref, out_ref, t_ref, *, n, extent,
-                    n_steps):
+def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
+             margin=1e-3):
+    """Cone-march prepass: a conservative march start map (coarse-to-fine
+    work elimination, round 4).
+
+    One coarse ray per s x s fine-pixel block, marched with the SDF
+    DEFLATED by R = the largest transverse offset between the block's
+    center ray and any fine ray in its footprint (orthographic rays are
+    parallel, so the offset is constant in t). By the SDF's 1-Lipschitz
+    property, sdf(fine(t)) >= sdf(coarse(t)) - R, so every advance the
+    deflated coarse march takes is also safe for every fine ray: no fine
+    ray can cross the surface before the returned t0. Escaped cones need
+    no special case -- their frozen t has d > t_max - t, which instantly
+    fails the fine kernel's aliveness test too.
+
+    Returns the full-resolution (n, n) start map, upsampled, minus a
+    float-safety ``margin``, clamped at 0. Runs as plain jnp inside the
+    caller's jit (m x m = (n/s)^2 rays, ~0.1% of the fine work); the
+    returned map is the analog of an acceleration structure the
+    reference's megakernel JIT has no counterpart for.
+    """
+    m = n // s
+    step = 2.0 * extent / (n - 1)
+    half = (s - 1) / 2.0
+    coords = ((jnp.arange(m, dtype=jnp.float32) * s + half) * step
+              - extent)
+    px = jnp.broadcast_to(coords[None, :], (m, m))
+    py = jnp.broadcast_to(coords[:, None], (m, m))
+    scene = vec_to_scene(pvec, SDFScene)
+    r_cone = jnp.float32((2.0 ** 0.5) * half * step)
+    dist_at = _sdf_ortho_dist(px, py, scene)
+
+    def body(_, t):
+        d = dist_at(t) - r_cone
+        alive = (d >= eps) & (t + d <= t_max)
+        return jnp.where(alive, t + d, t)
+
+    t0 = lax.fori_loop(0, n_steps, body, jnp.zeros((m, m), jnp.float32))
+    t0 = jnp.repeat(jnp.repeat(t0, s, axis=0), s, axis=1)
+    return lax.stop_gradient(jnp.maximum(t0 - margin, 0.0))
+
+
+def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
+                    n_steps, chunk):
     tr, tc = out_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
     scene = vec_to_scene(pvec, SDFScene)
-    # loop-invariant hoist: for the orthographic ray p = (px, py, -1+t)
-    # only the z term depends on t, so the xy part of the sphere distance
-    # sqrt((p-c)|^2) - r is computed ONCE per tile instead of per march
-    # step (Mosaic does not LICM across the while_loop body; this cuts
-    # the inner step from ~12 flops to ~5 + sqrt). Algebraically
-    # identical to sdf(Vec3(px, py, -1+t), scene).
-    dx = px - scene.center.x
-    dy = py - scene.center.y
-    rxy2 = dx * dx + dy * dy + 1e-12
-    z0 = -1.0 - scene.center.z
-    t, hit = _march_tile(
-        lambda t: jnp.sqrt(rxy2 + (z0 + t) * (z0 + t)) - scene.radius,
-        px, n_steps)
+    # the loop-invariant hoisted form of sdf() (shared with the cone
+    # prepass and asserted equivalent to sdf() in tests): the xy part of
+    # the sphere distance is computed ONCE per tile, the inner march
+    # step costs ~5 flops + sqrt.
+    t, hit = _march_tile(_sdf_ortho_dist(px, py, scene),
+                         px, n_steps, chunk=chunk, t0=t0_ref[:, :])
     out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
     # residual for the bwd megakernel: ONE float/pixel beats re-marching
     # n_steps times when fwd+bwd run as a pair (value_and_grad). The hit
@@ -319,46 +360,56 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
         dp_ref[0, k] += dp[k]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
 def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
                       n_steps: int = 64, extent: float = 1.2,
-                      tile: int = 64, tile_c: int = None):
+                      tile: int = 64, tile_c: int = None,
+                      coarse: int = 8, chunk: int = 16):
     """Fused SDF ray-march megakernel -> (n, n) image (config 4).
 
     ``tile`` x ``tile_c`` is the VMEM pixel block (rows x cols; tile_c
-    defaults to tile). 64x256 measures fastest fwd+bwd on v5e: small
-    enough that tile-local early exit bites (see _march_tile), large
-    enough to keep the VPU pipelines full.
+    defaults to tile). ``coarse`` is the cone-prepass block side
+    (_cone_t0; 0 disables the prepass), ``chunk`` the early-exit march
+    granularity (_march_tile). Defaults measured fastest on v5e.
     """
-    return _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c)[0]
+    return _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
+                         coarse, chunk)[0]
 
 
-def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None):
+def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
+                  coarse=8, chunk=16):
     tile_c = tile_c or tile
     assert n % tile == 0 and n % tile_c == 0, \
         "image size must be divisible by the tile size"
     grid = (n // tile, n // tile_c)
     tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
+    pvec = params.reshape(1, N_PARAMS)
+    if coarse:
+        t0 = _cone_t0(params, n, n_steps, extent, coarse)
+    else:
+        t0 = jnp.zeros((n, n), jnp.float32)
     img, ts = pl.pallas_call(
         functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
-                          n_steps=n_steps),
+                          n_steps=n_steps, chunk=chunk),
         grid=grid,
         in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
-                               memory_space=pltpu.SMEM)],
+                               memory_space=pltpu.SMEM),
+                  tile_spec],
         out_specs=(tile_spec, tile_spec),
         out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
                    jax.ShapeDtypeStruct((n, n), jnp.float32)),
-    )(params.reshape(1, N_PARAMS))
+    )(pvec, t0)
     return img, ts
 
 
-def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c):
-    img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c)
+def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk):
+    img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
+                            coarse, chunk)
     return img, (params, ts)
 
 
-def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, res, g):
+def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, res, g):
     params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)

@@ -81,11 +81,72 @@ def test_sphere_pallas_bf16():
     assert np.isfinite(np.asarray(g)).all()
 
 
-def test_sdf_pallas_matches_xla():
+def test_sdf_pallas_matches_xla_exact_trajectory():
+    # coarse=0 disables the cone prepass: the kernel then walks the SAME
+    # march trajectory as the jnp path and must agree to march-noise atol
     scene = SDFScene.reference()
-    img_p = np.asarray(render_sdf_pallas(scene_to_vec(scene), N, 48, 1.2, TILE))
+    img_p = np.asarray(render_sdf_pallas(scene_to_vec(scene), N, 48, 1.2,
+                                         TILE, None, 0))
     img_x = np.asarray(render_sdf(scene, N, 48)).reshape(N, N)
     assert np.allclose(img_p, img_x, atol=1e-3), np.abs(img_p - img_x).max()
+
+
+def test_sdf_pallas_cone_prepass_parity():
+    # The default path starts rays at the cone-prepass t0 (work
+    # elimination). The march then stops at a DIFFERENT point of the
+    # same converged band [d < eps], so per-pixel t differs by O(eps)
+    # -> image differs by O(gain * eps) on hit lanes, and a grazing
+    # ray near the silhouette can flip hit/miss (it converges in fewer
+    # steps from t0; both classifications are within the step budget's
+    # resolution). Gate on the calibrated bound + flip fraction, the
+    # same methodology as the on-chip drive gates.
+    scene = SDFScene.reference()
+    img_p = np.asarray(render_sdf_pallas(scene_to_vec(scene), N, 48, 1.2,
+                                         TILE))
+    img_x = np.asarray(render_sdf(scene, N, 48)).reshape(N, N)
+    d = np.abs(img_p - img_x)
+    flips = d > 1.0  # hit/miss disagreement (image range ~0.2 vs ~100)
+    assert flips.mean() < 1e-3, flips.mean()
+    assert d[~flips].max() < 0.05, d[~flips].max()  # ~ gain * 5 * eps
+    assert d[~flips].mean() < 5e-3
+
+
+def test_sdf_ortho_dist_matches_sdf():
+    # r3 advisor: the hoisted per-tile form must stay algebraically
+    # identical to sdf() (the bwd kernel differentiates sdf() itself)
+    from enoki_tpu.render.sdf import sdf, sdf_ortho_dist
+    from enoki_tpu.render.vec import Vec3
+    rng = np.random.default_rng(0)
+    px = jnp.asarray(rng.uniform(-1.2, 1.2, (64,)).astype(np.float32))
+    py = jnp.asarray(rng.uniform(-1.2, 1.2, (64,)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(0, 3, (64,)).astype(np.float32))
+    scene = SDFScene.reference()
+    a = np.asarray(sdf_ortho_dist(px, py, scene)(t))
+    b = np.asarray(sdf(Vec3(px, py, -1.0 + t), scene))
+    # only the addition order differs: <= 2 ulp
+    np.testing.assert_allclose(a, b, rtol=3e-7, atol=3e-7)
+
+
+def test_cone_prepass_is_conservative():
+    # safety invariant: no fine ray may cross the surface before its
+    # cone-prepass start t0 -- check sdf(ray(t)) > 0 for t < t0 on a
+    # dense sample, and that t0 never exceeds the true hit parameter
+    from enoki_tpu.render.pallas_kernels import _cone_t0
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+    n = 128
+    t0 = np.asarray(_cone_t0(v, n, 64, 1.2, 8))
+    step = 2 * 1.2 / (n - 1)
+    xs = np.arange(n) * step - 1.2
+    px, py = np.meshgrid(xs, xs)  # x varies along columns
+    # closed-form first intersection of the unit sphere at origin,
+    # orthographic rays from z=-1 along +z
+    rxy2 = px ** 2 + py ** 2
+    hits = rxy2 < 1.0
+    t_hit = np.where(hits, 1.0 - np.sqrt(np.maximum(1.0 - rxy2, 0.0)),
+                     np.inf)
+    assert (t0 <= t_hit + 1e-5).all(), \
+        (t0 - t_hit)[t0 > t_hit + 1e-5].max()
 
 
 def test_sdf_pallas_grads_match_implicit_xla():
@@ -102,7 +163,11 @@ def test_sdf_pallas_grads_match_implicit_xla():
     ref = np.array([g_ref.center.x, g_ref.center.y, g_ref.center.z,
                     g_ref.radius, g_ref.ambient, g_ref.gain,
                     g_ref.light.x, g_ref.light.y, g_ref.light.z])
-    assert np.allclose(g_p[:9], ref, rtol=2e-2, atol=1e-4), (g_p[:9], ref)
+    # rtol covers the prepass's within-eps stopping-point jitter on the
+    # hit set (the implicit VJP is evaluated at a within-eps different t)
+    assert np.allclose(g_p[:9], ref, rtol=5e-2,
+                       atol=2e-3 * max(1.0, np.abs(ref).max())), \
+        (g_p[:9], ref)
 
 
 def test_implicit_march_grads_match_scan_reversal():
