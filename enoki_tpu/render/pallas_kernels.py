@@ -219,7 +219,9 @@ def _march_tile(dist_at, like, n_steps: int,
     def step(t, k):
         d = dist_at(t)
         alive = (d >= eps) & (t + d <= t_max)
-        adv = jnp.float32(1.0) * (k < n_steps - 1)
+        # advance mask in d's dtype so a bf16 march stays bf16 (an f32
+        # constant here would silently promote the whole carry)
+        adv = (k < n_steps - 1).astype(d.dtype)
         return jnp.where(alive, t + d * adv, t), alive
 
     while n_steps % chunk:
@@ -303,7 +305,7 @@ def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
 
 
 def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
-                    n_steps, chunk):
+                    n_steps, chunk, dtype=jnp.float32):
     tr, tc = out_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
@@ -312,8 +314,31 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
     # prepass and asserted equivalent to sdf() in tests): the xy part of
     # the sphere distance is computed ONCE per tile, the inner march
     # step costs ~5 flops + sqrt.
-    t, hit = _march_tile(_sdf_ortho_dist(px, py, scene),
-                         px, n_steps, chunk=chunk, t0=t0_ref[:, :])
+    if dtype == jnp.float32:
+        dist_at = _sdf_ortho_dist(px, py, scene)
+        t0 = t0_ref[:, :]
+        like = px
+    else:
+        # bf16 march (config 4 "fp32 + bf16"): the march carry, SDF
+        # evaluations and convergence test run in ``dtype``; shading,
+        # the stored t residual and (in the bwd kernel) parameter-grad
+        # accumulation stay f32. Accuracy policy: bf16's 8-bit mantissa
+        # puts ~4e-3 relative error on the hit parameter -- measured
+        # image/grad deltas are in docs/benchmarks.md and gated by
+        # tests/test_pallas.py::test_sdf_pallas_bf16_policy.
+        scene16 = _read_scene(params_ref, dtype, SDFScene)
+        dist_at = _sdf_ortho_dist(px.astype(dtype), py.astype(dtype),
+                                  scene16)
+        t0 = t0_ref[:, :].astype(dtype)
+        like = px.astype(dtype)
+    # convergence epsilon scales with the march format: bf16's spacing at
+    # t ~ 1 is 3.9e-3, so the f32 eps=1e-4 would be unreachable and hit
+    # lanes would freeze at d ~ one-ulp and misregister as misses
+    eps = 1e-4 if dtype == jnp.float32 else 2.0 * float(
+        jnp.finfo(dtype).eps)
+    t, hit = _march_tile(dist_at, like, n_steps, chunk=chunk, t0=t0,
+                         eps=eps)
+    t = t.astype(jnp.float32)
     out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
     # residual for the bwd megakernel: ONE float/pixel beats re-marching
     # n_steps times when fwd+bwd run as a pair (value_and_grad). The hit
@@ -360,24 +385,28 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
         dp_ref[0, k] += dp[k]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
 def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
                       n_steps: int = 64, extent: float = 1.2,
                       tile: int = 64, tile_c: int = None,
-                      coarse: int = 8, chunk: int = 16):
+                      coarse: int = 8, chunk: int = 16,
+                      dtype=jnp.float32):
     """Fused SDF ray-march megakernel -> (n, n) image (config 4).
 
     ``tile`` x ``tile_c`` is the VMEM pixel block (rows x cols; tile_c
     defaults to tile). ``coarse`` is the cone-prepass block side
     (_cone_t0; 0 disables the prepass), ``chunk`` the early-exit march
-    granularity (_march_tile). Defaults measured fastest on v5e.
+    granularity (_march_tile). ``dtype`` selects the MARCH compute
+    precision (f32 or bf16 -- config 4's "fp32 + bf16"); shading, the
+    t residual and parameter-gradient accumulation stay f32 (accuracy
+    policy in docs/benchmarks.md). Defaults measured fastest on v5e.
     """
     return _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                         coarse, chunk)[0]
+                         coarse, chunk, dtype)[0]
 
 
 def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
-                  coarse=8, chunk=16):
+                  coarse=8, chunk=16, dtype=jnp.float32):
     tile_c = tile_c or tile
     assert n % tile == 0 and n % tile_c == 0, \
         "image size must be divisible by the tile size"
@@ -391,7 +420,7 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
         t0 = jnp.zeros((n, n), jnp.float32)
     img, ts = pl.pallas_call(
         functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
-                          n_steps=n_steps, chunk=chunk),
+                          n_steps=n_steps, chunk=chunk, dtype=dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -403,13 +432,15 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
     return img, ts
 
 
-def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk):
+def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk,
+                 dtype):
     img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                            coarse, chunk)
+                            coarse, chunk, dtype)
     return img, (params, ts)
 
 
-def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, res, g):
+def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, dtype,
+                 res, g):
     params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)
