@@ -102,7 +102,7 @@ class Op:
      HSUM, HPROD, HMIN, HMAX, ALL, ANY, COUNT, PSUM, REVERSE, SHL, SHR,
      POPCNT, CBRT, SIGN, COPYSIGN, LOG1P, EXPM1, ASINH, ACOSH, ATANH,
      ERFC, LGAMMA, ISNAN, ISINF, ISFINITE, COMPRESS, FMOD,
-     BITCAST, CLZ) = range(79)
+     BITCAST, CLZ, PRINT) = range(80)
 
 
 def _bcast(a, b):
@@ -242,6 +242,10 @@ _BUFFERS: dict = {}          # var id -> jnp.ndarray (materialized)
 _EXE_CACHE: dict = {}        # structural hash -> jitted callable
 _CACHE_HITS = 0
 _CACHE_MISSES = 0
+# PRINT ops: var id -> format string (jax.debug.print style). Consulted
+# at program-build time; entries are overwritten when a recycled id is
+# reused for a new PRINT and cleared by reset().
+_PRINT_FMT: dict = {}
 # scatter ops pending rebind: scatter var id -> target var id
 _SCATTER_TARGET: dict = {}
 # target var id -> newest pending scatter into it (chain tail). Consecutive
@@ -272,6 +276,7 @@ def reset():
         r.index = 0
     _LITERAL_ARRAYS.clear()
     _BUFFERS.clear()
+    _PRINT_FMT.clear()
     _SCATTER_TARGET.clear()
     _PENDING_SCATTER.clear()
     _GRAD_ENABLED.clear()
@@ -366,6 +371,14 @@ def _compile_schedule(entries, out_positions):
                 v = vals[dep_pos[0]].astype(dt)
             elif opcode == Op.BITCAST:
                 v = jax.lax.bitcast_convert_type(vals[dep_pos[0]], dt)
+            elif opcode == Op.PRINT:
+                # in-program printf (cuda_printf analog, jit.cu:863-916):
+                # prints from INSIDE the fused program via jax.debug.print
+                # (TPU: outfeed) without breaking fusion; value = first
+                # operand, passed through
+                args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
+                jax.debug.print(_PRINT_FMT.get(vid, "{}"), *args)
+                v = args[0]
             else:
                 args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
                 v = _OP_IMPL[opcode](*args)
@@ -615,6 +628,16 @@ def _load_or_export(tag, fn, fallback, args, install):
         return fallback
 
 
+def _key_tag(key) -> str:
+    """Stable string form of an executable-cache key: hex for the plain
+    C++ structural hash; tuple keys (hash, print-format signature --
+    debug programs) append the fmt signature's hash."""
+    if isinstance(key, int):
+        return f"{key:016x}"
+    h, sig = key
+    return f"{h:016x}p{hash(sig) & 0xFFFFFFFF:08x}"
+
+
 def _export_enabled():
     from .. import cache as _cache
     from ..config import config
@@ -632,7 +655,9 @@ def _export_cache_swap(key, comp, leaves, lits):
     is ~free vs seconds of tracing for 10k-op programs) or export the
     freshly built program for the next process. Returns a replacement
     executable or None; failures fall back to the in-process jit."""
-    if not _export_enabled():
+    if not _export_enabled() or not isinstance(key, int):
+        # tuple keys carry PRINT format signatures: debug programs are
+        # not worth persisting (and the tag format needs an int)
         return None
 
     def install(e):
@@ -677,11 +702,25 @@ def _eval_ids(ids):
     n = _lib.et_schedule(arr, len(ids))
     key = _lib.et_schedule_hash()
 
+    entries = out_positions = None
+    if _PRINT_FMT:
+        # format strings are baked into the compiled program but NOT
+        # into the C++ structural hash -- while prints are live, read
+        # the schedule and mix the ordered fmt signature into the cache
+        # key so two structurally-equal programs with different formats
+        # never share an executable (debug-mode-only cost)
+        entries, out_positions = _read_schedule(n)
+        sig = tuple(_PRINT_FMT[e[0]] for e in entries
+                    if e[1] == Op.PRINT and e[0] in _PRINT_FMT)
+        if sig:
+            key = (key, sig)
+
     comp = _EXE_CACHE.get(key)
     fresh_miss = comp is None
     if fresh_miss:
         _CACHE_MISSES += 1
-        entries, out_positions = _read_schedule(n)
+        if entries is None:
+            entries, out_positions = _read_schedule(n)
         comp = _compile_schedule(entries, out_positions)
         _EXE_CACHE[key] = comp
     else:
@@ -1306,7 +1345,7 @@ def tape_whos() -> str:
         if len(seg.leaf_vids) > 6:
             ins += f", ... ({len(seg.leaf_vids)} total)"
         outs = ", ".join(fmt(v) for v in seg.out_vids[:6] if v)
-        lines.append(f"  {i:3d}  {seg.key:016x}  [{ins}] -> [{outs}]"
+        lines.append(f"  {i:3d}  {_key_tag(seg.key)}  [{ins}] -> [{outs}]"
                      f"  {held}")
     lines.append(f"  segments: {len(_TAPE)}, gradients held: "
                  f"{len(_GRADS)}, total held input bytes: {total}")
@@ -1346,7 +1385,7 @@ def tape_graphviz() -> str:
     for i, seg in enumerate(_TAPE):
         sname = f"seg{i}"
         lines.append(
-            f"  {sname} [label=\"segment {i}\\nhash {seg.key:016x}\\n"
+            f"  {sname} [label=\"segment {i}\\nhash {_key_tag(seg.key)}\\n"
             f"{len(seg.leaf_vids)} in / "
             f"{sum(1 for v in seg.out_vids if v)} out\"];")
         for vid, buf in zip(seg.leaf_vids, seg.leaf_bufs):
@@ -1483,7 +1522,7 @@ def _seg_vjp_exe(seg, mask, diff_pos):
         g_l, _ = vjp_fn(t)
         return g_l, t
 
-    tag = (f"{seg.key:016x}-bwd-"
+    tag = (f"{_key_tag(seg.key)}-bwd-"
            f"{hash((mask, diff_pos)) & 0xFFFFFFFFFFFF:012x}")
     exe = _exportable_jit(ckey, tag, run)
     _EXE_CACHE[ckey] = exe
@@ -1570,7 +1609,7 @@ def _seg_jvp_exe(seg, in_pos, out_slots):
         _, out_tans = jax.jvp(f, (tuple(tan_leaves),), (tuple(tans),))
         return out_tans
 
-    tag = (f"{seg.key:016x}-fwd-"
+    tag = (f"{_key_tag(seg.key)}-fwd-"
            f"{hash((in_pos, out_slots)) & 0xFFFFFFFFFFFF:012x}")
     exe = _exportable_jit(ckey, tag, run)
     _EXE_CACHE[ckey] = exe
@@ -1674,6 +1713,47 @@ def sincos(x):
 def bitcast(x, dtype):
     """Lazy bit reinterpretation (ops.reinterpret analog)."""
     return x.bitcast(dtype)
+
+
+def printf(fmt: str, *arrays: "LazyArray") -> "LazyArray":
+    """In-trace printf: record a PRINT op that prints from INSIDE the
+    fused program (the cuda_printf analog, array_router.h:972 /
+    jit.cu:863-916 -- the reference emits a vprintf call into the fused
+    PTX kernel; here the op lowers to jax.debug.print, a TPU outfeed,
+    without breaking fusion).
+
+    ``fmt`` uses jax.debug.print placeholders ("t={}"); 1-3 array
+    operands. Returns the first operand PASSED THROUGH the print op --
+    use the returned handle downstream to anchor where in the program
+    the print fires::
+
+        t = tr.printf("t after march: {}", t)
+
+    An unused print is still a pending side effect: the next ``eval()``
+    (any eval) runs it, like an unconsumed scatter. Format strings join
+    the executable-cache key while prints are live, so structurally
+    equal programs with different formats never share a compiled
+    executable; export-cache persistence is skipped for debug programs.
+    """
+    if not arrays or len(arrays) > 3:
+        raise ValueError("printf takes 1-3 array operands")
+    if not isinstance(fmt, str):
+        raise TypeError("printf format must be a string")
+    for a in arrays:
+        if not isinstance(a, LazyArray):
+            raise TypeError("printf operands must be LazyArrays "
+                            "(coerce scalars with x._coerce first)")
+    x = arrays[0]
+    deps = [a.index for a in arrays] + [0] * (3 - len(arrays))
+    idx = _lib.et_append_raw(Op.PRINT, x._code, len(x), *deps, 0)
+    if idx == 0:
+        raise ValueError("printf: invalid operands")
+    out = LazyArray(index=idx, _size=len(x), _code=x._code)
+    _PRINT_FMT[out.index] = fmt
+    # retained like a scatter: fires at the next eval even if the
+    # returned handle is dropped (target 0 = nothing becomes dirty)
+    _lib.et_mark_side_effect(out.index, 0)
+    return out
 
 
 def clz(x):

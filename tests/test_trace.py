@@ -690,3 +690,63 @@ def test_export_cache_covers_segment_vjp(tmp_path):
         assert sorted(p.name for p in tmp_path.glob("*.jaxexp")) == names
     finally:
         config.trace_export_dir = ""
+
+
+# ---------------------------------------------------------------------------
+# in-trace printf (round 4; cuda_printf analog, array_router.h:972)
+# ---------------------------------------------------------------------------
+
+
+def test_printf_fires_inside_fused_program(capfd):
+    tr.reset()
+    x = LazyArray(np.arange(4, dtype=np.float32))
+    y = tr.printf("mid={}", x * 2.0) + 1.0
+    before = tr.stats()["n_evals"]
+    np.testing.assert_allclose(y.numpy(), [1, 3, 5, 7])
+    assert tr.stats()["n_evals"] == before + 1  # print did not break fusion
+    out = capfd.readouterr()
+    assert "mid=" in out.out or "mid=" in out.err
+
+
+def test_printf_unused_is_a_side_effect(capfd):
+    tr.reset()
+    x = LazyArray(np.ones(3, np.float32))
+    tr.printf("side effect {}", x)  # handle dropped
+    z = LazyArray(np.zeros(3, np.float32)) + 1.0
+    z.eval()
+    out = capfd.readouterr()
+    assert "side effect" in out.out or "side effect" in out.err
+
+
+def test_printf_format_is_part_of_the_cache_key(capfd):
+    tr.reset()
+    x = LazyArray(np.ones(3, np.float32))
+    tr.printf("fmt-one {}", x + 1.0).eval()
+    y = LazyArray(np.ones(3, np.float32))
+    tr.printf("fmt-two {}", y + 1.0).eval()  # same structure, new fmt
+    out = capfd.readouterr()
+    text = out.out + out.err
+    assert "fmt-one" in text and "fmt-two" in text
+
+
+def test_printf_multi_operand_and_passthrough_grad(capfd):
+    tr.reset()
+    x = LazyArray(np.asarray([2.0, 3.0], np.float32))
+    tr.requires_grad(x, True)
+    y = tr.printf("x={} sq={}", x, x * x)
+    loss = (y * y).hsum()
+    tr.backward(loss)
+    np.testing.assert_allclose(np.asarray(tr.gradient(x)), [4.0, 6.0])
+    out = capfd.readouterr()
+    assert "sq=" in out.out + out.err
+
+
+def test_printf_validation():
+    tr.reset()
+    x = LazyArray(np.ones(2, np.float32))
+    with pytest.raises(ValueError):
+        tr.printf("no operands")
+    with pytest.raises(TypeError):
+        tr.printf("scalar {}", 3.0)
+    with pytest.raises(TypeError):
+        tr.printf(123, x)
