@@ -305,7 +305,7 @@ def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
 
 
 def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
-                    n_steps, chunk, dtype=jnp.float32):
+                    n_steps, chunk, dtype=jnp.float32, bands=1):
     tr, tc = out_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
@@ -315,9 +315,8 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
     # the sphere distance is computed ONCE per tile, the inner march
     # step costs ~5 flops + sqrt.
     if dtype == jnp.float32:
-        dist_at = _sdf_ortho_dist(px, py, scene)
-        t0 = t0_ref[:, :]
-        like = px
+        px_m, py_m, scene_m = px, py, scene
+        t0_full = t0_ref[:, :]
     else:
         # bf16 march (config 4 "fp32 + bf16"): the march carry, SDF
         # evaluations and convergence test run in ``dtype``; shading,
@@ -326,18 +325,38 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         # puts ~4e-3 relative error on the hit parameter -- measured
         # image/grad deltas are in docs/benchmarks.md and gated by
         # tests/test_pallas.py::test_sdf_pallas_bf16_policy.
-        scene16 = _read_scene(params_ref, dtype, SDFScene)
-        dist_at = _sdf_ortho_dist(px.astype(dtype), py.astype(dtype),
-                                  scene16)
-        t0 = t0_ref[:, :].astype(dtype)
-        like = px.astype(dtype)
+        scene_m = _read_scene(params_ref, dtype, SDFScene)
+        px_m, py_m = px.astype(dtype), py.astype(dtype)
+        t0_full = t0_ref[:, :].astype(dtype)
     # convergence epsilon scales with the march format: bf16's spacing at
     # t ~ 1 is 3.9e-3, so the f32 eps=1e-4 would be unreachable and hit
     # lanes would freeze at d ~ one-ulp and misregister as misses
     eps = 1e-4 if dtype == jnp.float32 else 2.0 * float(
         jnp.finfo(dtype).eps)
-    t, hit = _march_tile(dist_at, like, n_steps, chunk=chunk, t0=t0,
-                         eps=eps)
+    # sub-tile early exit (round 4, work elimination variant b): march
+    # the tile as ``bands`` independent row bands, each with its own
+    # early-exit while_loop, so a band whose lanes all converge (e.g.
+    # the background rows of a silhouette tile) stops marching without
+    # waiting for the slowest band. Per-lane trajectories are unchanged
+    # -- a frozen lane never advances regardless of when its loop stops
+    # -- so banding is trajectory-exact (an eager step-by-step replay
+    # matches bit-for-bit, tests/test_pallas.py). Between COMPILED
+    # variants the step's rxy2 + (z0+t)^2 may FMA-contract differently
+    # for different band shapes (~1 ulp/step, observed <= 2e-5 on
+    # silhouette pixels only, never a hit/miss flip); the compiled gate
+    # is tight-tolerance, the exactness gate is the eager replay.
+    nb = bands if bands > 1 and tr % bands == 0 else 1
+    br = tr // nb
+    ts, hits = [], []
+    for b in range(nb):
+        sl = slice(b * br, (b + 1) * br)
+        dist_b = _sdf_ortho_dist(px_m[sl], py_m[sl], scene_m)
+        t_b, hit_b = _march_tile(dist_b, px_m[sl], n_steps, chunk=chunk,
+                                 t0=t0_full[sl], eps=eps)
+        ts.append(t_b)
+        hits.append(hit_b)
+    t = ts[0] if nb == 1 else jnp.concatenate(ts, axis=0)
+    hit = hits[0] if nb == 1 else jnp.concatenate(hits, axis=0)
     t = t.astype(jnp.float32)
     out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
     # residual for the bwd megakernel: ONE float/pixel beats re-marching
@@ -385,12 +404,13 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
         dp_ref[0, k] += dp[k]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
 def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
                       n_steps: int = 64, extent: float = 1.2,
                       tile: int = 64, tile_c: int = None,
                       coarse: int = 8, chunk: int = 16,
-                      dtype=jnp.float32):
+                      dtype=jnp.float32, bands: int = 1):
     """Fused SDF ray-march megakernel -> (n, n) image (config 4).
 
     ``tile`` x ``tile_c`` is the VMEM pixel block (rows x cols; tile_c
@@ -399,14 +419,16 @@ def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
     granularity (_march_tile). ``dtype`` selects the MARCH compute
     precision (f32 or bf16 -- config 4's "fp32 + bf16"); shading, the
     t residual and parameter-gradient accumulation stay f32 (accuracy
-    policy in docs/benchmarks.md). Defaults measured fastest on v5e.
+    policy in docs/benchmarks.md). ``bands`` > 1 marches the tile as
+    that many independent row bands with per-band early exit
+    (bit-exact vs bands=1). Defaults measured fastest on v5e.
     """
     return _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                         coarse, chunk, dtype)[0]
+                         coarse, chunk, dtype, bands)[0]
 
 
 def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
-                  coarse=8, chunk=16, dtype=jnp.float32):
+                  coarse=8, chunk=16, dtype=jnp.float32, bands=1):
     tile_c = tile_c or tile
     assert n % tile == 0 and n % tile_c == 0, \
         "image size must be divisible by the tile size"
@@ -420,7 +442,8 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
         t0 = jnp.zeros((n, n), jnp.float32)
     img, ts = pl.pallas_call(
         functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
-                          n_steps=n_steps, chunk=chunk, dtype=dtype),
+                          n_steps=n_steps, chunk=chunk, dtype=dtype,
+                          bands=bands),
         grid=grid,
         in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -433,14 +456,14 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
 
 
 def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk,
-                 dtype):
+                 dtype, bands):
     img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                            coarse, chunk, dtype)
+                            coarse, chunk, dtype, bands)
     return img, (params, ts)
 
 
 def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, dtype,
-                 res, g):
+                 bands, res, g):
     params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)

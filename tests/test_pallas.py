@@ -216,3 +216,82 @@ def test_sdf_pallas_bf16_policy():
     sig = np.abs(g32) > 1e-3 * np.abs(g32).max()
     rel = np.abs(g16 - g32)[sig] / np.abs(g32)[sig]
     assert rel.max() < 0.5, (rel, g32, g16)
+
+
+def test_sdf_pallas_bands_trajectory_exact_eager():
+    """Sub-tile band early exit (round 4, work-elimination variant b):
+    per-lane trajectories are UNCHANGED by banding -- a frozen lane never
+    advances regardless of when its band's loop stops checking it. Gated
+    here by an eager step-by-step replay (identical op sequence, no
+    compiler in the loop): banded marches must match the whole-tile
+    march bit-for-bit, including hit masks."""
+    from enoki_tpu.render.pallas_kernels import _cone_t0, _march_tile
+    from enoki_tpu.render.sdf import sdf_ortho_dist
+    v = scene_to_vec(SDFScene.reference())
+    n_steps, extent = 48, 1.2
+    t0f = _cone_t0(v, N, n_steps, extent, 8)
+    step = 2.0 * extent / (N - 1)
+    coords = jnp.arange(N, dtype=jnp.float32) * step - extent
+    px = jnp.broadcast_to(coords[None, :], (TILE, N))[:, :TILE]
+    py = jnp.broadcast_to(coords[:TILE, None], (TILE, TILE))
+    sc = vec_to_scene(v, SDFScene)
+    t0 = t0f[:TILE, :TILE]
+
+    def march_banded(bands):
+        br = TILE // bands
+        ts, hs = [], []
+        for b in range(bands):
+            sl = slice(b * br, (b + 1) * br)
+            dist_b = sdf_ortho_dist(px[sl], py[sl], sc)
+            t_b, h_b = _march_tile(dist_b, px[sl], n_steps, chunk=16,
+                                   t0=t0[sl])
+            ts.append(np.asarray(t_b))
+            hs.append(np.asarray(h_b))
+        return np.concatenate(ts, 0), np.concatenate(hs, 0)
+
+    t1, h1 = march_banded(1)
+    for bands in (4, 8):
+        tb, hb = march_banded(bands)
+        np.testing.assert_array_equal(t1, tb)
+        np.testing.assert_array_equal(h1, hb)
+
+
+def test_sdf_pallas_bands_compiled_parity():
+    """Compiled banded kernels vs the whole-tile kernel: XLA/Mosaic may
+    FMA-contract the step's rxy2 + (z0+t)^2 differently for different
+    band shapes (~1 ulp/step; bands=4 and bands=8 agree with EACH OTHER
+    exactly because per-element math is shape-independent once the
+    contraction choice is fixed). Gate: drift stays in the silhouette-
+    pixel noise floor, far below the hit/miss shading jump, and
+    gradients agree to f32 tolerance."""
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+    img1 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE))
+    imgs = []
+    for bands in (4, 8):
+        imgb = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE, None,
+                                            8, 16, jnp.float32, bands))
+        d = np.abs(img1 - imgb)
+        assert d.max() < 5e-5, d.max()
+        assert (d > 0).mean() < 0.01, (d > 0).mean()
+        imgs.append(imgb)
+    # the two banded variants run the same per-element op sequence ->
+    # identical, whatever contraction the compiler picked
+    np.testing.assert_array_equal(imgs[0], imgs[1])
+    g1 = np.asarray(jax.grad(lambda p: jnp.mean(
+        render_sdf_pallas(p, N, 48, 1.2, TILE)))(v))
+    gb = np.asarray(jax.grad(lambda p: jnp.mean(
+        render_sdf_pallas(p, N, 48, 1.2, TILE, None, 8, 16,
+                          jnp.float32, 8)))(v))
+    np.testing.assert_allclose(gb, g1, rtol=1e-4, atol=1e-7)
+
+
+def test_sdf_pallas_bands_non_dividing_falls_back():
+    # a bands value that does not divide the tile rows silently marches
+    # whole-tile (documented fallback), never crashes or misrenders
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+    img1 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE))
+    img7 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE, None, 8, 16,
+                                        jnp.float32, 7))
+    np.testing.assert_array_equal(img1, img7)
