@@ -40,6 +40,38 @@ from .pallas_kernels import _tile_pixels, _march_tile
 
 AMBIENT, GAIN, LIGHT = 0, 1, slice(2, 5)
 
+# march convergence / escape constants shared by the prepass
+
+
+def _cone_t0_generic(sdf_fn, params, n, n_steps, extent, s, eps, t_max,
+                     margin=1e-3):
+    """Cone-march prepass for the generic factory (orthographic rays
+    only -- parallel rays keep the block's transverse offset constant
+    in t, which is what makes the deflated march conservative; see
+    pallas_kernels._cone_t0 for the Lipschitz argument). One coarse ray
+    per s x s fine-pixel block, marched with the SDF deflated by the
+    largest in-block offset R; returns the (n, n) start map - margin,
+    clamped at 0."""
+    m = n // s
+    step = 2.0 * extent / (n - 1)
+    half = (s - 1) / 2.0
+    coords = ((jnp.arange(m, dtype=jnp.float32) * s + half) * step
+              - extent)
+    px = jnp.broadcast_to(coords[None, :], (m, m))
+    py = jnp.broadcast_to(coords[:, None], (m, m))
+    o = Vec3(px, py, jnp.full_like(px, -1.0))
+    dd = Vec3(jnp.zeros_like(px), jnp.zeros_like(px), jnp.ones_like(px))
+    r_cone = jnp.float32((2.0 ** 0.5) * half * step)
+
+    def body(_, t):
+        d = sdf_fn(o + dd * t, params) - r_cone
+        alive = (d >= eps) & (t + d <= t_max)
+        return jnp.where(alive, t + d, t)
+
+    t0 = lax.fori_loop(0, n_steps, body, jnp.zeros((m, m), jnp.float32))
+    t0 = jnp.repeat(jnp.repeat(t0, s, axis=0), s, axis=1)
+    return lax.stop_gradient(jnp.maximum(t0 - margin, 0.0))
+
 
 def ortho_camera(px, py, pvec):
     """Default sensor: parallel rays along +z from z = -1
@@ -103,48 +135,92 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
     ``perspective_camera()`` gives a pinhole. Camera parameters may live
     in pvec -- the implicit-diff backward differentiates through the ray
     origin/direction as well.
+
+    The megakernel inherits the round-4 work-elimination knobs of the
+    tuned sphere instance: ``coarse`` (cone-prepass block side, 0 = off;
+    orthographic camera only -- the conservativeness proof needs
+    parallel rays), ``bands`` (sub-tile row bands with independent
+    early exit), and an exact miss-tile fast path (a tile with no hit
+    shades to ambient and short-circuits both kernels).
     """
     n_pad = max(16, -(-n_params // 8) * 8)
 
     def read_params(params_ref):
         return jnp.stack([params_ref[0, k] for k in range(n_params)])
 
-    def fwd_kernel(params_ref, out_ref, t_ref, hit_ref, *, n, extent,
-                   n_steps):
+    def fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
+                   n_steps, bands):
         tr, tc = out_ref.shape
         px, py = _tile_pixels(tr, tc, n, extent)
         pvec = read_params(params_ref)
         o, dd = ray_fn(px, py, pvec)
-        t, hit = _march_tile(lambda tv: sdf_fn(o + dd * tv, pvec), px,
-                             n_steps, eps=eps, t_max=t_max)
-        out_ref[:, :] = _shade(o, dd, t, hit, pvec, sdf_fn)
-        t_ref[:, :] = t
-        hit_ref[:, :] = hit.astype(jnp.float32)
+        t0 = t0_ref[:, :]
+        # sub-tile band early exit + cone-prepass start map: the same
+        # work-elimination pair as the tuned sphere instance
+        # (pallas_kernels._sdf_fwd_kernel); trajectory-exactness and
+        # compiled-drift characteristics are identical.
+        nb = bands if bands > 1 and tr % bands == 0 else 1
+        br = tr // nb
+        ts, hits = [], []
+        for b in range(nb):
+            sl = slice(b * br, (b + 1) * br)
+            o_b = Vec3(o.x[sl], o.y[sl], o.z[sl])
+            d_b = Vec3(dd.x[sl], dd.y[sl], dd.z[sl])
+            t_b, hit_b = _march_tile(
+                lambda tv, o_b=o_b, d_b=d_b: sdf_fn(o_b + d_b * tv, pvec),
+                px[sl], n_steps, eps=eps, t_max=t_max, t0=t0[sl])
+            ts.append(t_b)
+            hits.append(hit_b)
+        t = ts[0] if nb == 1 else jnp.concatenate(ts, axis=0)
+        hit = hits[0] if nb == 1 else jnp.concatenate(hits, axis=0)
+        # miss-tile fast path: no hit lane -> the whole tile shades to
+        # exactly pvec[AMBIENT] (the where() in _shade selects it on
+        # every lane), so skip the normal/lambert math
+        out_ref[:, :] = lax.cond(
+            jnp.any(hit),
+            lambda: _shade(o, dd, t, hit, pvec, sdf_fn),
+            lambda: jnp.broadcast_to(pvec[AMBIENT], out_ref.shape))
+        # packed residual, ONE float/pixel (pallas_kernels convention):
+        # hit lanes store t exactly (>= 0); miss lanes store -t-1 < 0
+        # and their t is only consumed behind the hit mask
+        t_ref[:, :] = jnp.where(hit, t, -t - 1.0)
 
-    def bwd_kernel(params_ref, g_ref, t_ref, hit_ref, dp_ref, *, n,
+    def bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n,
                    extent, n_steps):
         tr, tc = g_ref.shape
         px, py = _tile_pixels(tr, tc, n, extent)
         pvec = read_params(params_ref)
-        t = t_ref[:, :]
-        hit = hit_ref[:, :] > 0
+        ts_packed = t_ref[:, :]
+        hit = ts_packed >= 0.0
+        t = jnp.where(hit, ts_packed, -1.0 - ts_packed)
         g = g_ref[:, :]
 
         def f_shade(pv, tv):
             o, dd = ray_fn(px, py, pv)
             return _shade(o, dd, tv, hit, pv, sdf_fn)
 
-        _, vjp_fn = jax.vjp(f_shade, pvec, t)
-        dp_direct, t_bar = vjp_fn(g)
+        def _dp_full():
+            _, vjp_fn = jax.vjp(f_shade, pvec, t)
+            dp_direct, t_bar = vjp_fn(g)
 
-        # implicit term: t* solves sdf(o + d t*, theta) = eps; ray origin/
-        # direction may themselves depend on theta (camera params in pvec)
-        def f_sdf_at(pv, tv):
-            o, dd = ray_fn(px, py, pv)
-            return sdf_fn(o + dd * tv, pv)
+            # implicit term: t* solves sdf(o + d t*, theta) = eps; ray
+            # origin/direction may themselves depend on theta (camera
+            # params in pvec)
+            def f_sdf_at(pv, tv):
+                o, dd = ray_fn(px, py, pv)
+                return sdf_fn(o + dd * tv, pv)
 
-        dp_indirect = implicit_t_vjp(f_sdf_at, pvec, t, t_bar, hit)
-        dp = dp_direct + dp_indirect
+            return dp_direct + implicit_t_vjp(f_sdf_at, pvec, t, t_bar,
+                                              hit)
+
+        def _dp_ambient():
+            # miss-tile fast path: every lane's shade is pvec[AMBIENT],
+            # so d shade / d pvec = e_ambient per lane and t_bar == 0
+            z = jnp.zeros((), jnp.float32)
+            return jnp.stack([jnp.sum(g) if k == AMBIENT else z
+                              for k in range(n_params)])
+
+        dp = lax.cond(jnp.any(hit), _dp_full, _dp_ambient)
 
         first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 
@@ -164,33 +240,44 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
     param_spec = pl.BlockSpec((1, n_pad), lambda i, j: (0, 0),
                               memory_space=pltpu.SMEM)
 
-    def fwd_call(params, n, n_steps, extent, tile, tile_c):
+    def fwd_call(params, n, n_steps, extent, tile, tile_c, coarse, bands):
         tile_c = tile_c or tile
         assert n % tile == 0 and n % tile_c == 0, \
             "image size must be divisible by the tile size"
         grid = (n // tile, n // tile_c)
         tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
                                  memory_space=pltpu.VMEM)
+        if coarse:
+            assert ray_fn is ortho_camera, \
+                "the cone prepass is only conservative for parallel " \
+                "(orthographic) rays; pass coarse=0 for custom cameras"
+            t0 = _cone_t0_generic(sdf_fn, params.astype(jnp.float32), n,
+                                  n_steps, extent, coarse, eps, t_max)
+        else:
+            t0 = jnp.zeros((n, n), jnp.float32)
         return pl.pallas_call(
             functools.partial(fwd_kernel, n=n, extent=extent,
-                              n_steps=n_steps),
+                              n_steps=n_steps, bands=bands),
             grid=grid,
-            in_specs=[param_spec],
-            out_specs=(tile_spec,) * 3,
-            out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),) * 3,
-        )(pad(params))
+            in_specs=[param_spec, tile_spec],
+            out_specs=(tile_spec,) * 2,
+            out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),) * 2,
+        )(pad(params), t0)
 
-    @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+    @functools.partial(jax.custom_vjp,
+                       nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
     def render_pallas(params, n=1024, n_steps=64, extent=1.2, tile=128,
-                      tile_c=None):
-        return fwd_call(params, n, n_steps, extent, tile, tile_c)[0]
+                      tile_c=None, coarse=0, bands=1):
+        return fwd_call(params, n, n_steps, extent, tile, tile_c,
+                        coarse, bands)[0]
 
-    def vjp_fwd(params, n, n_steps, extent, tile, tile_c):
-        img, t, hit = fwd_call(params, n, n_steps, extent, tile, tile_c)
-        return img, (params, t, hit)
+    def vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, bands):
+        img, ts = fwd_call(params, n, n_steps, extent, tile, tile_c,
+                           coarse, bands)
+        return img, (params, ts)
 
-    def vjp_bwd(n, n_steps, extent, tile, tile_c, res, g):
-        params, t, hit = res
+    def vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, bands, res, g):
+        params, ts = res
         tile_c = tile_c or tile
         assert n % tile == 0 and n % tile_c == 0, \
             "image size must be divisible by the tile size"
@@ -201,11 +288,11 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             functools.partial(bwd_kernel, n=n, extent=extent,
                               n_steps=n_steps),
             grid=grid,
-            in_specs=[param_spec, tile_spec, tile_spec, tile_spec],
+            in_specs=[param_spec, tile_spec, tile_spec],
             out_specs=pl.BlockSpec((1, n_pad), lambda i, j: (0, 0),
                                    memory_space=pltpu.SMEM),
             out_shape=jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
-        )(pad(params), g, t, hit)
+        )(pad(params), g, ts)
         # cotangent dtype must match the primal's (pad() upcast to f32)
         return (dp.reshape(n_pad)[:n_params].astype(params.dtype),)
 

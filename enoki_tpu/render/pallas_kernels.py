@@ -358,7 +358,16 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
     t = ts[0] if nb == 1 else jnp.concatenate(ts, axis=0)
     hit = hits[0] if nb == 1 else jnp.concatenate(hits, axis=0)
     t = t.astype(jnp.float32)
-    out_ref[:, :] = _sdf_shade_tile(px, py, t, hit, pvec)
+    # miss-tile fast path (round 4, work elimination): a tile with no
+    # hit lane shades to EXACTLY scene.ambient everywhere -- the full
+    # shade's where(hit, ...) selects the ambient arm on every lane --
+    # so background tiles (~20% of the flagship frame after the cone
+    # prepass already zeroed their march) skip the normal/lambert math
+    # entirely. lax.cond lowers to a real branch on the TPU core.
+    out_ref[:, :] = lax.cond(
+        jnp.any(hit),
+        lambda: _sdf_shade_tile(px, py, t, hit, pvec),
+        lambda: jnp.broadcast_to(pvec[4], out_ref.shape))
     # residual for the bwd megakernel: ONE float/pixel beats re-marching
     # n_steps times when fwd+bwd run as a pair (value_and_grad). The hit
     # bit rides the sign: hit lanes store t (>= 0) EXACTLY; miss lanes
@@ -382,16 +391,25 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
     def f_shade(pv, tv):
         return _sdf_shade_tile(px, py, tv, hit, pv)
 
-    _, vjp_fn = jax.vjp(f_shade, pvec, t)
-    dp_direct, t_bar = vjp_fn(g)
+    def _dp_full():
+        _, vjp_fn = jax.vjp(f_shade, pvec, t)
+        dp_direct, t_bar = vjp_fn(g)
+        # implicit term: t* solves sdf(ray(t*), theta) = eps (the shared
+        # definition, render/implicit.implicit_t_vjp)
+        dp_indirect = implicit_t_vjp(
+            lambda pv, tv: sdf(Vec3(px, py, -1.0 + tv),
+                               vec_to_scene(pv, SDFScene)),
+            pvec, t, t_bar, hit)
+        return dp_direct + dp_indirect
 
-    # implicit term: t* solves sdf(ray(t*), theta) = eps (the shared
-    # definition, render/implicit.implicit_t_vjp)
-    dp_indirect = implicit_t_vjp(
-        lambda pv, tv: sdf(Vec3(px, py, -1.0 + tv), vec_to_scene(pv, SDFScene)),
-        pvec, t, t_bar, hit)
+    def _dp_ambient():
+        # miss-tile fast path: every lane shades to scene.ambient, so
+        # d shade / d pvec is exactly e_ambient per lane (t_bar == 0
+        # through the where(hit, ...) vjp; implicit term masks on hit)
+        z = jnp.zeros((), jnp.float32)
+        return jnp.stack([z, z, z, z, jnp.sum(g), z, z, z, z])
 
-    dp = dp_direct + dp_indirect
+    dp = lax.cond(jnp.any(hit), _dp_full, _dp_ambient)
 
     first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
 

