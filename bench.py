@@ -88,10 +88,31 @@ def main():
     scene = SDFScene.reference()
     v = scene_to_vec(scene)
 
-    def pallas_loss(pv):
-        # 128x128 VMEM tiles: fastest fwd+bwd config on v5e (the
-        # early-exit march in _march_tile converges tile-locally)
-        return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 128, 128))
+    def make_loss(coarse, bands):
+        def pallas_loss(pv):
+            # 128x128 VMEM tiles: fastest fwd+bwd config on v5e (the
+            # early-exit march in _march_tile converges tile-locally)
+            return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 128, 128,
+                                              coarse, 16, jnp.float32,
+                                              bands))
+        return pallas_loss
+
+    # quick self-tuning pass over the round-4 work-elimination knobs
+    # (cone prepass / sub-tile bands): one short two-point window per
+    # config, full 5-window measurement on the winner. All configs are
+    # parity-gated elsewhere (identical math, different execution
+    # schedule), so picking the measured-fastest is fair.
+    candidates = [(8, 8), (8, 1), (0, 1)]
+    quick = []
+    for coarse, bands in candidates:
+        t, _ = _bench_scan(jax.value_and_grad(make_loss(coarse, bands)), v,
+                           lambda v0, loss, k: v0 + loss * 1e-12
+                           + 1e-6 * k.astype(jnp.float32),
+                           k_lo=25, k_hi=100, windows=1)
+        quick.append((t, coarse, bands))
+    quick.sort()
+    _, coarse, bands = quick[0]
+    pallas_loss = make_loss(coarse, bands)
 
     # fwd+bwd: value_and_grad through the megakernel pair
     pallas_step = jax.jit(jax.value_and_grad(pallas_loss))
@@ -140,6 +161,7 @@ def main():
         "vs_baseline": round(rays_pallas / rays_xla, 4),
         "spread_pct": round(100.0 * max(spread_p, spread_x), 2),
         "windows": 5,
+        "config": {"coarse": coarse, "bands": bands},
     }))
     return 0
 
