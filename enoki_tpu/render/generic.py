@@ -161,7 +161,6 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         # compiled-drift characteristics are identical.
         nb = bands if bands > 1 and tr % bands == 0 else 1
         br = tr // nb
-        ts, hits = [], []
         for b in range(nb):
             sl = slice(b * br, (b + 1) * br)
             o_b = Vec3(o.x[sl], o.y[sl], o.z[sl])
@@ -169,21 +168,26 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             t_b, hit_b = _march_tile(
                 lambda tv, o_b=o_b, d_b=d_b: sdf_fn(o_b + d_b * tv, pvec),
                 px[sl], n_steps, eps=eps, t_max=t_max, t0=t0[sl])
-            ts.append(t_b)
-            hits.append(hit_b)
-        t = ts[0] if nb == 1 else jnp.concatenate(ts, axis=0)
-        hit = hits[0] if nb == 1 else jnp.concatenate(hits, axis=0)
-        # miss-tile fast path: no hit lane -> the whole tile shades to
-        # exactly pvec[AMBIENT] (the where() in _shade selects it on
-        # every lane), so skip the normal/lambert math
-        out_ref[:, :] = lax.cond(
-            jnp.any(hit),
-            lambda: _shade(o, dd, t, hit, pvec, sdf_fn),
-            lambda: jnp.broadcast_to(pvec[AMBIENT], out_ref.shape))
-        # packed residual, ONE float/pixel (pallas_kernels convention):
-        # hit lanes store t exactly (>= 0); miss lanes store -t-1 < 0
-        # and their t is only consumed behind the hit mask
-        t_ref[:, :] = jnp.where(hit, t, -t - 1.0)
+            # miss-band fast path: no hit lane -> the band shades to
+            # exactly pvec[AMBIENT] (the where() in _shade selects it on
+            # every lane), so skip the normal/lambert math; pl.when
+            # lowers to a predicated region and exactly one store runs
+            hit_any = jnp.any(hit_b)
+
+            @pl.when(hit_any)
+            def _(t_b=t_b, hit_b=hit_b, o_b=o_b, d_b=d_b, sl=sl):
+                out_ref[sl, :] = _shade(o_b, d_b, t_b, hit_b, pvec,
+                                        sdf_fn)
+
+            @pl.when(jnp.logical_not(hit_any))
+            def _(sl=sl):
+                out_ref[sl, :] = jnp.broadcast_to(pvec[AMBIENT],
+                                                  (br, tc))
+
+            # packed residual, ONE float/pixel (pallas_kernels
+            # convention): hit lanes store t exactly (>= 0); miss lanes
+            # store -t-1 < 0, consumed only behind the hit mask
+            t_ref[sl, :] = jnp.where(hit_b, t_b, -t_b - 1.0)
 
     def bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n,
                    extent, n_steps):
@@ -195,11 +199,21 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         t = jnp.where(hit, ts_packed, -1.0 - ts_packed)
         g = g_ref[:, :]
 
+        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+        @pl.when(first)
+        def _():
+            for k in range(n_pad):
+                dp_ref[0, k] = 0.0
+
         def f_shade(pv, tv):
             o, dd = ray_fn(px, py, pv)
             return _shade(o, dd, tv, hit, pv, sdf_fn)
 
-        def _dp_full():
+        hit_any = jnp.any(hit)
+
+        @pl.when(hit_any)
+        def _():
             _, vjp_fn = jax.vjp(f_shade, pvec, t)
             dp_direct, t_bar = vjp_fn(g)
 
@@ -210,27 +224,16 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
                 o, dd = ray_fn(px, py, pv)
                 return sdf_fn(o + dd * tv, pv)
 
-            return dp_direct + implicit_t_vjp(f_sdf_at, pvec, t, t_bar,
-                                              hit)
+            dp = dp_direct + implicit_t_vjp(f_sdf_at, pvec, t, t_bar,
+                                            hit)
+            for k in range(n_params):
+                dp_ref[0, k] += dp[k]
 
-        def _dp_ambient():
+        @pl.when(jnp.logical_not(hit_any))
+        def _():
             # miss-tile fast path: every lane's shade is pvec[AMBIENT],
             # so d shade / d pvec = e_ambient per lane and t_bar == 0
-            z = jnp.zeros((), jnp.float32)
-            return jnp.stack([jnp.sum(g) if k == AMBIENT else z
-                              for k in range(n_params)])
-
-        dp = lax.cond(jnp.any(hit), _dp_full, _dp_ambient)
-
-        first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-
-        @pl.when(first)
-        def _():
-            for k in range(n_pad):
-                dp_ref[0, k] = 0.0
-
-        for k in range(n_params):
-            dp_ref[0, k] += dp[k]
+            dp_ref[0, AMBIENT] += jnp.sum(g)
 
     def pad(params):
         return jnp.concatenate(

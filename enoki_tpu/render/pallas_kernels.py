@@ -347,33 +347,38 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
     # is tight-tolerance, the exactness gate is the eager replay.
     nb = bands if bands > 1 and tr % bands == 0 else 1
     br = tr // nb
-    ts, hits = [], []
     for b in range(nb):
         sl = slice(b * br, (b + 1) * br)
         dist_b = _sdf_ortho_dist(px_m[sl], py_m[sl], scene_m)
         t_b, hit_b = _march_tile(dist_b, px_m[sl], n_steps, chunk=chunk,
                                  t0=t0_full[sl], eps=eps)
-        ts.append(t_b)
-        hits.append(hit_b)
-    t = ts[0] if nb == 1 else jnp.concatenate(ts, axis=0)
-    hit = hits[0] if nb == 1 else jnp.concatenate(hits, axis=0)
-    t = t.astype(jnp.float32)
-    # miss-tile fast path (round 4, work elimination): a tile with no
-    # hit lane shades to EXACTLY scene.ambient everywhere -- the full
-    # shade's where(hit, ...) selects the ambient arm on every lane --
-    # so background tiles (~20% of the flagship frame after the cone
-    # prepass already zeroed their march) skip the normal/lambert math
-    # entirely. lax.cond lowers to a real branch on the TPU core.
-    out_ref[:, :] = lax.cond(
-        jnp.any(hit),
-        lambda: _sdf_shade_tile(px, py, t, hit, pvec),
-        lambda: jnp.broadcast_to(pvec[4], out_ref.shape))
-    # residual for the bwd megakernel: ONE float/pixel beats re-marching
-    # n_steps times when fwd+bwd run as a pair (value_and_grad). The hit
-    # bit rides the sign: hit lanes store t (>= 0) EXACTLY; miss lanes
-    # store -t-1 (< 0) -- their t is only ever consumed behind the hit
-    # mask, so the 1-ulp decode rounding there is irrelevant.
-    t_ref[:, :] = jnp.where(hit, t, -t - 1.0)
+        t_b = t_b.astype(jnp.float32)
+        # miss-band fast path (round 4, work elimination): a band with
+        # no hit lane shades to EXACTLY scene.ambient everywhere -- the
+        # full shade's where(hit, ...) selects the ambient arm on every
+        # lane -- so background bands (the cone prepass already zeroed
+        # their march) skip the normal/lambert math entirely. pl.when
+        # lowers to a predicated region on the TPU core (the same
+        # construct as the dp_ref init below) -- exactly one of the two
+        # stores executes.
+        hit_any = jnp.any(hit_b)
+
+        @pl.when(hit_any)
+        def _(t_b=t_b, hit_b=hit_b, sl=sl):
+            out_ref[sl, :] = _sdf_shade_tile(px[sl], py[sl], t_b, hit_b,
+                                             pvec)
+
+        @pl.when(jnp.logical_not(hit_any))
+        def _(sl=sl):
+            out_ref[sl, :] = jnp.broadcast_to(pvec[4], (br, tc))
+
+        # residual for the bwd megakernel: ONE float/pixel beats
+        # re-marching n_steps times when fwd+bwd run as a pair
+        # (value_and_grad). The hit bit rides the sign: hit lanes store
+        # t (>= 0) EXACTLY; miss lanes store -t-1 (< 0) -- their t is
+        # only ever consumed behind the hit mask, so the 1-ulp decode
+        # rounding there is irrelevant.
+        t_ref[sl, :] = jnp.where(hit_b, t_b, -t_b - 1.0)
 
 
 def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
@@ -387,11 +392,21 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
     t = jnp.where(hit, ts, -1.0 - ts)
     g = g_ref[:, :]
 
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for k in range(N_PARAMS):
+            dp_ref[0, k] = 0.0
+
     # direct term: d shade / d pvec and cotangent w.r.t. t
     def f_shade(pv, tv):
         return _sdf_shade_tile(px, py, tv, hit, pv)
 
-    def _dp_full():
+    hit_any = jnp.any(hit)
+
+    @pl.when(hit_any)
+    def _():
         _, vjp_fn = jax.vjp(f_shade, pvec, t)
         dp_direct, t_bar = vjp_fn(g)
         # implicit term: t* solves sdf(ray(t*), theta) = eps (the shared
@@ -400,26 +415,16 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
             lambda pv, tv: sdf(Vec3(px, py, -1.0 + tv),
                                vec_to_scene(pv, SDFScene)),
             pvec, t, t_bar, hit)
-        return dp_direct + dp_indirect
+        dp = dp_direct + dp_indirect
+        for k in range(9):
+            dp_ref[0, k] += dp[k]
 
-    def _dp_ambient():
+    @pl.when(jnp.logical_not(hit_any))
+    def _():
         # miss-tile fast path: every lane shades to scene.ambient, so
         # d shade / d pvec is exactly e_ambient per lane (t_bar == 0
         # through the where(hit, ...) vjp; implicit term masks on hit)
-        z = jnp.zeros((), jnp.float32)
-        return jnp.stack([z, z, z, z, jnp.sum(g), z, z, z, z])
-
-    dp = lax.cond(jnp.any(hit), _dp_full, _dp_ambient)
-
-    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
-
-    @pl.when(first)
-    def _():
-        for k in range(N_PARAMS):
-            dp_ref[0, k] = 0.0
-
-    for k in range(9):
-        dp_ref[0, k] += dp[k]
+        dp_ref[0, 4] += jnp.sum(g)
 
 
 @functools.partial(jax.custom_vjp,
