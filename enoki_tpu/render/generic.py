@@ -159,7 +159,9 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         # work-elimination pair as the tuned sphere instance
         # (pallas_kernels._sdf_fwd_kernel); trajectory-exactness and
         # compiled-drift characteristics are identical.
-        nb = bands if bands > 1 and tr % bands == 0 else 1
+        # bands must keep row stores sublane-aligned (8 f32 rows/vreg)
+        nb = (bands if bands > 1 and tr % bands == 0
+              and (tr // bands) % 8 == 0 else 1)
         br = tr // nb
         for b in range(nb):
             sl = slice(b * br, (b + 1) * br)

@@ -345,7 +345,10 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
     # for different band shapes (~1 ulp/step, observed <= 2e-5 on
     # silhouette pixels only, never a hit/miss flip); the compiled gate
     # is tight-tolerance, the exactness gate is the eager replay.
-    nb = bands if bands > 1 and tr % bands == 0 else 1
+    # Bands must keep row stores sublane-aligned (8 f32 rows/vreg);
+    # a non-dividing or sub-sublane split falls back to whole-tile.
+    nb = (bands if bands > 1 and tr % bands == 0
+          and (tr // bands) % 8 == 0 else 1)
     br = tr // nb
     for b in range(nb):
         sl = slice(b * br, (b + 1) * br)
@@ -359,8 +362,8 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         # lane -- so background bands (the cone prepass already zeroed
         # their march) skip the normal/lambert math entirely. pl.when
         # lowers to a predicated region on the TPU core (the same
-        # construct as the dp_ref init below) -- exactly one of the two
-        # stores executes.
+        # construct as the bwd kernel's dp_ref init) -- exactly one of
+        # the two stores executes.
         hit_any = jnp.any(hit_b)
 
         @pl.when(hit_any)
