@@ -340,6 +340,11 @@ def _compile_schedule(entries, out_positions):
     Called once per structural hash (cache miss); the compiled record is
     reused for every trace with the same structure.
     """
+    # snapshot PRINT formats NOW: _body re-traces later (AD-segment VJP
+    # build, cut_fn, export) after _eval_ids has consumed the live
+    # _PRINT_FMT entries, so the closure must own its formats
+    fmts = {e[0]: _PRINT_FMT.get(e[0], "{}")
+            for e in entries if e[1] == Op.PRINT}
 
     def _body(leaf_args, lits, cut_map):
         """Schedule interpreter. ``cut_map`` (pos -> value) substitutes
@@ -377,7 +382,7 @@ def _compile_schedule(entries, out_positions):
                 # (TPU: outfeed) without breaking fusion; value = first
                 # operand, passed through
                 args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
-                jax.debug.print(_PRINT_FMT.get(vid, "{}"), *args)
+                jax.debug.print(fmts[vid], *args)
                 v = args[0]
             else:
                 args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
@@ -744,6 +749,15 @@ def _eval_ids(ids):
             exe = loaded
 
     results = exe(leaves, lits)
+
+    if entries is not None:
+        # a fired PRINT is consumed: its var materializes and the op
+        # never re-lowers, so drop the format entry -- otherwise one
+        # debug print would tax every later eval with the upfront
+        # schedule read above for the rest of the process
+        for e in entries:
+            if e[1] == Op.PRINT:
+                _PRINT_FMT.pop(e[0], None)
 
     # AD tape: if the program touches the differentiable frontier (marked
     # leaves or outputs of earlier recorded segments), keep it as a tape

@@ -741,6 +741,21 @@ def test_printf_multi_operand_and_passthrough_grad(capfd):
     assert "sq=" in out.out + out.err
 
 
+def test_printf_entry_consumed_after_eval(capfd):
+    # a fired print's format entry is dropped: later evals must go back
+    # to the plain int cache key / no upfront schedule read (one debug
+    # print must not tax the rest of the process)
+    tr.reset()
+    x = LazyArray(np.ones(3, np.float32))
+    tr.printf("once {}", x + 1.0).eval()
+    capfd.readouterr()
+    assert not tr._PRINT_FMT, tr._PRINT_FMT
+    z = (LazyArray(np.ones(3, np.float32)) * 3.0).numpy()
+    np.testing.assert_allclose(z, 3.0)
+    out = capfd.readouterr()
+    assert "once" not in out.out + out.err  # fired print does not re-fire
+
+
 def test_printf_validation():
     tr.reset()
     x = LazyArray(np.ones(2, np.float32))
