@@ -81,59 +81,74 @@ def main():
     from enoki_tpu.render.pallas_kernels import (
         scene_to_vec, render_sdf_pallas)
 
-    N = 1024
-    STEPS = 64
+    import os
+    # test override: lets the full candidate/parity/fallback flow run on
+    # CPU interpret mode in seconds (tests/test_bench_flow.py); the
+    # official numbers always use the 1024/64 defaults
+    N = int(os.environ.get("ENOKI_BENCH_N", 1024))
+    STEPS = int(os.environ.get("ENOKI_BENCH_STEPS", 64))
     rays = N * N
 
     scene = SDFScene.reference()
     v = scene_to_vec(scene)
 
-    def make_loss(coarse, bands):
+    TILE = min(128, N)
+
+    def make_loss(coarse, bands, relax=1.0, unimodal=False):
         def pallas_loss(pv):
             # 128x128 VMEM tiles: fastest fwd+bwd config on v5e (the
             # early-exit march in _march_tile converges tile-locally)
-            return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, 128, 128,
+            return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, TILE, TILE,
                                               coarse, 16, jnp.float32,
-                                              bands))
+                                              bands, relax, unimodal))
         return pallas_loss
 
-    # quick self-tuning pass over the round-4 work-elimination knobs
-    # (cone prepass / sub-tile bands): one short two-point window per
-    # config, full 5-window measurement on the winner. All configs are
-    # parity-gated elsewhere (identical math, different execution
-    # schedule), so picking the measured-fastest is fair.
-    candidates = [(8, 8), (8, 1), (0, 1)]
-    quick = []
-    for coarse, bands in candidates:
-        t, _ = _bench_scan(jax.value_and_grad(make_loss(coarse, bands)), v,
-                           lambda v0, loss, k: v0 + loss * 1e-12
-                           + 1e-6 * k.astype(jnp.float32),
-                           k_lo=25, k_hi=100, windows=1)
-        quick.append((t, coarse, bands))
-    quick.sort()
-    _, coarse, bands = quick[0]
-    pallas_loss = make_loss(coarse, bands)
-
-    # fwd+bwd: value_and_grad through the megakernel pair
-    pallas_step = jax.jit(jax.value_and_grad(pallas_loss))
+    # reference step: the XLA-fused pure-jnp baseline (also the parity
+    # oracle for every candidate below)
     xla_step = jax.jit(jax.value_and_grad(
         lambda s: sdf_loss_implicit(s, N, STEPS)))
-
-    # --- parity gates -------------------------------------------------
-    lp, gp = pallas_step(v)
     lx, gx = xla_step(scene)
     gx_vec = np.array([gx.center.x, gx.center.y, gx.center.z, gx.radius,
                        gx.ambient, gx.gain, gx.light.x, gx.light.y,
                        gx.light.z])
-    ok = (np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
-          and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
-                          atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
-    if not ok:
+
+    def parity_ok(loss_fn):
+        lp, gp = jax.jit(jax.value_and_grad(loss_fn))(v)
+        return (np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
+                and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
+                                atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
+
+    # quick self-tuning pass over the work-elimination knobs (cone
+    # prepass / sub-tile bands / over-relaxation / convex divergence
+    # exit): one short two-point window per config, then the fastest
+    # candidate that PASSES the parity gates gets the full 5-window
+    # measurement. The schedule-only knobs (coarse/bands) cannot fail
+    # parity; the trajectory-changing ones (relax/unimodal) may flip
+    # grazing silhouette pixels, so each winner is gated before use --
+    # an aggressive candidate can never zero the benchmark, only lose.
+    candidates = [(8, 8, 1.6, True), (8, 8, 1.6, False), (8, 8, 1.0, True),
+                  (8, 8, 1.0, False), (8, 1, 1.0, False), (0, 1, 1.0, False)]
+    quick = []
+    for cfg in candidates:
+        t, _ = _bench_scan(jax.value_and_grad(make_loss(*cfg)), v,
+                           lambda v0, loss, k: v0 + loss * 1e-12
+                           + 1e-6 * k.astype(jnp.float32),
+                           k_lo=25, k_hi=100, windows=1)
+        quick.append((t, cfg))
+    quick.sort(key=lambda q: q[0])
+
+    pallas_loss, chosen = None, None
+    for _, cfg in quick:
+        if parity_ok(make_loss(*cfg)):
+            pallas_loss, chosen = make_loss(*cfg), cfg
+            break
+    if pallas_loss is None:
         print(json.dumps({"metric": "rays_per_s_per_chip_fwd_bwd",
                           "value": 0.0, "unit": "rays/s",
                           "vs_baseline": 0.0,
-                          "error": "parity gate failed"}))
+                          "error": "parity gate failed for all configs"}))
         return 1
+    coarse, bands, relax, unimodal = chosen
 
     # --- timing ---------------------------------------------------------
     t_pallas, spread_p = _bench_scan(
@@ -161,7 +176,8 @@ def main():
         "vs_baseline": round(rays_pallas / rays_xla, 4),
         "spread_pct": round(100.0 * max(spread_p, spread_x), 2),
         "windows": 5,
-        "config": {"coarse": coarse, "bands": bands},
+        "config": {"coarse": coarse, "bands": bands, "relax": relax,
+                   "unimodal": unimodal},
     }))
     return 0
 

@@ -181,7 +181,7 @@ render_sphere_pallas.defvjp(_sphere_vjp_fwd, _sphere_vjp_bwd)
 
 def _march_tile(dist_at, like, n_steps: int,
                 eps: float = 1e-4, t_max: float = 10.0, chunk: int = 16,
-                t0=None):
+                t0=None, relax: float = 1.0, unimodal: bool = False):
     """Sphere-trace a pixel tile with tile-level early exit.
 
     ``dist_at(t) -> distance`` evaluates the scene SDF at parameter ``t``
@@ -213,36 +213,129 @@ def _march_tile(dist_at, like, n_steps: int,
     the reference's final convergence check (t is only consumed on hit
     lanes, where it is frozen, so skipping the last advance never changes
     the image).
+
+    Two further work-elimination knobs (round 4):
+
+    ``relax`` > 1 enables over-relaxed sphere tracing (Keinert et al.
+    2014, "Enhanced Sphere Tracing"): each advance is ``relax * d``
+    instead of ``d``, with the standard overlap test -- consecutive
+    unbounding spheres B(t_i, d_i), B(t_{i+1}, d_{i+1}) must overlap
+    (d_i + d_{i+1} >= relax * d_i), which proves no surface was crossed;
+    a failed test reverts to the plain-step position t_i + d_i, which a
+    single standard step already proved safe. Each iteration still costs
+    one SDF eval, so successful over-relaxation converts directly into
+    fewer iterations (the linear-convergence crawl along silhouettes is
+    where it pays). Hit lanes still freeze only at an EVALUATED position
+    with d < eps, so hit accuracy is unchanged; trajectories (and hence
+    silhouette hit/miss of grazing rays within eps) may differ from
+    relax=1, gated by tolerance tests.
+
+    ``unimodal`` declares that the per-ray distance function t -> d(t)
+    is unimodal (true for any convex scene, e.g. the benchmark sphere:
+    distance to a convex set along a straight line decreases then
+    increases). Then a lane whose freshly-sampled d exceeds its previous
+    sample -- after a step that the overlap test proved crossing-free --
+    is past its minimum and can NEVER hit: it is frozen immediately as a
+    miss (position rewritten to t_max, which the recomputable-mask
+    protocol reads as escaped) instead of crawling to t_max one step at
+    a time. This eliminates the escape half of the silhouette crawl.
+    With relax == 1 this is trajectory-exact for every HIT lane (a hit
+    ray's d decreases monotonically, so the divergence test never fires
+    on it) and every miss lane still shades to ambient -- the image is
+    bit-identical; the eager-replay test gates exactly that.
+
+    ``relax == 1.0 and not unimodal`` takes the original single-carry
+    path below, byte-for-byte (the bit-exactness gates of the band and
+    prepass variants compare against it).
     """
     t = jnp.zeros_like(like) if t0 is None else t0
-
-    def step(t, k):
-        d = dist_at(t)
-        alive = (d >= eps) & (t + d <= t_max)
-        # advance mask in d's dtype so a bf16 march stays bf16 (an f32
-        # constant here would silently promote the whole carry)
-        adv = (k < n_steps - 1).astype(d.dtype)
-        return jnp.where(alive, t + d * adv, t), alive
 
     while n_steps % chunk:
         chunk //= 2
 
+    if relax == 1.0 and not unimodal:
+        def step(t, k):
+            d = dist_at(t)
+            alive = (d >= eps) & (t + d <= t_max)
+            # advance mask in d's dtype so a bf16 march stays bf16 (an
+            # f32 constant here would silently promote the whole carry)
+            adv = (k < n_steps - 1).astype(d.dtype)
+            return jnp.where(alive, t + d * adv, t), alive
+
+        def cond(c):
+            k, t, go = c
+            return (k < n_steps) & go
+
+        def body(c):
+            k, t, _ = c
+            for i in range(chunk - 1):
+                t, _ = step(t, k + i)
+            t, alive = step(t, k + chunk - 1)
+            return k + chunk, t, jnp.any(alive)
+
+        d0 = dist_at(t)
+        go0 = jnp.any((d0 >= eps) & (t + d0 <= t_max))
+        _, t, _ = lax.while_loop(cond, body, (0, t, go0))
+        d = dist_at(t)
+        return t, d < eps
+
+    # --- over-relaxed / divergence-exit variant ---------------------------
+    # carry: (pos, stp) with pos the current sample position and stp the
+    # advance taken to arrive there (0 initially, after a revert, and once
+    # frozen -- "arrived by a provably safe step"). The previous sample's
+    # distance is stp / relax. Frozen-lane stability of the mask-free
+    # protocol is preserved: a frozen lane has stp == 0 and a pos whose
+    # recomputed aliveness stays false forever.
+    dt = t.dtype
+    w = jnp.asarray(relax, dt)
+    back = jnp.asarray(1.0 - 1.0 / relax, dt)   # revert offset / stp
+
     def cond(c):
-        k, t, go = c
+        k, pos, stp, go = c
         return (k < n_steps) & go
 
     def body(c):
-        k, t, _ = c
-        for i in range(chunk - 1):
-            t, _ = step(t, k + i)
-        t, alive = step(t, k + chunk - 1)
-        return k + chunk, t, jnp.any(alive)
+        k, pos, stp, _ = c
+        go = None
+        for i in range(chunk):
+            pos, stp, go = _relax_step(dist_at, pos, stp, k + i,
+                                       n_steps, eps, t_max, w, back,
+                                       unimodal)
+        return k + chunk, pos, stp, jnp.any(go)
 
     d0 = dist_at(t)
     go0 = jnp.any((d0 >= eps) & (t + d0 <= t_max))
-    _, t, _ = lax.while_loop(cond, body, (0, t, go0))
-    d = dist_at(t)
-    return t, d < eps
+    _, pos, stp, _ = lax.while_loop(cond, body,
+                                    (0, t, jnp.zeros_like(t), go0))
+    # epilogue: the step cap may land mid-flight with a pending
+    # unverified over-relaxed advance; revert it before the hit test so
+    # a hit position is never inside the surface
+    d = dist_at(pos)
+    pos = jnp.where(d < back * stp, pos - back * stp, pos)
+    return pos, dist_at(pos) < eps
+
+
+def _relax_step(dist_at, pos, stp, k, n_steps, eps, t_max, w, back,
+                unimodal):
+    """One over-relaxed sphere-trace step (see _march_tile)."""
+    d = dist_at(pos)
+    dt = pos.dtype
+    zero = jnp.zeros_like(pos)
+    over = d < back * stp
+    alive = (d >= eps) & (pos + d <= t_max)
+    if unimodal:
+        diverged = (~over) & (stp > zero) & (d >= eps) & (d * w > stp)
+        alive = alive & ~diverged
+    # an overshot lane's d was sampled at an unproven position: it must
+    # revert with stp = 0 ("arrived by a safe step"), never advance
+    adv = alive & jnp.logical_not(over) & (k < n_steps - 1)
+    new_stp = jnp.where(adv, w * d.astype(dt), zero)
+    # revert (overlap failed): back to the plain-step position
+    # pos - stp + stp/relax; advance otherwise; frozen lanes add 0
+    new_pos = jnp.where(over, pos - back * stp, pos + new_stp)
+    if unimodal:
+        new_pos = jnp.where(diverged, jnp.full_like(pos, t_max), new_pos)
+    return new_pos, new_stp, alive | over
 
 
 def _sdf_shade_tile(px, py, t, hit, pvec):
@@ -305,7 +398,8 @@ def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
 
 
 def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
-                    n_steps, chunk, dtype=jnp.float32, bands=1):
+                    n_steps, chunk, dtype=jnp.float32, bands=1,
+                    relax=1.0, unimodal=False):
     tr, tc = out_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
@@ -354,7 +448,8 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         sl = slice(b * br, (b + 1) * br)
         dist_b = _sdf_ortho_dist(px_m[sl], py_m[sl], scene_m)
         t_b, hit_b = _march_tile(dist_b, px_m[sl], n_steps, chunk=chunk,
-                                 t0=t0_full[sl], eps=eps)
+                                 t0=t0_full[sl], eps=eps, relax=relax,
+                                 unimodal=unimodal)
         t_b = t_b.astype(jnp.float32)
         # miss-band fast path (round 4, work elimination): a band with
         # no hit lane shades to EXACTLY scene.ambient everywhere -- the
@@ -431,12 +526,13 @@ def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
                       n_steps: int = 64, extent: float = 1.2,
                       tile: int = 64, tile_c: int = None,
                       coarse: int = 8, chunk: int = 16,
-                      dtype=jnp.float32, bands: int = 1):
+                      dtype=jnp.float32, bands: int = 1,
+                      relax: float = 1.0, unimodal: bool = False):
     """Fused SDF ray-march megakernel -> (n, n) image (config 4).
 
     ``tile`` x ``tile_c`` is the VMEM pixel block (rows x cols; tile_c
@@ -448,13 +544,19 @@ def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
     policy in docs/benchmarks.md). ``bands`` > 1 marches the tile as
     that many independent row bands with per-band early exit
     (bit-exact vs bands=1). Defaults measured fastest on v5e.
+
+    ``relax`` > 1 turns on over-relaxed sphere tracing and ``unimodal``
+    the convex-scene divergence exit (see _march_tile; unimodal is only
+    valid when every ray's distance function is unimodal, e.g. a convex
+    scene such as the benchmark sphere).
     """
     return _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                         coarse, chunk, dtype, bands)[0]
+                         coarse, chunk, dtype, bands, relax, unimodal)[0]
 
 
 def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
-                  coarse=8, chunk=16, dtype=jnp.float32, bands=1):
+                  coarse=8, chunk=16, dtype=jnp.float32, bands=1,
+                  relax=1.0, unimodal=False):
     tile_c = tile_c or tile
     assert n % tile == 0 and n % tile_c == 0, \
         "image size must be divisible by the tile size"
@@ -469,7 +571,7 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
     img, ts = pl.pallas_call(
         functools.partial(_sdf_fwd_kernel, n=n, extent=extent,
                           n_steps=n_steps, chunk=chunk, dtype=dtype,
-                          bands=bands),
+                          bands=bands, relax=relax, unimodal=unimodal),
         grid=grid,
         in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
                                memory_space=pltpu.SMEM),
@@ -482,14 +584,14 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
 
 
 def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk,
-                 dtype, bands):
+                 dtype, bands, relax, unimodal):
     img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                            coarse, chunk, dtype, bands)
+                            coarse, chunk, dtype, bands, relax, unimodal)
     return img, (params, ts)
 
 
 def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, dtype,
-                 bands, res, g):
+                 bands, relax, unimodal, res, g):
     params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)

@@ -316,3 +316,89 @@ def test_sdf_pallas_bands_non_dividing_falls_back():
     img7 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE, None, 8, 16,
                                         jnp.float32, 7))
     np.testing.assert_array_equal(img1, img7)
+
+
+def test_sdf_relax_unimodal_w1_bitexact():
+    """Convex-scene divergence exit (round 4, _march_tile unimodal=True)
+    at relax=1.0: every HIT lane's trajectory is unchanged (a hit ray's
+    sampled distance decreases monotonically, so the divergence test
+    never fires on it) and miss lanes shade to ambient regardless of
+    where their march froze -- image AND parameter gradients must be
+    bit-identical to the plain march."""
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+    img0 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE))
+    img1 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE, None, 8, 16,
+                                        jnp.float32, 1, 1.0, True))
+    np.testing.assert_array_equal(img0, img1)
+    g0 = np.asarray(jax.grad(lambda p: jnp.mean(
+        render_sdf_pallas(p, N, 48, 1.2, TILE)))(v))
+    g1 = np.asarray(jax.grad(lambda p: jnp.mean(
+        render_sdf_pallas(p, N, 48, 1.2, TILE, None, 8, 16,
+                          jnp.float32, 1, 1.0, True)))(v))
+    np.testing.assert_array_equal(g0, g1)
+
+
+def test_sdf_relax_march_hits_stay_on_surface():
+    """Over-relaxed sphere tracing (round 4, _march_tile relax>1): a hit
+    must only ever be declared at an EVALUATED position with d < eps --
+    the overlap test plus the epilogue revert guarantee a hit position
+    is never inside the surface beyond rounding, for every omega and
+    with/without the divergence exit."""
+    from enoki_tpu.render.pallas_kernels import _cone_t0, _march_tile
+    from enoki_tpu.render.sdf import sdf_ortho_dist
+    v = scene_to_vec(SDFScene.reference())
+    n_steps, extent, eps = 48, 1.2, 1e-4
+    t0 = _cone_t0(v, N, n_steps, extent, 8)
+    step = 2.0 * extent / (N - 1)
+    coords = jnp.arange(N, dtype=jnp.float32) * step - extent
+    px = jnp.broadcast_to(coords[None, :], (N, N))
+    py = jnp.broadcast_to(coords[:, None], (N, N))
+    dist = sdf_ortho_dist(px, py, vec_to_scene(v, SDFScene))
+    t_p, h_p = _march_tile(dist, px, n_steps, chunk=16, t0=t0)
+    hp = np.asarray(h_p)
+    for relax in (1.2, 1.6, 1.9):
+        for unimodal in (False, True):
+            t_w, h_w = _march_tile(dist, px, n_steps, chunk=16, t0=t0,
+                                   relax=relax, unimodal=unimodal)
+            hw, tw = np.asarray(h_w), np.asarray(t_w)
+            d_at = np.asarray(dist(t_w))
+            assert d_at[hw].max() < eps
+            assert d_at[hw].min() > -1e-6, d_at[hw].min()
+            # hit-set changes are confined to grazing silhouette rays
+            # (the fraction shrinks with resolution -- 128^2 here makes
+            # the one-pixel silhouette ring ~3% of all lanes already)
+            flips = (hp != hw).mean()
+            assert flips < 0.025, (relax, unimodal, flips)
+            both = hp & hw
+            dt_hit = np.abs(np.asarray(t_p)[both] - tw[both])
+            assert dt_hit.max() < 5e-4, dt_hit.max()
+
+
+def test_sdf_relax_compiled_render_parity():
+    """Compiled over-relaxed megakernel vs the plain one: differences are
+    confined to grazing silhouette pixels (hit-set flips + eps-band hit-t
+    spread amplified by gain); the bulk of the image is unchanged."""
+    scene = SDFScene.reference()
+    v = scene_to_vec(scene)
+    img0 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE))
+    img1 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE, None, 8, 16,
+                                        jnp.float32, 8, 1.6, True))
+    d = np.abs(img0 - img1)
+    # flipped grazing pixels carry the full ambient<->lit jump (up to
+    # ~gain); everything else is eps-band hit-t wiggle
+    flip = d > 1.0
+    assert flip.mean() < 0.01, flip.mean()
+    assert d[~flip].mean() < 1e-3, d[~flip].mean()
+    g0 = np.asarray(jax.grad(lambda p: jnp.mean(
+        render_sdf_pallas(p, N, 48, 1.2, TILE)))(v))[:9]
+    g1 = np.asarray(jax.grad(lambda p: jnp.mean(
+        render_sdf_pallas(p, N, 48, 1.2, TILE, None, 8, 16,
+                          jnp.float32, 8, 1.6, True)))(v))[:9]
+    assert np.isfinite(g1).all()
+    # radius/center grads pick up the flipped grazing pixels' implicit
+    # spikes; everything is still the same order (bench.py re-gates the
+    # exact tolerance against the XLA oracle at full resolution)
+    sig = np.abs(g0) > 1e-3 * np.abs(g0).max()
+    rel = np.abs(g1 - g0)[sig] / np.abs(g0)[sig]
+    assert rel.max() < 0.5, (rel, g0, g1)

@@ -59,9 +59,36 @@ def main():
                         bands=1, dtype="bf16"))
     configs.append(dict(tile=128, tile_c=128, coarse=8, chunk=16,
                         bands=8, dtype="bf16"))
+    # stage 3: over-relaxed sphere tracing + convex divergence exit
+    # (round 4 work elimination; trajectory-changing, so the table's
+    # parity column matters -- bench.py only picks parity-green configs)
+    for relax in (1.2, 1.4, 1.6, 1.9):
+        for unimodal in (False, True):
+            configs.append(dict(tile=128, tile_c=128, coarse=8, chunk=16,
+                                bands=8, dtype="f32", relax=relax,
+                                unimodal=unimodal))
+    configs.append(dict(tile=128, tile_c=128, coarse=8, chunk=16, bands=8,
+                        dtype="f32", relax=1.0, unimodal=True))
+    configs.append(dict(tile=128, tile_c=128, coarse=0, chunk=16, bands=1,
+                        dtype="f32", relax=1.6, unimodal=True))
 
     kw = dict(k_lo=50, k_hi=200, windows=3) if args.quick else \
         dict(k_lo=100, k_hi=400, windows=5)
+
+    # parity oracle (same gates as bench.py)
+    from enoki_tpu.render.sdf import sdf_loss_implicit
+    lx, gx = jax.jit(jax.value_and_grad(
+        lambda s: sdf_loss_implicit(s, N, STEPS)))(SDFScene.reference())
+    gx_vec = np.array([gx.center.x, gx.center.y, gx.center.z, gx.radius,
+                       gx.ambient, gx.gain, gx.light.x, gx.light.y,
+                       gx.light.z])
+
+    def parity(loss):
+        lp, gp = jax.jit(jax.value_and_grad(loss))(v)
+        return bool(
+            np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
+            and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
+                            atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
 
     rows = []
     for cfg in configs:
@@ -70,9 +97,11 @@ def main():
         def loss(pv, cfg=cfg, dt=dt):
             return jnp.mean(render_sdf_pallas(
                 pv, N, STEPS, 1.2, cfg["tile"], cfg["tile_c"],
-                cfg["coarse"], cfg["chunk"], dt, cfg["bands"]))
+                cfg["coarse"], cfg["chunk"], dt, cfg["bands"],
+                cfg.get("relax", 1.0), cfg.get("unimodal", False)))
 
         try:
+            cfg["parity"] = parity(loss) if cfg["dtype"] == "f32" else "n/a"
             t, spread = _bench_scan(
                 jax.value_and_grad(loss), v,
                 lambda v0, l, k: v0 + l * 1e-12
