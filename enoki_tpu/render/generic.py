@@ -140,8 +140,13 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
     tuned sphere instance: ``coarse`` (cone-prepass block side, 0 = off;
     orthographic camera only -- the conservativeness proof needs
     parallel rays), ``bands`` (sub-tile row bands with independent
-    early exit), and an exact miss-tile fast path (a tile with no hit
-    shades to ambient and short-circuits both kernels).
+    early exit), an exact miss-tile fast path (a tile with no hit
+    shades to ambient and short-circuits both kernels), ``relax``
+    (over-relaxed sphere tracing with the overlap safety test -- valid
+    for any SDF), and ``unimodal`` (divergence exit; ONLY pass True
+    when every ray's distance function is unimodal, e.g. a single
+    convex body -- a concave or multi-body scene can re-approach after
+    a local minimum and would misrender as a miss).
     """
     n_pad = max(16, -(-n_params // 8) * 8)
 
@@ -149,7 +154,7 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         return jnp.stack([params_ref[0, k] for k in range(n_params)])
 
     def fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
-                   n_steps, bands):
+                   n_steps, bands, relax, unimodal):
         tr, tc = out_ref.shape
         px, py = _tile_pixels(tr, tc, n, extent)
         pvec = read_params(params_ref)
@@ -169,7 +174,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             d_b = Vec3(dd.x[sl], dd.y[sl], dd.z[sl])
             t_b, hit_b = _march_tile(
                 lambda tv, o_b=o_b, d_b=d_b: sdf_fn(o_b + d_b * tv, pvec),
-                px[sl], n_steps, eps=eps, t_max=t_max, t0=t0[sl])
+                px[sl], n_steps, eps=eps, t_max=t_max, t0=t0[sl],
+                relax=relax, unimodal=unimodal)
             # miss-band fast path: no hit lane -> the band shades to
             # exactly pvec[AMBIENT] (the where() in _shade selects it on
             # every lane), so skip the normal/lambert math; pl.when
@@ -245,7 +251,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
     param_spec = pl.BlockSpec((1, n_pad), lambda i, j: (0, 0),
                               memory_space=pltpu.SMEM)
 
-    def fwd_call(params, n, n_steps, extent, tile, tile_c, coarse, bands):
+    def fwd_call(params, n, n_steps, extent, tile, tile_c, coarse, bands,
+                 relax=1.0, unimodal=False):
         tile_c = tile_c or tile
         assert n % tile == 0 and n % tile_c == 0, \
             "image size must be divisible by the tile size"
@@ -262,7 +269,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             t0 = jnp.zeros((n, n), jnp.float32)
         return pl.pallas_call(
             functools.partial(fwd_kernel, n=n, extent=extent,
-                              n_steps=n_steps, bands=bands),
+                              n_steps=n_steps, bands=bands, relax=relax,
+                              unimodal=unimodal),
             grid=grid,
             in_specs=[param_spec, tile_spec],
             out_specs=(tile_spec,) * 2,
@@ -270,18 +278,21 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
         )(pad(params), t0)
 
     @functools.partial(jax.custom_vjp,
-                       nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+                       nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9))
     def render_pallas(params, n=1024, n_steps=64, extent=1.2, tile=128,
-                      tile_c=None, coarse=0, bands=1):
+                      tile_c=None, coarse=0, bands=1, relax=1.0,
+                      unimodal=False):
         return fwd_call(params, n, n_steps, extent, tile, tile_c,
-                        coarse, bands)[0]
+                        coarse, bands, relax, unimodal)[0]
 
-    def vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, bands):
+    def vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, bands,
+                relax, unimodal):
         img, ts = fwd_call(params, n, n_steps, extent, tile, tile_c,
-                           coarse, bands)
+                           coarse, bands, relax, unimodal)
         return img, (params, ts)
 
-    def vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, bands, res, g):
+    def vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, bands, relax,
+                unimodal, res, g):
         params, ts = res
         tile_c = tile_c or tile
         assert n % tile == 0 and n % tile_c == 0, \

@@ -140,3 +140,28 @@ def test_generic_prepass_rejects_custom_camera():
                               ray_fn=perspective_camera())
     with pytest.raises(AssertionError, match="orthographic"):
         rp(PARAMS, N, STEPS, 1.2, TILE, None, 8)
+
+
+def test_generic_relax_knobs():
+    """relax / unimodal thread through the factory (round 4): a single
+    convex sphere scene renders with over-relaxation + divergence exit
+    and stays parity-close to its own plain megakernel; at relax=1 +
+    unimodal the image is bit-exact (hit-lane trajectories unchanged)."""
+    def sphere_only(p, pv):
+        return sd.sd_sphere(p, Vec3(pv[5], pv[6], pv[7]), pv[8])
+
+    pv = jnp.asarray([0.15, 40.0, -1.0, -1.0, 2.0, 0.0, 0.0, 0.3, 0.5],
+                     jnp.float32)
+    rp, _ = make_sdf_renderer(sphere_only, n_params=9)
+    img0 = np.asarray(rp(pv, N, STEPS, 1.2, TILE))
+    img_uni = np.asarray(rp(pv, N, STEPS, 1.2, TILE, None, 0, 1, 1.0,
+                            True))
+    np.testing.assert_array_equal(img0, img_uni)
+    img_w = np.asarray(rp(pv, N, STEPS, 1.2, TILE, None, 0, 1, 1.6, True))
+    d = np.abs(img0 - img_w)
+    flip = d > 1.0
+    assert flip.mean() < 0.01, flip.mean()
+    assert d[~flip].mean() < 1e-3, d[~flip].mean()
+    g = np.asarray(jax.grad(lambda v: jnp.mean(
+        rp(v, N, STEPS, 1.2, TILE, None, 0, 1, 1.6, True)))(pv))
+    assert np.isfinite(g).all() and np.abs(g[5:]).max() > 1e-4
