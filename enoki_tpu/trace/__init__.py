@@ -289,6 +289,9 @@ def reset():
     if callmod is not None:
         callmod.clear_partition_cache()
     _lib.et_reset()
+    # the C-side shared-literal cache after the native reset: its ids
+    # were dropped wholesale by et_reset, so no dec-refs here
+    _nat.lit_cache_clear()
 
 
 def set_log_level(level: int):
@@ -837,14 +840,22 @@ def _binary_dtype(a_code, b_code):
     return _PROMOTE[a_code][b_code]
 
 
-class LazyArray:
+class LazyArray(_nat.VarBase):
     """Lazy 1-D array handle (the FloatC analog, cuda.h:206).
 
     Operations record into the native trace; nothing runs until eval() /
     numpy() / item access forces the fused program.
+
+    The handle state (index, _size, _code) lives in the C base type as
+    raw ints -- no PyLong boxing -- and the base's tp_dealloc releases
+    the native variable reference, so there is no Python ``__del__``
+    (object lifecycle was ~40% of the re-trace budget). A freshly
+    tp_alloc'd instance has index == 0, which dealloc treats as
+    detached; ``reset()`` uses the same convention to neuter the shared
+    literal handles.
     """
 
-    __slots__ = ("index", "_size", "_code")
+    __slots__ = ()
 
     def __init__(self, value=None, index: Optional[int] = None,
                  _size: Optional[int] = None, _code: Optional[int] = None):
@@ -895,12 +906,7 @@ class LazyArray:
             LazyArray.literal(lo, 1, dtype)
 
     # -- bookkeeping ---------------------------------------------------------
-
-    def __del__(self):
-        try:
-            _nat.dec_ref(self.index)
-        except (TypeError, AttributeError):  # interpreter teardown
-            pass
+    # (no __del__: the C base's tp_dealloc releases the native reference)
 
     def __len__(self):
         return self._size
@@ -1202,13 +1208,15 @@ def _bin_dunder(opcode, out_code=-1, swap=False):
             return self._bin(other, opcode, out_dtype, swap=True)
     else:
         def op(self, other):
-            if type(other) is not LazyArray:
-                # coerce scalars HERE (shared-literal cache) so the C
-                # fast path serves scalar operands too
-                other = self._coerce(other)
+            # the C fast path handles LazyArray AND Python-scalar
+            # operands (bits-keyed shared-literal cache in pymod.cpp);
+            # anything it declines (bf16/f16 scalar rounding, u64-range
+            # ints, numpy scalars, dirty deps) falls back here
             r = _nat.binop(self, other, opcode, out_code)
             if r is not None:
                 return r
+            if type(other) is not LazyArray:
+                other = self._coerce(other)
             return self._bin(other, opcode, out_dtype)
     return op
 

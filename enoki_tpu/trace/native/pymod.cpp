@@ -11,8 +11,11 @@
 
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <structmember.h>
 
 #include <cstdint>
+#include <cstring>
+#include <unordered_map>
 
 extern "C" {
 uint32_t et_append(int32_t, int32_t, uint64_t, uint32_t, uint32_t, uint32_t,
@@ -46,13 +49,21 @@ PyObject *py_append(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
     }
     uint32_t d[4] = {(uint32_t)v[3], (uint32_t)v[4], (uint32_t)v[5],
                      (uint32_t)v[6]};
-    for (int i = 0; i < 4; ++i)
-        if (d[i] && et_is_dirty(d[i])) return PyLong_FromLong(-1);
-    uint32_t id = v[7]
-        ? et_append_raw((int32_t)v[0], (int32_t)v[1], (uint64_t)v[2], d[0],
-                        d[1], d[2], d[3])
-        : et_append((int32_t)v[0], (int32_t)v[1], (uint64_t)v[2], d[0], d[1],
-                    d[2], d[3]);
+    uint32_t id;
+    if (v[7]) {
+        // raw appends (scatter family) legitimately take dirty deps --
+        // the chaining protocol -- so the dirty refusal stays out of
+        // et_append_raw and lives here for parity with the old contract
+        for (int i = 0; i < 4; ++i)
+            if (d[i] && et_is_dirty(d[i])) return PyLong_FromLong(-1);
+        id = et_append_raw((int32_t)v[0], (int32_t)v[1], (uint64_t)v[2], d[0],
+                           d[1], d[2], d[3]);
+    } else {
+        // et_append refuses dirty deps itself (single lookup per dep)
+        id = et_append((int32_t)v[0], (int32_t)v[1], (uint64_t)v[2], d[0],
+                       d[1], d[2], d[3]);
+        if (id == (uint32_t)-1) return PyLong_FromLong(-1);
+    }
     return PyLong_FromUnsignedLong(id);
 }
 
@@ -113,35 +124,49 @@ PyObject *py_materialized(PyObject *, PyObject *const *args,
 // ---------------------------------------------------------------------------
 // C fast path for LazyArray operator dispatch.
 //
-// A binary trace op costs ~1.2 us/op through the Python route (dunder
-// frame + _bin frame + attribute reads + promotion lookup + append +
-// LazyArray.__new__ + three slot writes). binop()/unop() fold all of
-// that into one METH_FASTCALL: the LazyArray __slots__ are read/written
-// at their fixed member offsets, the dtype promotion is a C table, and
-// the result object is built with tp_alloc directly (LazyArray holds
-// only ints -- no reference cycles, so skipping GC tracking is sound).
-// Scalar operands, dirty dependencies and broadcast violations return
-// None: the Python slow path (LazyArray._bin/_record) handles them.
+// VarBase is the C base type LazyArray inherits: it carries the handle
+// state (index, _size, _code) as RAW C fields -- no PyLong boxing --
+// and its tp_dealloc releases the native variable's external reference
+// directly, replacing a Python-level __del__ (which costs a frame +
+// fastcall per destroyed handle; ~40% of the re-trace budget was object
+// lifecycle). binop()/unop() read/write the C fields at fixed offsets,
+// the dtype promotion is a C table, and the result object is built with
+// tp_alloc directly. Scalar operands, dirty dependencies and broadcast
+// violations return None: the Python slow path (LazyArray._bin/_record)
+// handles them.
 // ---------------------------------------------------------------------------
 
-PyTypeObject *g_lazy = nullptr;       // the LazyArray class
-Py_ssize_t g_off_index = 0, g_off_size = 0, g_off_code = 0;
+struct VarObject {
+    PyObject_HEAD
+    uint32_t index;
+    unsigned long long size_;
+    int code_;
+};
+
+void var_dealloc(PyObject *self) {
+    uint32_t id = ((VarObject *)self)->index;
+    if (id) et_dec_ref_ext(id);
+    Py_TYPE(self)->tp_free(self);
+}
+
+PyMemberDef var_members[] = {
+    {"index", T_UINT, offsetof(VarObject, index), 0,
+     "native variable id (0 = detached handle)"},
+    {"_size", T_ULONGLONG, offsetof(VarObject, size_), 0, nullptr},
+    {"_code", T_INT, offsetof(VarObject, code_), 0, nullptr},
+    {nullptr, 0, 0, 0, nullptr}};
+
+PyTypeObject VarBase_Type = {
+    PyVarObject_HEAD_INIT(nullptr, 0)
+    "_etnative.VarBase",            /* tp_name */
+    sizeof(VarObject),              /* tp_basicsize */
+    0,                              /* tp_itemsize */
+    var_dealloc,                    /* tp_dealloc */
+};
+
+PyTypeObject *g_lazy = nullptr;  // the LazyArray class (VarBase subclass)
 int g_promote[16][16];
 int g_ndtypes = 0;
-
-Py_ssize_t member_offset(PyObject *type, const char *name) {
-    PyObject *d = PyObject_GetAttrString(type, name);
-    if (!d) return -1;
-    // __slots__ descriptors are member descriptors carrying the offset
-    if (Py_TYPE(d) != &PyMemberDescr_Type) {
-        Py_DECREF(d);
-        PyErr_SetString(PyExc_TypeError, "expected a __slots__ member");
-        return -1;
-    }
-    Py_ssize_t off = ((PyMemberDescrObject *)d)->d_member->offset;
-    Py_DECREF(d);
-    return off;
-}
 
 // set_class(LazyArray, promote_flat, n_dtypes): one-time wiring
 PyObject *py_set_class(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
@@ -150,10 +175,12 @@ PyObject *py_set_class(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
         return nullptr;
     }
     PyObject *cls = args[0];
-    Py_ssize_t oi = member_offset(cls, "index");
-    Py_ssize_t os = member_offset(cls, "_size");
-    Py_ssize_t oc = member_offset(cls, "_code");
-    if (oi < 0 || os < 0 || oc < 0) return nullptr;
+    if (!PyType_Check(cls) ||
+        !PyType_IsSubtype((PyTypeObject *)cls, &VarBase_Type)) {
+        PyErr_SetString(PyExc_TypeError,
+                        "set_class expects a VarBase subclass");
+        return nullptr;
+    }
     long nd = PyLong_AsLong(args[2]);
     if (nd <= 0 || nd > 16) {
         PyErr_SetString(PyExc_ValueError, "n_dtypes out of range");
@@ -170,41 +197,109 @@ PyObject *py_set_class(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
     Py_INCREF(cls);
     Py_XDECREF((PyObject *)g_lazy);
     g_lazy = (PyTypeObject *)cls;
-    g_off_index = oi;
-    g_off_size = os;
-    g_off_code = oc;
     g_ndtypes = (int)nd;
     Py_RETURN_NONE;
 }
 
-inline PyObject *slot_get(PyObject *o, Py_ssize_t off) {
-    return *(PyObject **)((char *)o + off);
+// ---- C scalar-literal fast path -------------------------------------------
+// Python scalar operands repeat heavily (polynomial coefficients on every
+// retrace); one shared native literal per (dtype, bit pattern) is enough
+// because literal vars are immutable. Keys are the encoded BITS, so
+// -0.0 / 0.0 and NaN payloads are distinct naturally (the Python-side
+// cache needs sign/NaN special-casing for its value keys). The cache
+// holds one ext reference per entry; lit_cache_clear() (called by
+// trace.reset() right after et_reset) empties it without dec-refs --
+// the native reset already dropped every variable wholesale.
+// Dtype codes mirror trace/__init__.py _DTYPES:
+//   0 f32, 1 f64, 2 i32, 3 u32, 4 bool, 5 bf16, 6 i64, 7 u64, 8 f16
+// bf16/f16 scalar encoding (rounding) stays on the Python path.
+constexpr int kNumCodes = 9;
+std::unordered_map<uint64_t, uint32_t> g_lit_cache[kNumCodes];
+constexpr size_t kLitCacheCap = 1u << 14;
+
+// encode a double into the dtype's bit pattern; returns false when this
+// dtype/value combination must take the Python slow path
+bool encode_float_bits(int code, double d, uint64_t *bits) {
+    if (code == 0) {
+        float f = (float)d;
+        uint32_t b;
+        std::memcpy(&b, &f, 4);
+        *bits = b;
+        return true;
+    }
+    if (code == 1) {
+        uint64_t b;
+        std::memcpy(&b, &d, 8);
+        *bits = b;
+        return true;
+    }
+    return false;  // int/bool/16-bit targets: Python decides semantics
 }
 
-inline void slot_set_new(PyObject *o, Py_ssize_t off, PyObject *v) {
-    *(PyObject **)((char *)o + off) = v;  // o is fresh: no old value
+bool encode_int_bits(int code, long long v, uint64_t *bits) {
+    switch (code) {
+        case 0: case 1: return encode_float_bits(code, (double)v, bits);
+        case 2: *bits = (uint64_t)(uint32_t)(int32_t)v; return (int32_t)v == v;
+        case 3: if (v < 0) return false;
+                *bits = (uint64_t)(uint32_t)v; return (long long)(uint32_t)v == v;
+        case 4: *bits = v ? 1 : 0; return true;
+        case 6: *bits = (uint64_t)v; return true;
+        case 7: if (v < 0) return false;
+                *bits = (uint64_t)v; return true;
+        default: return false;  // bf16/f16 rounding lives in Python
+    }
 }
 
-PyObject *make_result(uint32_t id, PyObject *size_obj, PyObject *code_obj) {
+// shared literal id for (code, bits), creating + caching on miss
+uint32_t lit_id(int code, uint64_t bits) {
+    auto &m = g_lit_cache[code];
+    auto it = m.find(bits);
+    if (it != m.end()) return it->second;
+    uint32_t id = et_literal(code, bits, 1);
+    if (id && m.size() < kLitCacheCap) {
+        et_inc_ref_ext(id);  // the cache's own reference
+        m.emplace(bits, id);
+    }
+    return id;
+}
+
+// scalar operand -> shared literal id of dtype `code`; 0 = fall back
+uint32_t scalar_lit(PyObject *b, int code) {
+    uint64_t bits;
+    if (PyFloat_CheckExact(b)) {
+        if (!encode_float_bits(code, PyFloat_AS_DOUBLE(b), &bits)) return 0;
+    } else if (PyBool_Check(b)) {
+        if (!encode_int_bits(code, b == Py_True ? 1 : 0, &bits)) return 0;
+    } else if (PyLong_CheckExact(b)) {
+        int overflow = 0;
+        long long v = PyLong_AsLongLongAndOverflow(b, &overflow);
+        if (overflow || (v == -1 && PyErr_Occurred())) {
+            PyErr_Clear();
+            return 0;  // u64-range ints etc.: Python handles
+        }
+        if (!encode_int_bits(code, v, &bits)) return 0;
+    } else {
+        return 0;
+    }
+    return lit_id(code, bits);
+}
+
+PyObject *py_lit_cache_clear(PyObject *, PyObject *const *, Py_ssize_t) {
+    // no dec-refs: only called right after et_reset dropped all vars
+    for (auto &m : g_lit_cache) m.clear();
+    Py_RETURN_NONE;
+}
+
+// builds the result handle; releases the appended native var's ext
+// reference on failure (OOM-only today, but the var would otherwise
+// leak for the lifetime of the trace)
+PyObject *make_result(uint32_t id, unsigned long long size, int code) {
     PyObject *r = g_lazy->tp_alloc(g_lazy, 0);
-    if (!r) return nullptr;
-    PyObject *idx = PyLong_FromUnsignedLong(id);
-    if (!idx) { Py_DECREF(r); return nullptr; }
-    slot_set_new(r, g_off_index, idx);
-    Py_INCREF(size_obj);
-    slot_set_new(r, g_off_size, size_obj);
-    Py_INCREF(code_obj);
-    slot_set_new(r, g_off_code, code_obj);
-    return r;
-}
-
-// make_result that releases the appended native var's ext reference on
-// failure (OOM-only today, but the var would otherwise leak for the
-// lifetime of the trace).
-PyObject *make_result_or_release(uint32_t id, PyObject *size_obj,
-                                 PyObject *code_obj) {
-    PyObject *r = make_result(id, size_obj, code_obj);
-    if (!r) et_dec_ref_ext(id);
+    if (!r) { et_dec_ref_ext(id); return nullptr; }
+    VarObject *v = (VarObject *)r;
+    v->index = id;
+    v->size_ = size;
+    v->code_ = code;
     return r;
 }
 
@@ -216,37 +311,37 @@ PyObject *py_binop(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
         return nullptr;
     }
     PyObject *a = args[0], *b = args[1];
-    if (!g_lazy || Py_TYPE(a) != g_lazy || Py_TYPE(b) != g_lazy)
-        Py_RETURN_NONE;
+    if (!g_lazy || Py_TYPE(a) != g_lazy) Py_RETURN_NONE;
     long opcode = PyLong_AsLong(args[2]);
     long out_code = PyLong_AsLong(args[3]);
     if (PyErr_Occurred()) return nullptr;
-    PyObject *ai = slot_get(a, g_off_index), *bi = slot_get(b, g_off_index);
-    PyObject *as = slot_get(a, g_off_size), *bs = slot_get(b, g_off_size);
-    PyObject *ac = slot_get(a, g_off_code), *bc = slot_get(b, g_off_code);
-    if (!ai || !bi || !as || !bs || !ac || !bc) Py_RETURN_NONE;
-    uint32_t ida = (uint32_t)PyLong_AsUnsignedLong(ai);
-    uint32_t idb = (uint32_t)PyLong_AsUnsignedLong(bi);
-    unsigned long long sa = PyLong_AsUnsignedLongLong(as);
-    unsigned long long sb = PyLong_AsUnsignedLongLong(bs);
-    long ca = PyLong_AsLong(ac), cb = PyLong_AsLong(bc);
-    if (PyErr_Occurred()) { PyErr_Clear(); Py_RETURN_NONE; }
-    if (ca < 0 || ca >= g_ndtypes || cb < 0 || cb >= g_ndtypes)
-        Py_RETURN_NONE;
+    VarObject *va = (VarObject *)a;
+    int ca = va->code_;
+    if (ca < 0 || ca >= g_ndtypes) Py_RETURN_NONE;
+    uint32_t idb;
+    int cb;
+    unsigned long long size;
+    if (Py_TYPE(b) == g_lazy) {
+        VarObject *vb = (VarObject *)b;
+        cb = vb->code_;
+        if (cb < 0 || cb >= g_ndtypes) Py_RETURN_NONE;
+        idb = vb->index;
+        size = va->size_ >= vb->size_ ? va->size_ : vb->size_;
+    } else {
+        // Python scalar operand: shared literal of a's dtype (the same
+        // coercion rule as LazyArray._coerce, bits-keyed cache)
+        idb = scalar_lit(b, ca);
+        if (!idb) Py_RETURN_NONE;
+        cb = ca;
+        size = va->size_;
+    }
     long dc = out_code >= 0 ? out_code : g_promote[ca][cb];
-    if ((ida && et_is_dirty(ida)) || (idb && et_is_dirty(idb)))
-        Py_RETURN_NONE;  // slow path evals the pending scatter + retries
-    uint32_t id = et_append((int32_t)opcode, (int32_t)dc,
-                            sa >= sb ? sa : sb, ida, idb, 0, 0);
+    // dirty deps make et_append return -1 -> the slow path evals the
+    // pending scatter and retries
+    uint32_t id = et_append((int32_t)opcode, (int32_t)dc, size,
+                            va->index, idb, 0, 0);
     if (id == 0 || id == (uint32_t)-1) Py_RETURN_NONE;
-    PyObject *size_obj = sa >= sb ? as : bs;
-    PyObject *code_obj = dc == ca ? ac : (dc == cb ? bc : nullptr);
-    if (code_obj) return make_result_or_release(id, size_obj, code_obj);
-    PyObject *co = PyLong_FromLong(dc);
-    if (!co) { et_dec_ref_ext(id); return nullptr; }
-    PyObject *r = make_result_or_release(id, size_obj, co);
-    Py_DECREF(co);
-    return r;
+    return make_result(id, size, (int)dc);
 }
 
 // unop(a, opcode, out_code) -> LazyArray | None
@@ -260,24 +355,12 @@ PyObject *py_unop(PyObject *, PyObject *const *args, Py_ssize_t nargs) {
     long opcode = PyLong_AsLong(args[1]);
     long out_code = PyLong_AsLong(args[2]);
     if (PyErr_Occurred()) return nullptr;
-    PyObject *ai = slot_get(a, g_off_index);
-    PyObject *as = slot_get(a, g_off_size);
-    PyObject *ac = slot_get(a, g_off_code);
-    if (!ai || !as || !ac) Py_RETURN_NONE;
-    uint32_t ida = (uint32_t)PyLong_AsUnsignedLong(ai);
-    unsigned long long sa = PyLong_AsUnsignedLongLong(as);
-    long ca = PyLong_AsLong(ac);
-    if (PyErr_Occurred()) { PyErr_Clear(); Py_RETURN_NONE; }
-    long dc = out_code >= 0 ? out_code : ca;
-    if (ida && et_is_dirty(ida)) Py_RETURN_NONE;
-    uint32_t id = et_append((int32_t)opcode, (int32_t)dc, sa, ida, 0, 0, 0);
+    VarObject *va = (VarObject *)a;
+    long dc = out_code >= 0 ? out_code : va->code_;
+    uint32_t id = et_append((int32_t)opcode, (int32_t)dc, va->size_,
+                            va->index, 0, 0, 0);
     if (id == 0 || id == (uint32_t)-1) Py_RETURN_NONE;
-    if (dc == ca) return make_result_or_release(id, as, ac);
-    PyObject *co = PyLong_FromLong(dc);
-    if (!co) { et_dec_ref_ext(id); return nullptr; }
-    PyObject *r = make_result_or_release(id, as, co);
-    Py_DECREF(co);
-    return r;
+    return make_result(id, va->size_, (int)dc);
 }
 
 PyMethodDef kMethods[] = {
@@ -290,6 +373,8 @@ PyMethodDef kMethods[] = {
     {"materialized", (PyCFunction)(void *)py_materialized, METH_FASTCALL,
      nullptr},
     {"set_class", (PyCFunction)(void *)py_set_class, METH_FASTCALL, nullptr},
+    {"lit_cache_clear", (PyCFunction)(void *)py_lit_cache_clear,
+     METH_FASTCALL, nullptr},
     {"binop", (PyCFunction)(void *)py_binop, METH_FASTCALL, nullptr},
     {"unop", (PyCFunction)(void *)py_unop, METH_FASTCALL, nullptr},
     {nullptr, nullptr, 0, nullptr}};
@@ -300,4 +385,21 @@ PyModuleDef kModule = {PyModuleDef_HEAD_INIT, "_etnative",
 
 }  // namespace
 
-extern "C" PyObject *PyInit__etnative(void) { return PyModule_Create(&kModule); }
+extern "C" PyObject *PyInit__etnative(void) {
+    VarBase_Type.tp_flags = Py_TPFLAGS_DEFAULT | Py_TPFLAGS_BASETYPE;
+    VarBase_Type.tp_members = var_members;
+    VarBase_Type.tp_new = PyType_GenericNew;
+    VarBase_Type.tp_doc =
+        "C base of LazyArray: raw-int handle fields + dealloc that "
+        "releases the native variable reference.";
+    if (PyType_Ready(&VarBase_Type) < 0) return nullptr;
+    PyObject *m = PyModule_Create(&kModule);
+    if (!m) return nullptr;
+    Py_INCREF(&VarBase_Type);
+    if (PyModule_AddObject(m, "VarBase", (PyObject *)&VarBase_Type) < 0) {
+        Py_DECREF(&VarBase_Type);
+        Py_DECREF(m);
+        return nullptr;
+    }
+    return m;
+}

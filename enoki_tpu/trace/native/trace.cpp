@@ -45,16 +45,20 @@ struct Variable {
     bool dirty = false;        // scatter target: reads must eval first
     bool materialized = false;  // buffer exists on the Python side
     uint64_t subtree_size = 1;  // priority for child ordering at schedule
-    std::string label;
 };
 
 struct Context {
     std::unordered_map<uint32_t, Variable> vars;
+    // labels live OUT of Variable: they are rare (debug tooling only)
+    // and an inline std::string would put a non-trivial ctor/dtor and
+    // 32 dead bytes on the append hot path
+    std::unordered_map<uint32_t, std::string> labels;
     uint32_t ctr = 1;  // 0 is the null variable
     std::vector<uint32_t> side_effects;  // pending scatter ops
     int log_level = 0;
     // stats (whos-style accounting, jit.cu:1564-1634)
     uint64_t n_appends = 0, n_evals = 0, n_freed = 0, peak_vars = 0;
+    Context() { vars.reserve(1u << 16); }
 };
 
 Context ctx;
@@ -99,6 +103,7 @@ void free_var(uint32_t id) {
     uint32_t deps[kMaxDeps];
     std::memcpy(deps, v->dep, sizeof(deps));
     ctx.vars.erase(id);
+    if (!ctx.labels.empty()) ctx.labels.erase(id);
     ctx.n_freed++;
     for (uint32_t d : deps)
         if (d) dec_ref_int(d);
@@ -121,17 +126,27 @@ extern "C" {
 
 // Append an op. Broadcast rule identical to cuda_trace_append
 // (jit.cu:776-782): every dep size must be 1 or equal to the op size.
-// Returns the new variable id, or 0 on a size violation.
+// Returns the new variable id, 0 on a size violation, or (uint32_t)-1
+// when a dependency is dirty (the caller must eval it and retry -- the
+// read-after-scatter protocol, jit.cu:719-730; the check lives here so
+// the binding layer pays one map lookup per dependency, not two).
+// References into std::unordered_map stay valid across inserts, so the
+// dep pointers gathered during validation are reused for the int_ref
+// increments after the insert below.
 uint32_t et_append(int32_t opcode, int32_t dtype, uint64_t size,
                    uint32_t d0, uint32_t d1, uint32_t d2, uint32_t d3) {
     uint32_t deps[kMaxDeps] = {d0, d1, d2, d3};
+    Variable *dv[kMaxDeps] = {nullptr, nullptr, nullptr, nullptr};
     uint64_t subtree = 1;
-    for (uint32_t d : deps) {
+    for (int i = 0; i < (int)kMaxDeps; ++i) {
+        uint32_t d = deps[i];
         if (!d) continue;
         Variable *v = var(d);
         if (!v) return 0;
         if (v->size != 1 && v->size != size && size != 1) return 0;
+        if (v->dirty) return (uint32_t)-1;
         subtree += v->subtree_size;
+        dv[i] = v;
     }
     uint32_t id = ctx.ctr++;
     Variable &nv = ctx.vars[id];
@@ -141,8 +156,8 @@ uint32_t et_append(int32_t opcode, int32_t dtype, uint64_t size,
     std::memcpy(nv.dep, deps, sizeof(deps));
     nv.ext_ref = 1;
     nv.subtree_size = subtree;
-    for (uint32_t d : deps)
-        if (d) var(d)->int_ref++;
+    for (int i = 0; i < (int)kMaxDeps; ++i)
+        if (dv[i]) dv[i]->int_ref++;
     ctx.n_appends++;
     ctx.peak_vars = std::max<uint64_t>(ctx.peak_vars, ctx.vars.size());
     if (ctx.log_level >= 4)
@@ -157,12 +172,15 @@ uint32_t et_append(int32_t opcode, int32_t dtype, uint64_t size,
 uint32_t et_append_raw(int32_t opcode, int32_t dtype, uint64_t size,
                        uint32_t d0, uint32_t d1, uint32_t d2, uint32_t d3) {
     uint32_t deps[kMaxDeps] = {d0, d1, d2, d3};
+    Variable *dv[kMaxDeps] = {nullptr, nullptr, nullptr, nullptr};
     uint64_t subtree = 1;
-    for (uint32_t d : deps) {
+    for (int i = 0; i < (int)kMaxDeps; ++i) {
+        uint32_t d = deps[i];
         if (!d) continue;
         Variable *v = var(d);
         if (!v) return 0;
         subtree += v->subtree_size;
+        dv[i] = v;
     }
     uint32_t id = ctx.ctr++;
     Variable &nv = ctx.vars[id];
@@ -172,8 +190,8 @@ uint32_t et_append_raw(int32_t opcode, int32_t dtype, uint64_t size,
     std::memcpy(nv.dep, deps, sizeof(deps));
     nv.ext_ref = 1;
     nv.subtree_size = subtree;
-    for (uint32_t d : deps)
-        if (d) var(d)->int_ref++;
+    for (int i = 0; i < (int)kMaxDeps; ++i)
+        if (dv[i]) dv[i]->int_ref++;
     ctx.n_appends++;
     ctx.peak_vars = std::max<uint64_t>(ctx.peak_vars, ctx.vars.size());
     return id;
@@ -233,18 +251,21 @@ uint32_t et_num_vars(void) { return (uint32_t)ctx.vars.size(); }
 
 void et_set_label(uint32_t id, const char *label) {
     Variable *v = var(id);
-    if (v) v->label = label ? label : "";
+    if (v) ctx.labels[id] = label ? label : "";
 }
 
 // Label read-back for the tape introspection tools (the reference's
 // graphviz/whos renderers read node labels, autodiff.cpp:1076,1165).
 // Returns the label length (0 if unset / unknown id).
 int32_t et_get_label(uint32_t id, char *buf, int32_t cap) {
-    Variable *v = var(id);
-    if (!v || v->label.empty() || cap <= 0) { if (cap > 0) buf[0] = 0; return 0; }
-    int32_t n = (int32_t)v->label.size();
+    auto it = ctx.labels.find(id);
+    if (it == ctx.labels.end() || it->second.empty() || cap <= 0) {
+        if (cap > 0) buf[0] = 0;
+        return 0;
+    }
+    int32_t n = (int32_t)it->second.size();
     if (n >= cap) n = cap - 1;
-    memcpy(buf, v->label.data(), (size_t)n);
+    memcpy(buf, it->second.data(), (size_t)n);
     buf[n] = 0;
     return n;
 }
@@ -592,12 +613,14 @@ int32_t et_whos(char *buf, int32_t cap) {
     uint64_t mem = 0;
     for (uint32_t id : ids) {
         Variable &v = ctx.vars[id];
+        auto lit = ctx.labels.find(id);
+        const char *label = lit == ctx.labels.end() ? "" : lit->second.c_str();
         char line[256];
         std::snprintf(line, sizeof(line), "%6u  %d/%d  %8llu  %3d   %s%s%s%s  %s\n",
                       id, v.ext_ref, v.int_ref, (unsigned long long)v.size,
                       v.opcode, v.materialized ? "M" : "-",
                       v.dirty ? "D" : "-", v.side_effect ? "S" : "-",
-                      v.is_literal ? "L" : "-", v.label.c_str());
+                      v.is_literal ? "L" : "-", label);
         s += line;
         if (v.materialized) mem += v.size * 4;
     }
@@ -617,6 +640,7 @@ int32_t et_whos(char *buf, int32_t cap) {
 // (GC), and reused ids would let them free unrelated new variables.
 void et_reset(void) {
     ctx.vars.clear();
+    ctx.labels.clear();
     ctx.side_effects.clear();
     ctx.n_appends = ctx.n_evals = ctx.n_freed = ctx.peak_vars = 0;
     sched.entries.clear();
