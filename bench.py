@@ -87,6 +87,9 @@ def main():
     # official numbers always use the 1024/64 defaults
     N = int(os.environ.get("ENOKI_BENCH_N", 1024))
     STEPS = int(os.environ.get("ENOKI_BENCH_STEPS", 64))
+    K_LO = int(os.environ.get("ENOKI_BENCH_KLO", 100))
+    K_HI = int(os.environ.get("ENOKI_BENCH_KHI", 400))
+    WINDOWS = int(os.environ.get("ENOKI_BENCH_WINDOWS", 5))
     rays = N * N
 
     scene = SDFScene.reference()
@@ -113,10 +116,15 @@ def main():
                        gx.light.z])
 
     def parity_ok(loss_fn):
-        lp, gp = jax.jit(jax.value_and_grad(loss_fn))(v)
-        return (np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
-                and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
-                                atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
+        try:
+            lp, gp = jax.jit(jax.value_and_grad(loss_fn))(v)
+            return (np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
+                    and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
+                                    atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
+        except Exception as e:  # Mosaic compile/runtime failure = fail gate
+            print(f"bench: parity probe raised for a candidate "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
+            return False
 
     # quick self-tuning pass over the work-elimination knobs (cone
     # prepass / sub-tile bands / over-relaxation / convex divergence
@@ -130,10 +138,20 @@ def main():
                   (8, 8, 1.0, False), (8, 1, 1.0, False), (0, 1, 1.0, False)]
     quick = []
     for cfg in candidates:
-        t, _ = _bench_scan(jax.value_and_grad(make_loss(*cfg)), v,
-                           lambda v0, loss, k: v0 + loss * 1e-12
-                           + 1e-6 * k.astype(jnp.float32),
-                           k_lo=25, k_hi=100, windows=1)
+        try:
+            t, _ = _bench_scan(jax.value_and_grad(make_loss(*cfg)), v,
+                               lambda v0, loss, k: v0 + loss * 1e-12
+                               + 1e-6 * k.astype(jnp.float32),
+                               k_lo=max(K_LO // 4, 2),
+                               k_hi=max(K_HI // 4, 5), windows=1)
+        except Exception as e:
+            # a work-elimination variant that fails to compile on this
+            # backend (Mosaic lowering gap, VMEM overflow) must only
+            # lose the tuning race, never zero the benchmark -- the
+            # plain (0, 1) config is the always-works floor
+            print(f"bench: candidate {cfg} failed to run "
+                  f"({type(e).__name__}: {e}); skipping", file=sys.stderr)
+            continue
         quick.append((t, cfg))
     quick.sort(key=lambda q: q[0])
 
@@ -154,7 +172,8 @@ def main():
     t_pallas, spread_p = _bench_scan(
         jax.value_and_grad(pallas_loss), v,
         lambda v0, loss, k: v0 + loss * 1e-12
-        + 1e-6 * k.astype(jnp.float32))
+        + 1e-6 * k.astype(jnp.float32),
+        k_lo=K_LO, k_hi=K_HI, windows=WINDOWS)
 
     def perturb_scene(s0, loss, k):
         return SDFScene(center=s0.center,
@@ -164,7 +183,7 @@ def main():
 
     t_xla, spread_x = _bench_scan(
         jax.value_and_grad(lambda s: sdf_loss_implicit(s, N, STEPS)),
-        scene, perturb_scene)
+        scene, perturb_scene, k_lo=K_LO, k_hi=K_HI, windows=WINDOWS)
 
     rays_pallas = rays / t_pallas
     rays_xla = rays / t_xla
@@ -175,7 +194,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_pallas / rays_xla, 4),
         "spread_pct": round(100.0 * max(spread_p, spread_x), 2),
-        "windows": 5,
+        "windows": WINDOWS,
         "config": {"coarse": coarse, "bands": bands, "relax": relax,
                    "unimodal": unimodal},
     }))

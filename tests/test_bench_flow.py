@@ -1,0 +1,77 @@
+"""bench.py flow tests -- the candidate/parity/fallback machinery.
+
+The official numbers come from the real chip; what CI must guarantee is
+that the self-tuning flow can never crash or zero the benchmark when an
+aggressive work-elimination candidate fails to compile (the r3 judge's
+rule: a variant may only LOSE the tuning race). Runs the whole of
+bench.main() on the CPU in Pallas interpret mode with tiny shapes.
+"""
+
+import json
+
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import bench
+import enoki_tpu.render.pallas_kernels as pk
+
+
+@pytest.fixture(autouse=True)
+def _tiny(monkeypatch):
+    monkeypatch.setenv("ENOKI_BENCH_N", "64")
+    monkeypatch.setenv("ENOKI_BENCH_STEPS", "8")
+    monkeypatch.setenv("ENOKI_BENCH_KLO", "2")
+    monkeypatch.setenv("ENOKI_BENCH_KHI", "5")
+    monkeypatch.setenv("ENOKI_BENCH_WINDOWS", "1")
+    with pltpu.force_tpu_interpret_mode():
+        yield
+
+
+def _run(capsys):
+    rc = bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1, "bench must print exactly ONE stdout line"
+    return rc, json.loads(out[0])
+
+
+def test_bench_flow_end_to_end(capsys):
+    rc, j = _run(capsys)
+    assert rc == 0
+    assert j["metric"] == "rays_per_s_per_chip_fwd_bwd"
+    assert j["value"] > 0 and j["vs_baseline"] > 0
+    assert "config" in j and set(j["config"]) == {
+        "coarse", "bands", "relax", "unimodal"}
+
+
+def test_bench_candidate_failure_falls_back(capsys, monkeypatch):
+    """Every non-floor candidate raising (the 'Mosaic rejects the new
+    variant' scenario) must still yield a real measurement on the plain
+    config, never a crash or a zero."""
+    real = pk.render_sdf_pallas
+
+    def flaky(params, n=1024, n_steps=64, extent=1.2, tile=64, tile_c=None,
+              coarse=8, chunk=16, dtype=jnp.float32, bands=1, relax=1.0,
+              unimodal=False):
+        if coarse != 0 or bands != 1 or relax != 1.0 or unimodal:
+            raise RuntimeError("synthetic Mosaic lowering failure")
+        return real(params, n, n_steps, extent, tile, tile_c, coarse,
+                    chunk, dtype, bands, relax, unimodal)
+
+    monkeypatch.setattr(pk, "render_sdf_pallas", flaky)
+    rc, j = _run(capsys)
+    assert rc == 0
+    assert j["value"] > 0 and j["vs_baseline"] > 0
+    assert j["config"] == {"coarse": 0, "bands": 1, "relax": 1.0,
+                           "unimodal": False}
+
+
+def test_bench_all_candidates_failing_reports_zero(capsys, monkeypatch):
+    def dead(*a, **k):
+        raise RuntimeError("synthetic total failure")
+
+    monkeypatch.setattr(pk, "render_sdf_pallas", dead)
+    rc, j = _run(capsys)
+    assert rc == 1
+    assert j["value"] == 0.0 and j["vs_baseline"] == 0.0
+    assert "error" in j
