@@ -26,7 +26,10 @@ Opt-outs / overrides (all honored):
   ``jax.config.update('jax_compilation_cache_dir', ...)`` wins -- we
   only fill the setting when nobody else has.
 * ``ENOKI_TPU_CACHE_MAX_BYTES`` bounds each cache directory (LRU by
-  mtime; default 2 GiB).
+  mtime; default 2 GiB).  The export dir is trimmed after each write;
+  the XLA dir once per process at import (jax exposes no write hook).
+  Export dirs under a stale version tag are removed wholesale at first
+  use of the live one.
 """
 
 from __future__ import annotations
@@ -68,7 +71,32 @@ def export_dir() -> str:
         return ""
     if d != "auto":
         return d
-    return os.path.join(cache_root(), "export", version_tag())
+    resolved = os.path.join(cache_root(), "export", version_tag())
+    _prune_stale_exports(os.path.dirname(resolved), resolved)
+    return resolved
+
+
+_PRUNED = False
+
+
+def _prune_stale_exports(parent: str, keep: str) -> None:
+    """Remove version-tagged export dirs other than the live one (once
+    per process).  Artifacts under an old enoki_tpu/jax/platform tag can
+    never be loaded again, but each dir would otherwise retain up to
+    ``cache_max_bytes`` forever after an upgrade."""
+    global _PRUNED
+    if _PRUNED:
+        return
+    _PRUNED = True
+    import shutil
+
+    try:
+        for name in os.listdir(parent):
+            p = os.path.join(parent, name)
+            if p != keep and os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def max_bytes() -> int:
@@ -137,5 +165,14 @@ def enable_default_compile_cache() -> None:
         return  # unwritable home: stay off rather than fail import
     jax.config.update("jax_compilation_cache_dir", d)
     # cache even fast compiles: the 10k-op chain's sub-programs and the
-    # AD segment executables are individually quick but numerous
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # AD segment executables are individually quick but numerous -- but
+    # only when the user hasn't set the threshold themselves (env var or
+    # a pre-import jax.config.update away from jax's 1.0 default)
+    if (not os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
+            and getattr(jax.config,
+                        "jax_persistent_cache_min_compile_time_secs",
+                        1.0) == 1.0):
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # bound the dir once per process (jax exposes no post-write hook;
+    # a session's growth is trimmed at the next import)
+    evict_lru(d)

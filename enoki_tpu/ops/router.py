@@ -362,7 +362,10 @@ def ldexp(x, e):
         if x.dtype == jnp.float64:
             mbits, itype = 52, jnp.int64
         else:
-            if not jnp.issubdtype(x.dtype, jnp.floating):
+            # upcast everything else (ints AND the 2-byte floats, whose
+            # itemsize would break the int32 bitcast) -- same promotion
+            # as the eager branch below
+            if x.dtype != jnp.float32:
                 x = x.cast(jnp.float32)
             mbits, itype = 23, jnp.int32
         e = (e if _lazy_any(e) else _lift_arr(e)).cast(itype)
@@ -398,7 +401,9 @@ def frexp(x):
         if x.dtype == jnp.float64:
             ebits, mbits, itype, bias = 11, 52, jnp.int64, 1023
         else:
-            if not jnp.issubdtype(x.dtype, jnp.floating):
+            # upcast ints AND 2-byte floats (itemsize must match the
+            # int32 bitcast) -- same promotion as the eager branch
+            if x.dtype != jnp.float32:
                 x = x.cast(jnp.float32)
             ebits, mbits, itype, bias = 8, 23, jnp.int32, 127
         bits = x.bitcast(itype)

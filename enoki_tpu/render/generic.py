@@ -45,32 +45,21 @@ AMBIENT, GAIN, LIGHT = 0, 1, slice(2, 5)
 
 def _cone_t0_generic(sdf_fn, params, n, n_steps, extent, s, eps, t_max,
                      margin=1e-3):
-    """Cone-march prepass for the generic factory (orthographic rays
-    only -- parallel rays keep the block's transverse offset constant
-    in t, which is what makes the deflated march conservative; see
-    pallas_kernels._cone_t0 for the Lipschitz argument). One coarse ray
-    per s x s fine-pixel block, marched with the SDF deflated by the
-    largest in-block offset R; returns the (n, n) start map - margin,
-    clamped at 0."""
-    m = n // s
-    step = 2.0 * extent / (n - 1)
-    half = (s - 1) / 2.0
-    coords = ((jnp.arange(m, dtype=jnp.float32) * s + half) * step
-              - extent)
-    px = jnp.broadcast_to(coords[None, :], (m, m))
-    py = jnp.broadcast_to(coords[:, None], (m, m))
-    o = Vec3(px, py, jnp.full_like(px, -1.0))
-    dd = Vec3(jnp.zeros_like(px), jnp.zeros_like(px), jnp.ones_like(px))
-    r_cone = jnp.float32((2.0 ** 0.5) * half * step)
+    """Cone-march prepass for the generic factory: the shared engine
+    (pallas_kernels.cone_t0 -- ONE implementation of the deflation
+    radius / margin invariant) over the user SDF along orthographic
+    rays (parallel rays keep the block's transverse offset constant in
+    t, which is what makes the deflated march conservative)."""
+    from .pallas_kernels import cone_t0
 
-    def body(_, t):
-        d = sdf_fn(o + dd * t, params) - r_cone
-        alive = (d >= eps) & (t + d <= t_max)
-        return jnp.where(alive, t + d, t)
+    def dist_factory(px, py):
+        o = Vec3(px, py, jnp.full_like(px, -1.0))
+        dd = Vec3(jnp.zeros_like(px), jnp.zeros_like(px),
+                  jnp.ones_like(px))
+        return lambda t: sdf_fn(o + dd * t, params)
 
-    t0 = lax.fori_loop(0, n_steps, body, jnp.zeros((m, m), jnp.float32))
-    t0 = jnp.repeat(jnp.repeat(t0, s, axis=0), s, axis=1)
-    return lax.stop_gradient(jnp.maximum(t0 - margin, 0.0))
+    return cone_t0(dist_factory, n, n_steps, extent, s, eps, t_max,
+                   margin)
 
 
 def ortho_camera(px, py, pvec):

@@ -355,8 +355,8 @@ def _sdf_shade_tile(px, py, t, hit, pvec):
     return jnp.where(hit, img, scene.ambient + jnp.zeros_like(img))
 
 
-def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
-             margin=1e-3):
+def cone_t0(dist_factory, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
+            margin=1e-3):
     """Cone-march prepass: a conservative march start map (coarse-to-fine
     work elimination, round 4).
 
@@ -369,6 +369,12 @@ def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
     ray can cross the surface before the returned t0. Escaped cones need
     no special case -- their frozen t has d > t_max - t, which instantly
     fails the fine kernel's aliveness test too.
+
+    ``dist_factory(px, py) -> (t -> distance)`` supplies the per-ray SDF
+    along orthographic rays at the coarse pixel centers; the SINGLE
+    engine serves both the flagship kernel (via _sdf_ortho_dist) and the
+    generic factory (render/generic.py) so the conservativeness
+    invariant (deflation radius, margin) can never drift between them.
 
     Returns the full-resolution (n, n) start map, upsampled, minus a
     float-safety ``margin``, clamped at 0. Runs as plain jnp inside the
@@ -383,9 +389,8 @@ def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
               - extent)
     px = jnp.broadcast_to(coords[None, :], (m, m))
     py = jnp.broadcast_to(coords[:, None], (m, m))
-    scene = vec_to_scene(pvec, SDFScene)
     r_cone = jnp.float32((2.0 ** 0.5) * half * step)
-    dist_at = _sdf_ortho_dist(px, py, scene)
+    dist_at = dist_factory(px, py)
 
     def body(_, t):
         d = dist_at(t) - r_cone
@@ -395,6 +400,14 @@ def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
     t0 = lax.fori_loop(0, n_steps, body, jnp.zeros((m, m), jnp.float32))
     t0 = jnp.repeat(jnp.repeat(t0, s, axis=0), s, axis=1)
     return lax.stop_gradient(jnp.maximum(t0 - margin, 0.0))
+
+
+def _cone_t0(pvec, n, n_steps, extent, s, eps=1e-4, t_max=10.0,
+             margin=1e-3):
+    """cone_t0 over the flagship scene's hoisted orthographic SDF."""
+    scene = vec_to_scene(pvec, SDFScene)
+    return cone_t0(lambda px, py: _sdf_ortho_dist(px, py, scene),
+                   n, n_steps, extent, s, eps, t_max, margin)
 
 
 def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,

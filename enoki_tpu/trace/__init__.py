@@ -253,6 +253,30 @@ _SCATTER_TARGET: dict = {}
 # k-instance vcall dispatch fuses into ONE program instead of forcing
 # k eval boundaries.
 _PENDING_SCATTER: dict = {}
+# structure-probe depth (trace.call's all-null dispatch introspection):
+# while > 0, scatter/printf record PURE ops -- no side-effect marks, no
+# pending-rebind bookkeeping, no hazard-flush evals -- so tracing a
+# callee only to learn its result pytree/dtypes can never make anything
+# observable fire (the recorded ops die unreferenced with the probe's
+# handles). The reference resolves this statically from the return type
+# (array_call.h:17-191); a probe is the dynamic-language equivalent and
+# must be equally invisible.
+_PROBE_DEPTH = 0
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def structure_probe():
+    """Trace a callee for its result STRUCTURE only: inside this context
+    scatter/printf register no side effects and trigger no evals."""
+    global _PROBE_DEPTH
+    _PROBE_DEPTH += 1
+    try:
+        yield
+    finally:
+        _PROBE_DEPTH -= 1
 
 
 def cache_stats():
@@ -659,11 +683,16 @@ def _load_or_export(tag, fn, fallback, args, install):
 def _key_tag(key) -> str:
     """Stable string form of an executable-cache key: hex for the plain
     C++ structural hash; tuple keys (hash, print-format signature --
-    debug programs) append the fmt signature's hash."""
+    debug programs) append a digest of the fmt signature.  The digest
+    must be process-stable (NOT built-in hash(), which is
+    PYTHONHASHSEED-randomized for strings): AD-segment export tags for
+    printf-bearing programs are cross-process cache keys."""
     if isinstance(key, int):
         return f"{key:016x}"
     h, sig = key
-    return f"{h:016x}p{hash(sig) & 0xFFFFFFFF:08x}"
+    import hashlib
+    d = hashlib.blake2s(repr(sig).encode(), digest_size=4).hexdigest()
+    return f"{h:016x}p{d}"
 
 
 def _export_enabled():
@@ -1120,7 +1149,7 @@ class LazyArray(_nat.VarBase):
     def _scatter_op(self, opcode, index, value):
         import sys
         callmod = sys.modules.get(__name__ + ".call")
-        if callmod is not None:
+        if callmod is not None and not _PROBE_DEPTH:
             # a scatter invalidates any cached partition of the target
             # NOW -- the dirty flag alone is insufficient, since an
             # unrelated eval clears it before the next partition()
@@ -1136,6 +1165,15 @@ class LazyArray(_nat.VarBase):
             # eager path does (ops/router.py scatter).
             index = select(index < index._coerce(0),
                            index._coerce(len(self)), index)
+        if _PROBE_DEPTH:
+            # structure probe: record a pure op of the right size/dtype,
+            # nothing else -- no dirty marks, no rebind claim, no flush
+            idx = _lib.et_append_raw(opcode, self._code, len(self),
+                                     self.index, index.index, value.index,
+                                     0)
+            if idx == 0:
+                raise ValueError("scatter: invalid operands")
+            return LazyArray(index=idx, _size=len(self), _code=self._code)
         index._ensure_clean()
         value._ensure_clean()
         # write-after-pending-read: recorded-but-unevaluated ops that
@@ -1791,6 +1829,8 @@ def printf(fmt: str, *arrays: "LazyArray") -> "LazyArray":
     if idx == 0:
         raise ValueError("printf: invalid operands")
     out = LazyArray(index=idx, _size=len(x), _code=x._code)
+    if _PROBE_DEPTH:
+        return out  # structure probe: a never-firing passthrough
     _PRINT_FMT[out.index] = fmt
     # retained like a scatter: fires at the next eval even if the
     # returned handle is dropped (target 0 = nothing becomes dirty)

@@ -144,11 +144,15 @@ def dispatch(funcs, ids: LazyArray, *args):
         # All lanes null: no callee ran to define the result structure.
         # Derive it from funcs[0] under an all-false mask (the reference's
         # static return type decides this at compile time; the Python
-        # equivalent is introspection-by-tracing). The probe's recorded
-        # ops are dropped unreferenced -- only dtypes/structure are kept
-        # -- so nothing of it is evaluated.
+        # equivalent is introspection-by-tracing). structure_probe()
+        # makes the trace side-effect-free -- a printf or scatter in the
+        # callee registers nothing -- and the probe's pure ops are
+        # dropped unreferenced, so nothing of it is ever evaluated.
         if funcs:
-            probe = funcs[0](LazyArray.literal(False, n, jnp.bool_), *args)
+            from . import structure_probe
+            with structure_probe():
+                probe = funcs[0](LazyArray.literal(False, n, jnp.bool_),
+                                 *args)
             leaves, tree = jtu.tree_flatten(probe)
             return jtu.tree_unflatten(
                 tree, [LazyArray.zeros(n, l.dtype) for l in leaves])

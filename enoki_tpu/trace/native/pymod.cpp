@@ -250,16 +250,25 @@ bool encode_int_bits(int code, long long v, uint64_t *bits) {
     }
 }
 
-// shared literal id for (code, bits), creating + caching on miss
+// shared literal id for (code, bits), creating + caching on miss.
+// Returned ids are BORROWED from the cache (callers must not dec):
+// et_literal's creation ref (ext_ref=1) IS the cache's reference, so
+// every id lit_id hands out is owned by exactly one place. When the
+// cache fills it is reset wholesale -- releasing the refs frees only
+// literals no live op depends on (consuming ops hold int refs), and
+// a once-per-16384-distinct-scalars rebuild is amortized noise. The
+// old overflow path returned an ownerless ext_ref=1 variable: one
+// leaked trace var per distinct scalar past the cap.
 uint32_t lit_id(int code, uint64_t bits) {
     auto &m = g_lit_cache[code];
     auto it = m.find(bits);
     if (it != m.end()) return it->second;
-    uint32_t id = et_literal(code, bits, 1);
-    if (id && m.size() < kLitCacheCap) {
-        et_inc_ref_ext(id);  // the cache's own reference
-        m.emplace(bits, id);
+    if (m.size() >= kLitCacheCap) {
+        for (auto &kv : m) et_dec_ref_ext(kv.second);
+        m.clear();
     }
+    uint32_t id = et_literal(code, bits, 1);
+    if (id) m.emplace(bits, id);
     return id;
 }
 

@@ -765,3 +765,20 @@ def test_printf_validation():
         tr.printf("scalar {}", 3.0)
     with pytest.raises(TypeError):
         tr.printf(123, x)
+
+
+def test_scalar_literal_cache_cap_reclaims_refs():
+    # C fast path: past kLitCacheCap (2^14) distinct scalars of one
+    # dtype, the cache resets and releases its refs -- the old overflow
+    # path leaked one ownerless trace variable per distinct scalar
+    tr.reset()
+    x = LazyArray(np.ones(8, np.float32))
+    base = tr.stats()["n_vars"]
+    cap = 1 << 14
+    n = cap + cap // 2  # forces exactly one reset
+    for k in range(n):
+        _ = x + float(k + 1)  # distinct scalar; result handle dropped
+    live = tr.stats()["n_vars"] - base
+    # cache may legitimately retain up to cap entries; the leak was ~n
+    assert live <= cap, live
+    tr.reset()

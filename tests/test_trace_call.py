@@ -265,3 +265,30 @@ def test_partition_cache_lru_keeps_hot_entry():
         tc.partition(hot)  # touch: refresh recency
     assert tc._PARTITION_CACHE.get(hot.index) is not None
     assert tc.partition(hot) is p0  # same cached object, never rebuilt
+
+
+def test_dispatch_all_null_probe_has_no_side_effects(capfd):
+    # r4 review: the all-null structure probe used to RUN funcs[0]'s
+    # side effects -- a printf fired at the next eval and a scatter into
+    # a captured array registered as pending. The probe must be
+    # invisible (the reference decides structure statically).
+    tr.reset()
+    target = LazyArray(np.zeros(4, np.float32))
+    target.numpy()  # materialize
+
+    def noisy(mask, x):
+        tr.printf("probe leaked {}", x)
+        target.scatter(x.cast(np.int32) * 0, x)
+        return x * 2.0
+
+    x = LazyArray(np.array([1.0, 2.0, 3.0], np.float32))
+    out = tc.dispatch([noisy], _ids([-1, -1, -1]), x)
+    np.testing.assert_allclose(out.numpy(), [0, 0, 0])
+    assert not tr._PRINT_FMT            # no pending print registered
+    assert tr._lib.et_num_side_effects() == 0
+    # forcing a later eval fires nothing and the target is untouched
+    y = (LazyArray(np.ones(3, np.float32)) + 1.0).numpy()
+    np.testing.assert_allclose(y, 2.0)
+    np.testing.assert_allclose(target.numpy(), 0.0)
+    cap = capfd.readouterr()
+    assert "probe leaked" not in cap.out + cap.err

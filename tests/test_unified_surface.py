@@ -214,6 +214,17 @@ def test_lazy_ldexp_frexp():
     np.testing.assert_array_equal(m.numpy(), m_ref)
     np.testing.assert_array_equal(ex.numpy(), e_ref)
 
+    # r4 review: 2-byte float inputs must upcast to f32 like the eager
+    # branch (bf16 kept its itemsize and crashed the int32 bitcast)
+    xb = jnp.asarray([1.5, -3.25, 7.0], jnp.bfloat16)
+    got_b = ops.ldexp(LazyArray(np.asarray(xb)), LazyArray(e[:3]))
+    want_b = np.asarray(ops.ldexp(xb, jnp.asarray(e[:3])))
+    np.testing.assert_array_equal(got_b.numpy(), want_b)
+    mb, eb = ops.frexp(LazyArray(np.asarray(xb)))
+    mb_ref, eb_ref = ops.frexp(xb)
+    np.testing.assert_array_equal(mb.numpy(), np.asarray(mb_ref))
+    np.testing.assert_array_equal(eb.numpy(), np.asarray(eb_ref))
+
 
 def test_reductions_unified():
     x = POS

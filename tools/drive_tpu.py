@@ -64,11 +64,26 @@ print("5) gradients: ok (safe_sqrt'(0) =", float(g0), ")")
 from enoki_tpu.render.pallas_kernels import scene_to_vec, render_sdf_pallas
 from enoki_tpu.render.sdf import render_sdf
 v = scene_to_vec(SDFScene.reference())
-ip = np.asarray(render_sdf_pallas(v, 512, 48, 1.2, 128, 128))
+# exact-path gate: coarse=0 disables the cone prepass so the kernel
+# follows the reference trajectory (the tight tolerance is only valid
+# there; the prepass legitimately moves grazing silhouette pixels)
+ip = np.asarray(render_sdf_pallas(v, 512, 48, 1.2, 128, 128, 0))
 ix = np.asarray(render_sdf(SDFScene.reference(), 512, 48)).reshape(512, 512)
 d = np.abs(ip - ix)
 assert d.mean() < 1e-5 and (d > 1e-2).mean() < 1e-4, (d.mean(), d.max())
-print("6) pallas parity: ok (mean diff", f"{d.mean():.2e})")
+# tuned-path gate: default work-elimination config (cone prepass +
+# bands) under the calibrated silhouette methodology of
+# tests/test_pallas.py::test_sdf_pallas_cone_prepass_parity --
+# hit/miss flips (grazing rays, image-range-size deltas) are bounded
+# by fraction, everything else by the gain*eps band
+it = np.asarray(render_sdf_pallas(v, 512, 48, 1.2, 128, 128))
+dt = np.abs(it - ix)
+flips = dt > 1.0
+assert flips.mean() < 1e-3, flips.mean()
+assert dt[~flips].max() < 0.05 and dt[~flips].mean() < 5e-3, (
+    dt[~flips].mean(), dt[~flips].max())
+print("6) pallas parity: ok (exact mean diff", f"{d.mean():.2e},",
+      "tuned flips", f"{flips.mean():.1e})")
 
 # 7) lazy trace runtime on chip
 import enoki_tpu.trace as tr
