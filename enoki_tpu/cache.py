@@ -45,8 +45,17 @@ def cache_root() -> str:
     return os.path.join(base, "enoki_tpu")
 
 
+# Revision of the trace's on-disk naming scheme: export artifacts are
+# named by the C++ structural hash, so ANY change to the hash algorithm
+# (trace.cpp et_schedule) must bump this, or artifacts written under the
+# old scheme become unreachable dead weight that still counts against
+# the LRU bound. h2 = the splitmix64 word mixer (r4; h1 was FNV-1a).
+_TRACE_FORMAT = "h2"
+
+
 def version_tag() -> str:
-    """Cache-invalidation key: enoki_tpu + jax versions + platform."""
+    """Cache-invalidation key: enoki_tpu + jax versions + platform +
+    trace naming-scheme revision."""
     import jax
 
     from . import __version__
@@ -55,7 +64,7 @@ def version_tag() -> str:
         plat = jax.default_backend()
     except Exception:  # backend init can fail in exotic environments;
         plat = "unknown"  # a wrong tag only costs a cold cache
-    return f"v{__version__}-jax{jax.__version__}-{plat}"
+    return f"v{__version__}-jax{jax.__version__}-{plat}-{_TRACE_FORMAT}"
 
 
 def export_dir() -> str:

@@ -1147,9 +1147,15 @@ class LazyArray(_nat.VarBase):
                                  len(index), self, index, raw=True)
 
     def _scatter_op(self, opcode, index, value):
+        if _PROBE_DEPTH:
+            # structure probe: a scatter contributes nothing to the
+            # result STRUCTURE (scatter()/scatter_add() return self), so
+            # record nothing at all -- no op, no coercion chain, no
+            # side-effect bookkeeping, no flush evals
+            return self
         import sys
         callmod = sys.modules.get(__name__ + ".call")
-        if callmod is not None and not _PROBE_DEPTH:
+        if callmod is not None:
             # a scatter invalidates any cached partition of the target
             # NOW -- the dirty flag alone is insufficient, since an
             # unrelated eval clears it before the next partition()
@@ -1165,15 +1171,6 @@ class LazyArray(_nat.VarBase):
             # eager path does (ops/router.py scatter).
             index = select(index < index._coerce(0),
                            index._coerce(len(self)), index)
-        if _PROBE_DEPTH:
-            # structure probe: record a pure op of the right size/dtype,
-            # nothing else -- no dirty marks, no rebind claim, no flush
-            idx = _lib.et_append_raw(opcode, self._code, len(self),
-                                     self.index, index.index, value.index,
-                                     0)
-            if idx == 0:
-                raise ValueError("scatter: invalid operands")
-            return LazyArray(index=idx, _size=len(self), _code=self._code)
         index._ensure_clean()
         value._ensure_clean()
         # write-after-pending-read: recorded-but-unevaluated ops that
@@ -1824,13 +1821,18 @@ def printf(fmt: str, *arrays: "LazyArray") -> "LazyArray":
             raise TypeError("printf operands must be LazyArrays "
                             "(coerce scalars with x._coerce first)")
     x = arrays[0]
+    if _PROBE_DEPTH:
+        # structure probe: printf is a passthrough of its first operand,
+        # so the operand itself IS the structural answer -- appending a
+        # PRINT op here would fire (with the fallback format, since no
+        # _PRINT_FMT entry exists) if the callee materializes anything
+        # downstream of it mid-probe
+        return x
     deps = [a.index for a in arrays] + [0] * (3 - len(arrays))
     idx = _lib.et_append_raw(Op.PRINT, x._code, len(x), *deps, 0)
     if idx == 0:
         raise ValueError("printf: invalid operands")
     out = LazyArray(index=idx, _size=len(x), _code=x._code)
-    if _PROBE_DEPTH:
-        return out  # structure probe: a never-firing passthrough
     _PRINT_FMT[out.index] = fmt
     # retained like a scatter: fires at the next eval even if the
     # returned handle is dropped (target 0 = nothing becomes dirty)

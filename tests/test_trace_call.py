@@ -277,7 +277,10 @@ def test_dispatch_all_null_probe_has_no_side_effects(capfd):
     target.numpy()  # materialize
 
     def noisy(mask, x):
-        tr.printf("probe leaked {}", x)
+        y = tr.printf("probe leaked {}", x)
+        # materialize MID-probe: if the probe had appended a PRINT op,
+        # this eval would fire it (with the '{}' fallback format)
+        float(y.hsum().numpy())
         target.scatter(x.cast(np.int32) * 0, x)
         return x * 2.0
 
