@@ -29,10 +29,15 @@ def _bench_scan(value_and_grad_fn, x0, perturb, k_lo=100, k_hi=400,
     lax.scan, fence with a single host readback, and run TWO chain
     lengths so the fixed window cost cancels exactly.
 
-    Each step's input is perturbed by the previous step's loss, so the
-    steps have a true data dependency -- no layer of the stack (async
-    dispatch, the remote tunnel's early-returning block_until_ready,
-    value caches) can overlap or dedupe them. A window costs
+    Each step's input is perturbed by the previous step's loss AND a
+    reduction of its gradients, so the steps have a true data dependency
+    -- no layer of the stack (async dispatch, the remote tunnel's
+    early-returning block_until_ready, value caches) can overlap or
+    dedupe them, and the BACKWARD pass is live inside the timed chain.
+    (Threading only the loss would let XLA dead-code-eliminate the whole
+    vjp -- the bwd pallas_call included -- and silently measure
+    forward-only throughput; the grads term is folded into the loss
+    HERE so no caller's perturb can reintroduce that.) A window costs
     K*c + L where L is the ~30 ms host<->device round trip; measuring at
     two K and taking (T_hi - T_lo) / (k_hi - k_lo) removes L without
     assuming it is small.
@@ -50,8 +55,10 @@ def _bench_scan(value_and_grad_fn, x0, perturb, k_lo=100, k_hi=400,
         @jax.jit
         def run(x0):
             def step(x, k):
-                loss, _grads = value_and_grad_fn(x)
-                return perturb(x0, loss, k), loss
+                loss, grads = value_and_grad_fn(x)
+                gsum = sum(jnp.sum(g) for g in
+                           jax.tree_util.tree_leaves(grads))
+                return perturb(x0, loss + 1e-12 * gsum, k), loss
 
             _, losses = lax.scan(step, x0, jnp.arange(iters))
             return losses[-1]
@@ -115,9 +122,9 @@ def main():
                        gx.ambient, gx.gain, gx.light.x, gx.light.y,
                        gx.light.z])
 
-    def parity_ok(loss_fn):
+    def parity_ok(vg_fn):
         try:
-            lp, gp = jax.jit(jax.value_and_grad(loss_fn))(v)
+            lp, gp = jax.jit(vg_fn)(v)
             return (np.isclose(float(lp), float(lx), rtol=1e-3, atol=1e-5)
                     and np.allclose(np.asarray(gp)[:9], gx_vec, rtol=1e-2,
                                     atol=1e-3 * max(1.0, np.abs(gx_vec).max())))
@@ -136,10 +143,16 @@ def main():
     # an aggressive candidate can never zero the benchmark, only lose.
     candidates = [(8, 8, 1.6, True), (8, 8, 1.6, False), (8, 8, 1.0, True),
                   (8, 8, 1.0, False), (8, 1, 1.0, False), (0, 1, 1.0, False)]
+    # one loss closure + value_and_grad per config, shared by the quick
+    # pass, the parity gate and the final measurement: a fresh closure
+    # per stage would defeat jit's function-identity cache and re-trace/
+    # re-compile the same megakernel pair several times per run
+    losses = {cfg: make_loss(*cfg) for cfg in candidates}
+    vgs = {cfg: jax.value_and_grad(losses[cfg]) for cfg in candidates}
     quick = []
     for cfg in candidates:
         try:
-            t, _ = _bench_scan(jax.value_and_grad(make_loss(*cfg)), v,
+            t, _ = _bench_scan(vgs[cfg], v,
                                lambda v0, loss, k: v0 + loss * 1e-12
                                + 1e-6 * k.astype(jnp.float32),
                                k_lo=max(K_LO // 4, 2),
@@ -157,8 +170,8 @@ def main():
 
     pallas_loss, chosen = None, None
     for _, cfg in quick:
-        if parity_ok(make_loss(*cfg)):
-            pallas_loss, chosen = make_loss(*cfg), cfg
+        if parity_ok(vgs[cfg]):
+            pallas_loss, chosen = losses[cfg], cfg
             break
     if pallas_loss is None:
         print(json.dumps({"metric": "rays_per_s_per_chip_fwd_bwd",
@@ -170,7 +183,7 @@ def main():
 
     # --- timing ---------------------------------------------------------
     t_pallas, spread_p = _bench_scan(
-        jax.value_and_grad(pallas_loss), v,
+        vgs[chosen], v,
         lambda v0, loss, k: v0 + loss * 1e-12
         + 1e-6 * k.astype(jnp.float32),
         k_lo=K_LO, k_hi=K_HI, windows=WINDOWS)

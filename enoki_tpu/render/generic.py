@@ -40,9 +40,6 @@ from .pallas_kernels import _tile_pixels, _march_tile
 
 AMBIENT, GAIN, LIGHT = 0, 1, slice(2, 5)
 
-# march convergence / escape constants shared by the prepass
-
-
 def _cone_t0_generic(sdf_fn, params, n, n_steps, extent, s, eps, t_max,
                      margin=1e-3):
     """Cone-march prepass for the generic factory: the shared engine

@@ -307,11 +307,13 @@ def _march_tile(dist_at, like, n_steps: int,
     go0 = jnp.any((d0 >= eps) & (t + d0 <= t_max))
     _, pos, stp, _ = lax.while_loop(cond, body,
                                     (0, t, jnp.zeros_like(t), go0))
-    # epilogue: the step cap may land mid-flight with a pending
-    # unverified over-relaxed advance; revert it before the hit test so
-    # a hit position is never inside the surface
-    d = dist_at(pos)
-    pos = jnp.where(d < back * stp, pos - back * stp, pos)
+    # no epilogue revert is needed: stp is provably 0 on every exit path
+    # -- the step cap's final iteration has k == n_steps-1 (chunk divides
+    # n_steps) where adv is masked so new_stp = 0, and an early exit
+    # requires every lane !alive & !over, which also forces new_stp = 0.
+    # A lane therefore never leaves the loop mid-flight on an unverified
+    # over-relaxed advance, and the hit test below samples a proven-safe
+    # position (one SDF eval, not two).
     return pos, dist_at(pos) < eps
 
 
@@ -434,7 +436,13 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         # tests/test_pallas.py::test_sdf_pallas_bf16_policy.
         scene_m = _read_scene(params_ref, dtype, SDFScene)
         px_m, py_m = px.astype(dtype), py.astype(dtype)
-        t0_full = t0_ref[:, :].astype(dtype)
+        # conservative downcast: round-to-nearest could round the cone
+        # prepass's start map UP by half an ulp (bf16: ~2e-3 rel), past
+        # the f32 margin that protects the no-ray-crosses-the-surface
+        # invariant; scaling down by one full ulp first guarantees the
+        # cast value never exceeds the f32 bound
+        ulp = float(jnp.finfo(dtype).eps)
+        t0_full = (t0_ref[:, :] * (1.0 - ulp)).astype(dtype)
     # convergence epsilon scales with the march format: bf16's spacing at
     # t ~ 1 is 3.9e-3, so the f32 eps=1e-4 would be unreachable and hit
     # lanes would freeze at d ~ one-ulp and misregister as misses
