@@ -32,8 +32,10 @@ Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
 from __future__ import annotations
 
 import dataclasses
+import math
 import os
 import re
+import sys
 import time
 from typing import Optional, Sequence
 
@@ -97,16 +99,37 @@ def collective_stats(n: int, n_devices: Optional[int] = None,
         ca = ca[0]
     flops = float(ca.get("flops", 0.0))
 
+    shapes = _allreduce_shapes(compiled.as_text())
+    total = sum(_shape_bytes(s) for s in shapes)
+    return CollectiveStats(n, nd, flops, total, shapes)
+
+
+def _allreduce_shapes(hlo: str):
+    """Result shapes of the synchronous ``all-reduce`` instructions in
+    an HLO dump.  Two traps: (a) the opcode must be matched with its
+    opening paren, or ``all-reduce-start``/``-done`` lines (async TPU
+    backends) multi-count the same wire payload ~3x; (b) TPU tuple
+    shapes carry tiled layouts with nested parens ("(f32[9]{0:T(256)},
+    ...)"), which a no-nested-parens group would fail to match.  The
+    async pair is counted once, via its ``-start`` (whose tuple carries
+    (operand, result) -- only the first half is the payload)."""
     shapes = []
-    for line in compiled.as_text().splitlines():
-        m = re.search(r"= (\([^)]*\)|\S+\[[^\]]*\]\S*) all-reduce", line)
+    ty = r"(\((?:[^()]|\([^()]*\))*\)|\S+)"
+    for line in hlo.splitlines():
+        m = re.search(r"= " + ty + r" all-reduce\(", line)
+        half = False
+        if not m:
+            m = re.search(r"= " + ty + r" all-reduce-start\(", line)
+            half = True  # (operand, result) tuple: payload is one half
         if not m:
             continue
         group = m.group(1).strip("()")
-        shapes.extend(s.split("{")[0] for s in group.split(", "))
-    shapes = [s for s in shapes if not s.startswith("/*")]
-    total = sum(_shape_bytes(s) for s in shapes)
-    return CollectiveStats(n, nd, flops, total, shapes)
+        toks = [s.split("{")[0] for s in group.split(", ")]
+        toks = [s for s in toks if s and not s.startswith("/*")]
+        if half and len(toks) > 1:
+            toks = toks[: len(toks) // 2]
+        shapes.extend(toks)
+    return shapes
 
 
 @dataclasses.dataclass
@@ -150,10 +173,12 @@ class OverlapReport:
 
 
 # instruction line: "  [ROOT ]%name = <type> opcode(operands), ..." where
-# <type> is either a tuple "(f32[], /*index=5*/f32[], ...)" (no nested
-# parens; [] for array dims) or a single token "f32[16,32]{1,0}"
+# <type> is either a tuple "(f32[], /*index=5*/f32[]{0:T(256)}, ...)"
+# (ONE level of nesting allowed: TPU tiled layouts put parens inside the
+# tuple) or a single token "f32[16,32]{1,0}"
 _INSTR_RE = re.compile(r"^\s+(ROOT\s+)?(%?[\w.\-]+)\s*=\s*"
-                       r"(?:\([^()]*\)|\S+)\s+([a-z][a-z0-9\-]*)\(")
+                       r"(?:\((?:[^()]|\([^()]*\))*\)|\S+)\s+"
+                       r"([a-z][a-z0-9\-]*)\(")
 
 
 def _parse_hlo_computations(hlo: str):
@@ -252,8 +277,11 @@ def schedule_overlap_report(n: int = 256,
     # 1024^2 tile per device, >= 2 hosts (16 devices). The payload is
     # asserted resolution-independent elsewhere, so probing at a tiny n
     # measures the same bytes.
-    allreduce_bytes = collective_stats(n, n_devices,
-                                       renderer=renderer).allreduce_bytes \
+    # the payload is read from the HLO this function already compiled --
+    # a collective_stats() call here would pay a SECOND full XLA compile
+    # of the same program (fresh jit closure = guaranteed cache miss)
+    allreduce_bytes = sum(_shape_bytes(s)
+                          for s in _allreduce_shapes(hlo)) \
         if n_allreduce else 0
     t_comm = _torus_allreduce_s(allreduce_bytes, max(nd, 16))
     comm_share = t_comm / MEASURED_STEP_S_1024
@@ -306,14 +334,22 @@ def predicted_efficiency(n: int, n_devices: int,
     return t_compute / (t_compute + t_comm)
 
 
-def measured_weak_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
+def measured_weak_scaling(device_counts: Sequence[int] = (1, 4, 16),
                           tile: int = 128, iters: int = 10):
     """Wall-clock weak scaling on the available devices: per-device
     throughput with constant per-device work. Returns a list of
     (n_devices, n, rays_per_s_per_device, efficiency) or raises
     RuntimeError when the host cannot support it (fewer cores than
     devices -- virtual CPU devices timeshare and the number would be
-    meaningless)."""
+    meaningless).
+
+    Counts must be perfect squares: a square image over a (s, s) mesh
+    is the only shape where per-device work stays EXACTLY tile^2 at
+    every count (n = tile*s).  Non-square counts (2, 8, ...) would put
+    2x the pixels on each device, amortizing fixed per-step overheads
+    differently and letting "efficiency" exceed 1.0 or zig-zag between
+    two workload regimes -- exactly the garbage this function exists to
+    refuse.  Non-square entries are skipped with a stderr note."""
     import optax
 
     from .mesh import make_mesh, image_sharding
@@ -332,9 +368,15 @@ def measured_weak_scaling(device_counts: Sequence[int] = (1, 2, 4, 8),
     for nd in device_counts:
         if nd > jax.device_count():
             break
+        s = math.isqrt(nd)
+        if s * s != nd:
+            print(f"measured_weak_scaling: skipping n_devices={nd} "
+                  f"(not a perfect square -- per-device work would "
+                  f"change; see docstring)", file=sys.stderr)
+            continue
         mesh = make_mesh(nd)
         dp, sp = mesh.devices.shape
-        n = tile * max(dp, sp)  # per-device tile area stays ~tile^2
+        n = tile * s  # (s, s) mesh: per-device area is exactly tile^2
         opt = optax.adam(1e-2)
         step = make_train_step_shardmap(n, mesh, opt)
         scene = SphereScene.reference()

@@ -101,9 +101,20 @@ def dispatch_partition(funcs: Sequence[Callable], ids, *args, default=None):
 
 def dispatch_switch(funcs: Sequence[Callable], uniform_id, *args):
     """Single-instance fast path: all lanes share one id (a traced scalar).
-    ``lax.switch`` runs exactly one callee (array_call.h:150-151)."""
+    ``lax.switch`` runs exactly one callee (array_call.h:150-151).
+
+    Callee signature is ``f(mask, *args)`` -- the SAME contract as every
+    other dispatcher (dispatch_masked/dispatch_partition and the lazy
+    trace dispatcher), so a method written for one strategy works under
+    all of them; the uniform path passes an all-true mask sized by the
+    first array argument (scalar True when there are none)."""
+    leaves = [a for a in jax.tree_util.tree_leaves(args)
+              if getattr(a, "ndim", 0) >= 1]
+    mask = (jnp.ones(leaves[0].shape[0], bool) if leaves
+            else jnp.bool_(True))
     return jax.lax.switch(jnp.asarray(uniform_id, jnp.int32),
-                          [lambda a, f=f: f(*a) for f in funcs], args)
+                          [lambda a, f=f: f(mask, *a) for f in funcs],
+                          args)
 
 
 # strategy="auto" crossover: masked select-tree below this instance

@@ -35,12 +35,25 @@ import jax.numpy as jnp
 from . import LazyArray, _lib, maximum as _maximum, select as _select
 
 # per-array partition cache: var id -> ((instance, perm jnp.int32), ...)
-# (cuda.h:816-842 caches the cuda_partition result on the array)
+# (cuda.h:816-842 caches the cuda_partition result on the array).
+# Bounded by entries AND device bytes: var ids are never reused, so an
+# entry whose LazyArray died is unreachable forever -- without the byte
+# bound, a loop partitioning a fresh 1M-lane id array per frame would
+# pin up to 256 x ~4 MB of dead device perms (the reference caches on
+# the array object, so its cache dies with the array; a module dict
+# needs explicit pressure relief).
 _PARTITION_CACHE: dict = {}
+_PARTITION_CACHE_MAX = 256
+_PARTITION_CACHE_MAX_BYTES = 64 << 20
 
 
 def clear_partition_cache():
     _PARTITION_CACHE.clear()
+
+
+def _cache_bytes() -> int:
+    return sum(int(p.size) * p.dtype.itemsize
+               for parts in _PARTITION_CACHE.values() for _, p in parts)
 
 
 def partition(ids: LazyArray):
@@ -63,7 +76,9 @@ def partition(ids: LazyArray):
         del _PARTITION_CACHE[ids.index]
         _PARTITION_CACHE[ids.index] = parts
     if parts is None:
-        while len(_PARTITION_CACHE) >= 256:
+        while _PARTITION_CACHE and (
+                len(_PARTITION_CACHE) >= _PARTITION_CACHE_MAX
+                or _cache_bytes() >= _PARTITION_CACHE_MAX_BYTES):
             _PARTITION_CACHE.pop(next(iter(_PARTITION_CACHE)))
         vals = np.asarray(ids.numpy(), np.int64)
         order = np.argsort(vals, kind="stable").astype(np.int32)

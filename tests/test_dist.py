@@ -222,3 +222,21 @@ def test_measured_weak_scaling_refusal_or_rows():
         with pytest.raises(RuntimeError, match=str(cores)):
             bs.measured_weak_scaling(device_counts=(1, 2), tile=32,
                                      iters=2)
+
+
+def test_allreduce_shapes_async_and_tiled_layouts():
+    # r4 review: (a) 'all-reduce' must not also match -start/-done lines
+    # (3x payload on async TPU backends); (b) TPU tuple shapes carry
+    # tiled layouts with nested parens the old regex could not match.
+    from enoki_tpu.dist.bench_scaling import _allreduce_shapes, _INSTR_RE
+    hlo = (
+        "ENTRY main {\n"
+        "  %ars = (f32[9]{0:T(256)}, f32[9]{0:T(256)}) "
+        "all-reduce-start(%g), replica_groups={}\n"
+        "  %ard = f32[9]{0:T(256)} all-reduce-done(%ars)\n"
+        "  %sync = f32[9]{0} all-reduce(%h), replica_groups={}\n"
+        "}\n")
+    assert _allreduce_shapes(hlo) == ["f32[9]", "f32[9]"]
+    m = _INSTR_RE.match("  %ars = (f32[9]{0:T(256)}, f32[9]{0:T(256)}) "
+                        "all-reduce-start(%g), x")
+    assert m and m.group(3) == "all-reduce-start"

@@ -127,9 +127,16 @@ def test_dispatch_partition_matches_masked():
 
 
 def test_dispatch_switch():
+    # same f(mask, *args) contract as every other dispatcher (r4 review:
+    # switch used to call f(*args), so a registry method crashed on it)
     x = jnp.array([1.0, 2.0])
-    out = dispatch_switch([lambda v: v * 2, lambda v: v * v], jnp.int32(1), x)
+    out = dispatch_switch([lambda m, v: v * 2, lambda m, v: v * v],
+                          jnp.int32(1), x)
     assert np.array_equal(out, [1, 4])
+    # the mask is all-true and lane-sized
+    got = dispatch_switch([lambda m, v: jnp.where(m, v, -1.0)],
+                          jnp.int32(0), x)
+    assert np.array_equal(got, x)
 
 
 def test_instance_registry():
