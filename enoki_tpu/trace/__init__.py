@@ -369,6 +369,27 @@ class _Compiled:
         self.lit_streams = None
 
 
+def _emit_op(opcode, dt, size, args, vid, fmts):
+    """Emit one non-leaf schedule entry as jnp -- the SINGLE place every
+    interpreter (the fused _body and the chunked cf) lowers opcodes, so
+    special-lowered ops (IOTA/CAST/BITCAST/PRINT) can never drift
+    between the two paths (r4 review: the chunked copy was missing
+    PRINT and crashed on printf + max_fused_ops)."""
+    if opcode == Op.IOTA:
+        return jnp.arange(size, dtype=dt)
+    if opcode == Op.CAST:
+        return args[0].astype(dt)
+    if opcode == Op.BITCAST:
+        return jax.lax.bitcast_convert_type(args[0], dt)
+    if opcode == Op.PRINT:
+        # in-program printf (cuda_printf analog, jit.cu:863-916): prints
+        # from INSIDE the fused program via jax.debug.print (TPU:
+        # outfeed) without breaking fusion; value = first operand
+        jax.debug.print(fmts[vid], *args)
+        return args[0]
+    return _OP_IMPL[opcode](*args)
+
+
 def _compile_schedule(entries, out_positions):
     """Build the jax-traceable programs from a schedule walk.
 
@@ -405,23 +426,9 @@ def _compile_schedule(entries, out_positions):
             elif is_data:
                 v = leaf_args[leaf_i]
                 leaf_i += 1
-            elif opcode == Op.IOTA:
-                v = jnp.arange(size, dtype=dt)
-            elif opcode == Op.CAST:
-                v = vals[dep_pos[0]].astype(dt)
-            elif opcode == Op.BITCAST:
-                v = jax.lax.bitcast_convert_type(vals[dep_pos[0]], dt)
-            elif opcode == Op.PRINT:
-                # in-program printf (cuda_printf analog, jit.cu:863-916):
-                # prints from INSIDE the fused program via jax.debug.print
-                # (TPU: outfeed) without breaking fusion; value = first
-                # operand, passed through
-                args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
-                jax.debug.print(fmts[vid], *args)
-                v = args[0]
             else:
                 args = [vals[p] for p in dep_pos if p != 0xFFFFFFFF]
-                v = _OP_IMPL[opcode](*args)
+                v = _emit_op(opcode, dt, size, args, vid, fmts)
             emitted[i] = v
             vals[i] = cut_map[i] if i in cut_map else v
         return tuple(emitted[p] for p in out_positions)
@@ -468,6 +475,9 @@ def _chunked_exe(entries, out_positions, chunk: int):
     smaller first-light stall. Structure-cached like the fused exe."""
     SENT = 0xFFFFFFFF
     n = len(entries)
+    # PRINT formats, snapshotted exactly like _compile_schedule's _body
+    fmts = {e[0]: _PRINT_FMT.get(e[0], "{}")
+            for e in entries if e[1] == Op.PRINT}
     bounds = [(s, min(s + chunk, n)) for s in range(0, n, chunk)]
     imports = []
     for (s, e) in bounds:
@@ -515,15 +525,9 @@ def _chunked_exe(entries, out_positions, chunk: int):
                 elif is_data:
                     v = leaf_args[leaf_i]
                     leaf_i += 1
-                elif opcode == Op.IOTA:
-                    v = jnp.arange(size, dtype=dt)
-                elif opcode == Op.CAST:
-                    v = vals[dep_pos[0]].astype(dt)
-                elif opcode == Op.BITCAST:
-                    v = jax.lax.bitcast_convert_type(vals[dep_pos[0]], dt)
                 else:
                     args = [vals[p] for p in dep_pos if p != SENT]
-                    v = _OP_IMPL[opcode](*args)
+                    v = _emit_op(opcode, dt, size, args, vid, fmts)
                 vals[i] = v
             return tuple(vals[p] for p in exp)
 
@@ -835,6 +839,14 @@ def _eval_ids(ids):
     # store outputs; scatter results rebind their TARGET's buffer (enoki
     # scatters write into the target's storage; readers see the update
     # after eval -- the dirty-flag protocol, jit.cu:674,719-730)
+    # two passes: plain slots first, scatter REBINDS second. The output
+    # order is [explicit roots, side-effect roots, extra ext-ref'd
+    # vars], so an unevaluated computed var that is itself a scatter
+    # target appears AFTER its scatter -- a single pass would rebind the
+    # target to the post-scatter value and then clobber it with the
+    # target's own pre-scatter slot (r4 review; the rebind must win, it
+    # is the program-order-final state of the target's storage).
+    rebinds = []
     for vid, r in zip(out_vids, results):
         if vid == 0:
             continue
@@ -842,17 +854,19 @@ def _eval_ids(ids):
         _BUFFERS[vid] = r
         _lib.et_set_materialized(vid)
         if tgt is not None:
-            if _lib.et_var_exists(tgt):
-                _BUFFERS[tgt] = r
-                _lib.et_set_materialized(tgt)
-                _lib.et_set_data(tgt)  # literal targets now hold data
-            if ad_active:
-                # the scatter op IS the target's new version: later reads
-                # of the target differentiate through the scatter (the
-                # reference replaces the target's tape index the same way,
-                # autodiff.cpp:532-597)
-                _VERSION[tgt] = vid
-            _lib.et_dec_ref_ext(vid)  # release the pending-rebind claim
+            rebinds.append((vid, tgt, r))
+    for vid, tgt, r in rebinds:
+        if _lib.et_var_exists(tgt):
+            _BUFFERS[tgt] = r
+            _lib.et_set_materialized(tgt)
+            _lib.et_set_data(tgt)  # literal targets now hold data
+        if ad_active:
+            # the scatter op IS the target's new version: later reads
+            # of the target differentiate through the scatter (the
+            # reference replaces the target's tape index the same way,
+            # autodiff.cpp:532-597)
+            _VERSION[tgt] = vid
+        _lib.et_dec_ref_ext(vid)  # release the pending-rebind claim
     _lib.et_clear_side_effects()
     _PENDING_SCATTER.clear()  # every pending scatter was a schedule root
     # drop buffers for vars the native side has already freed
@@ -1537,8 +1551,13 @@ def gradient(x: "LazyArray"):
 
 def clear_gradients():
     _GRADS.clear()
+    # prune freed vars EXCEPT live version vids: an evaluated scatter's
+    # op var is always freed at eval end, but _VERSION still routes the
+    # target's gradient() through it -- dropping it would turn a
+    # recorded-on-tape read into the off-tape error (r4 review)
+    keep = set(_VERSION.values())
     for k in list(_ON_TAPE):
-        if not _lib.et_var_exists(k):
+        if not _lib.et_var_exists(k) and k not in keep:
             _ON_TAPE.discard(k)
 
 
@@ -1770,7 +1789,13 @@ def _make_math(name, opcode, arity, kind=None):
         def f(x, y, z):
             y = x._coerce(y)
             z = x._coerce(z)
-            return LazyArray._record(opcode, x._code,
+            # promote like the binary ops: the jnp implementation
+            # (e.g. a*b+c) promotes, so the declared trace dtype must
+            # agree or downstream bitcasts/coercions act on the wrong
+            # itemsize (r4 review)
+            dc = _out_code(_binary_dtype(_binary_dtype(x._code, y._code),
+                                         z._code), kind)
+            return LazyArray._record(opcode, dc,
                                      max(len(x), len(y), len(z)), x, y, z)
     f.__name__ = name
     f.__doc__ = f"Lazy {name} (records Op.{name.upper()} into the trace)."
@@ -1828,6 +1853,13 @@ def printf(fmt: str, *arrays: "LazyArray") -> "LazyArray":
         # _PRINT_FMT entry exists) if the callee materializes anything
         # downstream of it mid-probe
         return x
+    # read-after-scatter protocol: a PRINT reads its operands exactly
+    # like a gather does, so a dirty operand (pending scatter into it)
+    # must materialize first or the print would show pre-scatter values
+    # despite program order (gather/binop/unop all enforce this; the
+    # raw ctypes append below would not)
+    for a in arrays:
+        a._ensure_clean()
     deps = [a.index for a in arrays] + [0] * (3 - len(arrays))
     idx = _lib.et_append_raw(Op.PRINT, x._code, len(x), *deps, 0)
     if idx == 0:

@@ -54,6 +54,7 @@ struct Context {
     // 32 dead bytes on the append hot path
     std::unordered_map<uint32_t, std::string> labels;
     uint32_t ctr = 1;  // 0 is the null variable
+    bool ctr_wrapped = false;  // 2^32 appends happened at least once
     std::vector<uint32_t> side_effects;  // pending scatter ops
     int log_level = 0;
     // stats (whos-style accounting, jit.cu:1564-1634)
@@ -91,22 +92,58 @@ Variable *var(uint32_t id) {
 
 void free_var(uint32_t id);
 
+// Freeing is ITERATIVE for the same reason the schedule DFS is: dropping
+// the head handle of a 10^5+-op unevaluated chain (or releasing a
+// consumed subgraph's deps after a deep-chain eval) must not recurse the
+// C stack one frame per op. Single-threaded: the worklist never sees
+// reentrant use (nothing here calls back out).
+void free_var(uint32_t id) {
+    static std::vector<uint32_t> work;  // pending dec_ref_int targets
+    Variable *v = var(id);
+    if (!v) return;
+    for (uint32_t d : v->dep)
+        if (d) work.push_back(d);
+    ctx.vars.erase(id);
+    if (!ctx.labels.empty()) ctx.labels.erase(id);
+    ctx.n_freed++;
+    while (!work.empty()) {
+        uint32_t cur = work.back();
+        work.pop_back();
+        Variable *cv = var(cur);
+        if (!cv) continue;
+        if (--cv->int_ref <= 0 && cv->ext_ref <= 0) {
+            for (uint32_t d : cv->dep)
+                if (d) work.push_back(d);
+            ctx.vars.erase(cur);
+            if (!ctx.labels.empty()) ctx.labels.erase(cur);
+            ctx.n_freed++;
+        }
+    }
+}
+
 void dec_ref_int(uint32_t id) {
     Variable *v = var(id);
     if (!v) return;
     if (--v->int_ref <= 0 && v->ext_ref <= 0) free_var(id);
 }
 
-void free_var(uint32_t id) {
-    Variable *v = var(id);
-    if (!v) return;
-    uint32_t deps[kMaxDeps];
-    std::memcpy(deps, v->dep, sizeof(deps));
-    ctx.vars.erase(id);
-    if (!ctx.labels.empty()) ctx.labels.erase(id);
-    ctx.n_freed++;
-    for (uint32_t d : deps)
-        if (d) dec_ref_int(d);
+// Fresh variable id. Pre-wrap (the first 2^32 appends -- years of normal
+// sessions, ~20 min of nothing-but-appends) this is one predictable
+// branch on the hot path. After a wrap, probe past still-live ids so a
+// new variable can never alias and overwrite a live one (which would
+// corrupt deps/refcounts of unrelated arrays). Python-side id-keyed
+// caches tolerate recycling: _BUFFERS prunes dead vids each eval,
+// _VERSION prunes on read, and the partition cache is dirty-checked and
+// 256-entry bounded -- all far smaller than one 2^32 cycle.
+uint32_t next_id() {
+    uint32_t id = ctx.ctr++;
+    if (ctx.ctr == 0) ctx.ctr_wrapped = true, ctx.ctr = 1;
+    if (!ctx.ctr_wrapped) return id;
+    while (id == 0 || ctx.vars.count(id)) {
+        id = ctx.ctr++;
+        if (ctx.ctr == 0) ctx.ctr = 1;
+    }
+    return id;
 }
 
 }  // namespace
@@ -139,7 +176,7 @@ uint32_t et_append(int32_t opcode, int32_t dtype, uint64_t size,
         subtree += v->subtree_size;
         dv[i] = v;
     }
-    uint32_t id = ctx.ctr++;
+    uint32_t id = next_id();
     Variable &nv = ctx.vars[id];
     nv.opcode = opcode;
     nv.dtype = dtype;
@@ -173,7 +210,7 @@ uint32_t et_append_raw(int32_t opcode, int32_t dtype, uint64_t size,
         subtree += v->subtree_size;
         dv[i] = v;
     }
-    uint32_t id = ctx.ctr++;
+    uint32_t id = next_id();
     Variable &nv = ctx.vars[id];
     nv.opcode = opcode;
     nv.dtype = dtype;
@@ -189,7 +226,7 @@ uint32_t et_append_raw(int32_t opcode, int32_t dtype, uint64_t size,
 }
 
 uint32_t et_literal(int32_t dtype, uint64_t value, uint64_t size) {
-    uint32_t id = ctx.ctr++;
+    uint32_t id = next_id();
     Variable &v = ctx.vars[id];
     v.dtype = dtype;
     v.size = size;
@@ -202,7 +239,7 @@ uint32_t et_literal(int32_t dtype, uint64_t value, uint64_t size) {
 
 // Leaf variable backed by a Python-held device buffer.
 uint32_t et_data(int32_t dtype, uint64_t size) {
-    uint32_t id = ctx.ctr++;
+    uint32_t id = next_id();
     Variable &v = ctx.vars[id];
     v.dtype = dtype;
     v.size = size;

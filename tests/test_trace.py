@@ -782,3 +782,97 @@ def test_scalar_literal_cache_cap_reclaims_refs():
     # cache may legitimately retain up to cap entries; the leak was ~n
     assert live <= cap, live
     tr.reset()
+
+
+def test_scatter_into_lazy_target_survives_unrelated_eval():
+    # r4 review: the eval output order is [explicit roots, side-effect
+    # roots, extra ext-ref'd vars]; an unevaluated computed var that is
+    # a scatter target had its rebound (post-scatter) buffer clobbered
+    # by its own pre-scatter slot when eval was triggered WITHOUT
+    # naming it. The rebind must win (program-order-final state).
+    tr.reset()
+    x = LazyArray(np.ones(4, np.float32))
+    y = x * 2.0  # lazy computed target, no readers
+    y.scatter(LazyArray(np.array([0], np.int32)),
+              LazyArray(np.array([99.0], np.float32)))
+    (x + 1.0).eval()  # eval that does not name y
+    np.testing.assert_allclose(y.numpy(), [99.0, 2.0, 2.0, 2.0])
+
+
+def test_deep_chain_free_is_iterative():
+    # r4 review: dropping the head handle of a 10^5+-op unevaluated
+    # chain recursed free_var/dec_ref_int one C frame per op -> segfault
+    tr.reset()
+    x = LazyArray(np.ones(8, np.float32))
+    y = x
+    for _ in range(300_000):
+        y = y + 1.0
+    n_before = tr.stats()["n_vars"]
+    assert n_before > 300_000
+    del y  # frees the whole chain; must not blow the C stack
+    assert tr.stats()["n_vars"] < 16
+    tr.reset()
+
+
+def test_printf_in_chunked_program(capfd):
+    # r4 review: the chunked (max_fused_ops) interpreter had no PRINT
+    # branch -> KeyError when a debug print met a segmented program
+    from enoki_tpu.config import config
+    tr.reset()
+    old = config.max_fused_ops
+    config.max_fused_ops = 64
+    try:
+        x = LazyArray(np.ones(4, np.float32))
+        for k in range(200):
+            x = x + 1.0
+        out = tr.printf("chunked x0={}", x)
+        for k in range(200):
+            out = out * 1.0
+        np.testing.assert_allclose(out.numpy(), 201.0)
+    finally:
+        config.max_fused_ops = old
+    cap = capfd.readouterr()
+    assert "chunked x0=" in cap.out + cap.err
+
+
+def test_clear_gradients_keeps_scatter_versions():
+    # r4 review: clear_gradients pruned _ON_TAPE by native existence,
+    # but an evaluated scatter's op var is always freed at eval end
+    # while _VERSION still routes the target's gradient through it
+    tr.reset()
+    xs = tr.requires_grad(LazyArray(np.ones(4, np.float32)))
+    tgt = LazyArray(np.zeros(4, np.float32))
+    tgt.numpy()
+    tgt.scatter_add(LazyArray(np.arange(4, dtype=np.int32)), xs * 2.0)
+    loss = tgt.hsum()
+    tr.backward(loss)
+    np.testing.assert_allclose(tr.gradient(xs).numpy(), 2.0)
+    tr.clear_gradients()
+    # must still be recognized as on-tape: zeros, NOT the off-tape error
+    np.testing.assert_allclose(tr.gradient(tgt).numpy(), 0.0)
+
+
+def test_printf_flushes_dirty_operand(capfd):
+    # r4 review: printf's raw append bypassed the read-after-scatter
+    # protocol and could print pre-scatter values
+    tr.reset()
+    x = LazyArray(np.zeros(3, np.float32))
+    x.numpy()
+    x.scatter(LazyArray(np.array([1], np.int32)),
+              LazyArray(np.array([7.0], np.float32)))
+    tr.printf("dirty x={}", x).eval()
+    cap = capfd.readouterr()
+    assert "7" in cap.out + cap.err
+
+
+def test_lazy_fmadd_promotes_mixed_dtypes():
+    # r4 review: arity-3 ops declared x's dtype while the jnp impl
+    # (a*b+c) promotes -- the handle lied about the buffer's dtype
+    tr.reset()
+    x = LazyArray(np.array([1, 2, 3], np.int32))
+    y = LazyArray(np.array([0.5, 0.5, 0.5], np.float32))
+    z = LazyArray(np.array([1.0, 1.0, 1.0], np.float32))
+    import jax.numpy as jnp
+    r = tr.fmadd(x, y, z)
+    assert r.dtype == jnp.float32
+    np.testing.assert_allclose(r.numpy(), [1.5, 2.0, 2.5])
