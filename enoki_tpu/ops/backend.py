@@ -47,8 +47,16 @@ class _JnpNS:
     abs = staticmethod(jnp.abs)
     maximum = staticmethod(jnp.maximum)
     minimum = staticmethod(jnp.minimum)
-    sign = staticmethod(jnp.sign)
     floor = staticmethod(jnp.floor)
+
+    @staticmethod
+    def sign(x):
+        # the REFERENCE semantics (sign(0)=1, sign(-0.0)=-1), not
+        # jnp.sign's sign(0)=0: both namespaces must agree at zero or
+        # ns_of()-generic code silently diverges per backend
+        from .router import sign as _s
+
+        return _s(x)
 
     @staticmethod
     def select(m, a, b):
@@ -248,6 +256,11 @@ class _TraceMath:
     def mulsign(a, b):
         import enoki_tpu.trace as tr
 
+        if not jnp.issubdtype(b.dtype, jnp.floating):
+            # ints have no sign bit to respect: a * sign(b) with the
+            # reference's sign(0)=1, int dtype preserved (matches the
+            # eager router's int branch)
+            return tr.select(b < 0, -a, a)
         # a * copysign(1, b): respects the sign BIT (mulsign(-0.0) flips)
         return a * tr.copysign(_TraceMath.full_like(b, 1.0), b)
 

@@ -66,10 +66,14 @@ def hmean(x, axis=None):
     if _is_lazy(x):
         # Promote integer inputs first: LazyArray._coerce would pull the
         # 1/n float scalar down to the int dtype (truncating it to 0).
-        # jnp.mean promotes the same way.
+        # jnp.mean promotes the same way -- including int64 -> f64 under
+        # x64 (a fixed f32 would lose precision past 2^24).
         if not jnp.issubdtype(x.dtype, jnp.inexact):
-            x = x.cast(jnp.float32)
-        return x.hsum() * (1.0 / len(x))
+            x = x.cast(jnp.result_type(x.dtype, 0.5))
+        # mean of an empty array is NaN eagerly; 1/0 would raise at
+        # record time
+        scale = (1.0 / len(x)) if len(x) else float("nan")
+        return x.hsum() * scale
     return jnp.mean(x, axis=axis)
 
 

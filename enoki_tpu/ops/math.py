@@ -468,6 +468,15 @@ def atan2(y, x, impl=_NATIVE):
     r = base + adj
     # x == 0: +/- pi/2 by sign of y
     r = ns.where(x == 0.0, _copysign(ns.full_like(x, jnp.pi / 2), y), r)
+    # both zero (IEEE/C and the native lowering): atan2(+-0, +0) = +-0,
+    # atan2(+-0, -0.0) = +-pi -- the x==0 branch above would return
+    # +-pi/2 for coincident points (x == 0.0 also matches -0.0)
+    x_neg = _copysign(ns.full_like(x, 1.0), x) < 0  # sign BIT (catches -0.0)
+    both = (x == 0.0) & (y == 0.0)
+    r = ns.where(both,
+                 ns.where(x_neg, _copysign(ns.full_like(x, jnp.pi), y),
+                          _copysign(ns.full_like(x, 0.0), y)),
+                 r)
     return r
 
 
@@ -555,6 +564,11 @@ def log(x, impl=_NATIVE):
     r = ns.where(x == 0.0, -jnp.inf, r)
     r = ns.where(x < 0.0, jnp.nan, r)
     r = ns.where(ns.isinf(x) & (x > 0), jnp.inf, r)
+    # NaN passes every guard above (all comparisons False) while frexp
+    # strips its exponent into a finite mantissa -- without this the
+    # poly path returns ~89.1 for log(NaN) and NaN-poisoning silently
+    # disappears in pow/log2/acosh (native mode propagates NaN)
+    r = ns.where(x != x, x, r)
     return r
 
 

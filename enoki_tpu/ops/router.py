@@ -548,7 +548,11 @@ def scatter_add(target, value, index, mask=None):
         target = _lift_arr(target)
         index, value = _lift_arr(index), _lift(value)
         if mask is not None:
-            index = t.select(_lift_arr(mask), index, len(target))
+            # match the eager branch below: negative in-mask indices are
+            # ALWAYS dropped here (they would wrap via the .at[].add
+            # lowering), not only under debug_bounds
+            oob = (index < index._coerce(0)) | ~_lift_arr(mask)
+            index = t.select(oob, index._coerce(len(target)), index)
         return target.scatter_add(index, value)
     target = jnp.asarray(target)
     index = jnp.asarray(index)
@@ -599,7 +603,22 @@ def clamp(x, lo, hi):
     if _lazy_any(x, lo, hi):
         import enoki_tpu.trace as t
 
-        return t.clamp(_lift_arr(x), _lift(lo), _lift(hi))
+        x = _lift_arr(x)
+
+        def _isfloat(v):
+            if isinstance(v, float):
+                return True
+            dt = getattr(v, "dtype", None)
+            return dt is not None and jnp.issubdtype(dt, jnp.inexact)
+
+        if (not jnp.issubdtype(x.dtype, jnp.inexact)
+                and (_isfloat(lo) or _isfloat(hi))):
+            # match jnp.clip's promotion: float bounds against an int
+            # array promote the ARRAY -- the trace's coerce-to-x rule
+            # would instead truncate the bounds into the int dtype
+            # (clamp(int32, 0.5, 1.5) silently becoming clamp(x, 0, 1))
+            x = x.cast(jnp.result_type(x.dtype, 0.5))
+        return t.clamp(x, _lift(lo), _lift(hi))
     return jnp.clip(x, lo, hi)
 
 
@@ -625,6 +644,12 @@ _SAME_WIDTH_INT = {2: jnp.int16, 4: jnp.int32, 8: jnp.int64}
 def _copysign(a, b):
     a, b = jnp.asarray(a), jnp.asarray(b)
     dt = jnp.promote_types(a.dtype, b.dtype)
+    if not jnp.issubdtype(dt, jnp.floating):
+        # the IEEE sign-bit trick is meaningless on two's-complement
+        # values (it would produce INT_MIN+|a| style garbage); promote
+        # like jnp.copysign does, matching the lazy backend's
+        # jnp.copysign lowering
+        dt = jnp.promote_types(dt, jnp.float32)
     a, b = a.astype(dt), b.astype(dt)
     itype = _SAME_WIDTH_INT[jnp.dtype(dt).itemsize]
     ab = lax.bitcast_convert_type(a, itype)
@@ -651,6 +676,11 @@ def mulsign(a, b):
         return _TRACE_MATH.mulsign(_lift_arr(a), _lift_arr(b))
     a, b = jnp.asarray(a), jnp.asarray(b)
     dt = jnp.promote_types(a.dtype, b.dtype)
+    if not jnp.issubdtype(dt, jnp.floating):
+        # integers have no sign BIT to XOR; a * sign(b) with the
+        # reference's sign(0) = 1 convention, keeping the int dtype
+        return jnp.where(jnp.asarray(b) < 0, -jnp.asarray(a),
+                         jnp.asarray(a)).astype(dt)
     a, b = a.astype(dt), b.astype(dt)
     itype = _SAME_WIDTH_INT[jnp.dtype(dt).itemsize]
     nb = jnp.iinfo(itype).bits
@@ -788,10 +818,13 @@ def _safe_lazy(x, fn):
 def safe_sqrt(x):
     if _lazy_any(x):
         # the clamp must use the INPUT dtype's tiny (an f32 constant
-        # would flatten every f64 input below 1.18e-38)
+        # would flatten every f64 input below 1.18e-38). The else branch
+        # is v*0, not literal 0: NaN must propagate as it does eagerly
+        # (NaN > 0 is False, so a literal would launder NaN into 0.0)
+        # while the derivative through v*0 stays 0 at the clamp.
         return _safe_lazy(x, lambda t, v: t.select(
             v > 0.0, t.sqrt(t.maximum(v, float(jnp.finfo(v.dtype).tiny))),
-            0.0))
+            v * 0.0))
     return _safe_sqrt_eager(x)
 
 

@@ -385,6 +385,13 @@ def erfinv(x, impl=_NATIVE):
     p1 = P.poly8(w1, *_ERFINV_P1)
     p2 = P.poly8(w2, *_ERFINV_P2)
     y = ns.select(w < 5.0, p1, p2) * x
+    if x.dtype != jnp.float64:
+        # erfinv(+-1) = +-inf: w = -log(0) = inf and poly8(inf) mixes
+        # +-inf terms into NaN -- the f64 branch below has this fixup,
+        # the f32 path needs it too (jsp.erfinv returns inf here, and
+        # the lazy impl="native" reroutes to THIS path)
+        y = ns.select(ns.abs(x) == 1.0, ns.copysign(
+            ns.full_like(x, jnp.inf), x), y)
     if x.dtype == jnp.float64:
         # f64 path (special.h:222 has a double-precision branch): the
         # Giles fit is a ~1e-7 seed; two Newton steps square the error

@@ -154,7 +154,10 @@ _OP_IMPL = {
     Op.XOR: lambda a, b: a ^ b,
     Op.NOT: lambda a: ~a,
     Op.SELECT: lambda m, a, b: jnp.where(m, *_bcast(a, b)),
-    Op.GATHER: lambda src, idx: src[idx],
+    # clamp like the eager router (jnp.take mode="clip", the documented
+    # "XLA semantics"): plain [] would wrap negatives numpy-style and
+    # the same ops.gather call would read a different element per backend
+    Op.GATHER: lambda src, idx: jnp.take(src, idx, axis=0, mode="clip"),
     Op.SCATTER: lambda tgt, idx, val: tgt.at[idx].set(val),
     Op.SCATTER_ADD: lambda tgt, idx, val: tgt.at[idx].add(val),
     Op.HSUM: lambda a: jnp.sum(a, keepdims=True),

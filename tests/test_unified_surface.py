@@ -243,3 +243,102 @@ def test_reductions_unified():
         assert isinstance(out, LazyArray), fn.__name__
         np.testing.assert_array_equal(out.numpy().reshape(-1),
                                       np.atleast_1d(e), err_msg=fn.__name__)
+
+
+def test_edge_semantics_match_across_backends():
+    """r4 audit: edge-case semantics (negative indices, NaN, signed
+    zero, int dtypes) must agree between the eager and lazy backends --
+    the one-source property extended to the corners."""
+    from enoki_tpu import ops
+
+    # gather: negative index CLAMPS (XLA semantics) on both backends
+    src = np.array([10.0, 20.0, 30.0], np.float32)
+    e = np.asarray(ops.gather(jnp.asarray(src),
+                              jnp.array([-1, 5], jnp.int32)))
+    l = ops.gather(LazyArray(src),
+                   LazyArray(np.array([-1, 5], np.int32))).numpy()
+    np.testing.assert_array_equal(e, l)
+    np.testing.assert_array_equal(e, [10.0, 30.0])
+
+    # masked scatter_add: negative in-mask index is DROPPED on both
+    e = np.asarray(ops.scatter_add(jnp.zeros(3, jnp.float32),
+                                   jnp.float32(5.0),
+                                   jnp.array([-1], jnp.int32),
+                                   mask=jnp.array([True])))
+    lt = LazyArray(np.zeros(3, np.float32))
+    lt.numpy()
+    ops.scatter_add(lt, LazyArray(np.array([5.0], np.float32)),
+                    LazyArray(np.array([-1], np.int32)),
+                    mask=LazyArray(np.array([True])))
+    np.testing.assert_array_equal(e, lt.numpy())
+    np.testing.assert_array_equal(e, 0.0)
+
+    # safe_sqrt: NaN propagates on both (was laundered to 0.0 lazily)
+    nan32 = np.array([np.nan, 4.0], np.float32)
+    assert np.isnan(np.asarray(ops.safe_sqrt(jnp.asarray(nan32)))[0])
+    got = ops.safe_sqrt(LazyArray(nan32)).numpy()
+    assert np.isnan(got[0]) and got[1] == 2.0
+
+    # copysign/mulsign on ints: value-correct on both (the sign-bit
+    # trick is meaningless on two's-complement)
+    a = np.array([1, -2], np.int32)
+    b = np.array([-1, 3], np.int32)
+    e_cs = np.asarray(ops.copysign(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_array_equal(e_cs, [-1.0, 2.0])
+    e_ms = np.asarray(ops.mulsign(jnp.asarray(a), jnp.asarray(b)))
+    l_ms = ops.mulsign(LazyArray(a), LazyArray(b)).numpy()
+    np.testing.assert_array_equal(e_ms, [-1, -2])
+    np.testing.assert_array_equal(l_ms, e_ms)
+
+    # clamp: float bounds promote an int array on both backends
+    xi = np.array([0, 1, 2], np.int32)
+    e_c = np.asarray(ops.clamp(jnp.asarray(xi), 0.5, 1.5))
+    l_c = ops.clamp(LazyArray(xi), 0.5, 1.5).numpy()
+    np.testing.assert_allclose(e_c, [0.5, 1.0, 1.5])
+    np.testing.assert_allclose(l_c, e_c)
+
+    # ns_of().sign agrees at zero between namespaces (reference
+    # semantics: sign(0)=1, sign(-0.0)=-1)
+    from enoki_tpu.ops.backend import ns_of
+    z = np.array([0.0, -0.0, 2.0, -3.0], np.float32)
+    e_s = np.asarray(ns_of(jnp.asarray(z)).sign(jnp.asarray(z)))
+    l_s = ns_of(LazyArray(z)).sign(LazyArray(z)).numpy()
+    np.testing.assert_array_equal(e_s, [1.0, -1.0, 1.0, -1.0])
+    np.testing.assert_array_equal(l_s, e_s)
+
+
+def test_poly_special_values():
+    """r4 audit: poly-path special values match native/IEEE."""
+    from enoki_tpu import ops
+
+    # log(NaN) must be NaN in poly mode (frexp strips the NaN exponent)
+    v = np.asarray(ops.math.log(jnp.float32(np.nan), "poly"))
+    assert np.isnan(v)
+    v = ops.math.log(LazyArray(np.array([np.nan], np.float32)),
+                     "poly").numpy()
+    assert np.isnan(v[0])
+
+    # atan2 zeros: (+-0, +0) = +-0, (+-0, -0.0) = +-pi (IEEE / native)
+    for yv, xv, want in ((0.0, 0.0, 0.0), (-0.0, 0.0, -0.0),
+                         (0.0, -0.0, np.pi), (-0.0, -0.0, -np.pi)):
+        got = float(np.asarray(ops.math.atan2(jnp.float32(yv),
+                                              jnp.float32(xv), "poly")))
+        assert got == pytest.approx(want, abs=1e-6), (yv, xv, got)
+        nat = float(np.asarray(jnp.arctan2(jnp.float32(yv),
+                                           jnp.float32(xv))))
+        assert got == pytest.approx(nat, abs=1e-6), (yv, xv, got, nat)
+
+    # erfinv(+-1) = +-inf on the f32 poly path (was NaN)
+    v = np.asarray(ops.special.erfinv(jnp.asarray(
+        np.array([1.0, -1.0], np.float32)), "poly"))
+    assert v[0] == np.inf and v[1] == -np.inf
+    lv = ops.special.erfinv(LazyArray(np.array([1.0, -1.0], np.float32)),
+                            "poly").numpy()
+    np.testing.assert_array_equal(lv, v)
+
+
+def test_hmean_empty_lazy_matches_eager():
+    from enoki_tpu import ops
+    e = np.asarray(ops.hmean(jnp.zeros(0, jnp.float32)))
+    l = ops.hmean(LazyArray(np.zeros(0, np.float32))).numpy()
+    assert np.isnan(e) and np.isnan(l).all()
