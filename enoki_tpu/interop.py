@@ -57,17 +57,32 @@ def torch_wrap(f: Callable):
     def _fwd(*jax_args):
         return jax.vjp(f, *jax_args)
 
+    # the pullback is a Partial pytree, so it can cross a jit boundary
+    # as an argument: the backward pass then runs as ONE fused program
+    # instead of interpreting the transposed jaxpr primitive-by-primitive
+    @jax.jit
+    def _bwd(vjp, ct):
+        return vjp(ct)
+
     class _Fn(torch.autograd.Function):
         @staticmethod
         def forward(ctx, *tensors):
             jax_args = tuple(from_torch(t) for t in tensors)
             out, vjp = _fwd(*jax_args)
             ctx._vjp = vjp
-            return to_torch(out)
+            # multi-output f: hand torch one tensor per output leaf (its
+            # backward then supplies one cotangent per output)
+            leaves, tree = jax.tree_util.tree_flatten(out)
+            ctx._out_tree = tree
+            if len(leaves) == 1:
+                return to_torch(leaves[0])
+            return tuple(to_torch(l) for l in leaves)
 
         @staticmethod
-        def backward(ctx, g):
-            grads = ctx._vjp(from_torch(g))
+        def backward(ctx, *gs):
+            ct = jax.tree_util.tree_unflatten(
+                ctx._out_tree, [from_torch(g) for g in gs])
+            grads = _bwd(ctx._vjp, ct)
             return tuple(to_torch(gr) for gr in grads)
 
     def apply(*tensors):

@@ -124,16 +124,39 @@ def set_slice_struct(x: T, i, value: T) -> T:
             from ..trace import LazyArray
 
             idx = LazyArray.literal(int(i), 1, jnp.int32)
-            return l.scatter(idx, v if _is_lazy(v)
-                             else LazyArray.literal(float(v), 1, l.dtype))
+            if not _is_lazy(v):
+                # pass the scalar through UNcoerced: literal() carries
+                # ints bit-exactly; a float(v) detour would round
+                # int64/uint64 values past 2^53 (the double-carrier
+                # truncation trace._literal_bits exists to avoid)
+                v = LazyArray.literal(
+                    v if isinstance(v, (int, bool)) else float(v),
+                    1, l.dtype)
+            return l.scatter(idx, v)
         return l.at[i].set(v)
 
     return jax.tree_util.tree_map(s, x, value)
 
 
 def concat_structs(*xs: T) -> T:
-    return jax.tree_util.tree_map(
-        lambda *ls: jnp.concatenate(ls, axis=0), *xs)
+    def c(*ls):
+        if any(_is_lazy(l) for l in ls):
+            # lazy concat: scatter each piece into a fresh output at its
+            # offset (stays on the trace; no CONCAT opcode needed)
+            from ..trace import LazyArray
+
+            n = sum(len(l) for l in ls)
+            first = next(l for l in ls if _is_lazy(l))
+            out = LazyArray.zeros(n, first.dtype)
+            off = 0
+            for l in ls:
+                l = l if _is_lazy(l) else LazyArray(jnp.asarray(l))
+                out.scatter(LazyArray.arange(len(l)) + off, l)
+                off += len(l)
+            return out
+        return jnp.concatenate(ls, axis=0)
+
+    return jax.tree_util.tree_map(c, *xs)
 
 
 def detach(x: T) -> T:

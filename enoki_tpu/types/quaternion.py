@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from ..ops import backend as B
 from ..ops import math as M
-from ..ops.router import mulsign, safe_sqrt, safe_acos
+from ..ops.router import mulsign, safe_sqrt, safe_acos, select as _sel
 
 
 @jax.tree_util.register_dataclass
@@ -145,7 +145,12 @@ def sqrt(q: Quaternion, impl="native") -> Quaternion:
     im_mag = g.sqrt(g.maximum(0.5 * (ri - q.w), ri * 0.0))
     vn = g.sqrt(q.x * q.x + q.y * q.y + q.z * q.z)
     one_vn = g.select(vn == 0.0, vn * 0.0 + 1.0, vn)
-    scale = g.select(vn == 0.0, vn * 0.0, im_mag / one_vn)
+    # pure-negative-real input (vn == 0, im_mag > 0): the root's
+    # imaginary direction is undefined -- return NaN like the reference
+    # rather than laundering it into the zero quaternion (whose square
+    # is 0, not q)
+    undef = g.select(im_mag > 0.0, vn * 0.0 + float("nan"), vn * 0.0)
+    scale = g.select(vn == 0.0, undef, im_mag / one_vn)
     return Quaternion(q.x * scale, q.y * scale, q.z * scale, re)
 
 
@@ -162,60 +167,74 @@ def rotate_vector(q: Quaternion, vx, vy, vz):
 
 
 def from_axis_angle(ax, ay, az, angle, impl="native") -> Quaternion:
-    """``rotate(axis, angle)`` (quaternion.h:331): axis must be unit."""
-    s, c = M.sincos(jnp.asarray(angle) * 0.5, impl)
-    return Quaternion(ax * s, ay * s, az * s, c + jnp.zeros_like(ax * s))
+    """``rotate(axis, angle)`` (quaternion.h:331): axis must be unit.
+    Backend-generic: works on jnp arrays and LazyArrays alike."""
+    ang = angle if B.is_lazy(angle) else jnp.asarray(angle)
+    s, c = M.sincos(ang * 0.5, impl)
+    return Quaternion(ax * s, ay * s, az * s, c + (ax * s) * 0.0)
 
 
 def to_matrix(q: Quaternion):
-    """quat_to_matrix -> 3x3 rotation, trailing dims (quaternion.h:226)."""
+    """quat_to_matrix (quaternion.h:226). Eager quaternions -> a dense
+    (..., 3, 3) rotation matrix; quaternions of LazyArrays -> the SoA
+    row-major tuple form (types/matrix_soa) whose entries stay on the
+    trace (Matrix<CUDAArray> in the reference)."""
     x, y, z, w = q.x, q.y, q.z, q.w
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z
     wx, wy, wz = w * x, w * y, w * z
-    m = jnp.stack([
-        jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], -1),
-        jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], -1),
-        jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], -1),
-    ], -2)
-    return m
+    rows = [
+        [1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)],
+        [2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)],
+        [2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)],
+    ]
+    if B.is_lazy(x):
+        from . import matrix_soa as msoa
+
+        return msoa.matrix(rows)
+    return jnp.stack([jnp.stack(r, -1) for r in rows], -2)
 
 
 def from_matrix(m) -> Quaternion:
     """matrix_to_quat (quaternion.h:240-261): branch-free Shepperd's method
-    expressed with lane masks (select over the four trace cases)."""
-    m = jnp.asarray(m)
-    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
-    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
-    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    expressed with lane masks (select over the four trace cases).
+    Accepts a dense (..., 3, 3) array OR the SoA tuple form
+    (types/matrix_soa), whose entries may be LazyArrays."""
+    if isinstance(m, tuple):  # SoA row-major tuples (possibly lazy)
+        (m00, m01, m02), (m10, m11, m12), (m20, m21, m22) = m
+    else:
+        m = jnp.asarray(m)
+        m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+        m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+        m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
     tr = m00 + m11 + m22
 
     # case w: tr > 0
     sw = safe_sqrt(tr + 1.0) * 2.0
     qw_w = 0.25 * sw
-    qx_w = (m21 - m12) / jnp.where(sw == 0, 1, sw)
-    qy_w = (m02 - m20) / jnp.where(sw == 0, 1, sw)
-    qz_w = (m10 - m01) / jnp.where(sw == 0, 1, sw)
+    qx_w = (m21 - m12) / _sel(sw == 0.0, sw * 0.0 + 1.0, sw)
+    qy_w = (m02 - m20) / _sel(sw == 0.0, sw * 0.0 + 1.0, sw)
+    qz_w = (m10 - m01) / _sel(sw == 0.0, sw * 0.0 + 1.0, sw)
 
     # case x: m00 largest diagonal
     sx = safe_sqrt(1.0 + m00 - m11 - m22) * 2.0
-    qw_x = (m21 - m12) / jnp.where(sx == 0, 1, sx)
+    qw_x = (m21 - m12) / _sel(sx == 0.0, sx * 0.0 + 1.0, sx)
     qx_x = 0.25 * sx
-    qy_x = (m01 + m10) / jnp.where(sx == 0, 1, sx)
-    qz_x = (m02 + m20) / jnp.where(sx == 0, 1, sx)
+    qy_x = (m01 + m10) / _sel(sx == 0.0, sx * 0.0 + 1.0, sx)
+    qz_x = (m02 + m20) / _sel(sx == 0.0, sx * 0.0 + 1.0, sx)
 
     # case y
     sy = safe_sqrt(1.0 - m00 + m11 - m22) * 2.0
-    qw_y = (m02 - m20) / jnp.where(sy == 0, 1, sy)
-    qx_y = (m01 + m10) / jnp.where(sy == 0, 1, sy)
+    qw_y = (m02 - m20) / _sel(sy == 0.0, sy * 0.0 + 1.0, sy)
+    qx_y = (m01 + m10) / _sel(sy == 0.0, sy * 0.0 + 1.0, sy)
     qy_y = 0.25 * sy
-    qz_y = (m12 + m21) / jnp.where(sy == 0, 1, sy)
+    qz_y = (m12 + m21) / _sel(sy == 0.0, sy * 0.0 + 1.0, sy)
 
     # case z
     sz = safe_sqrt(1.0 - m00 - m11 + m22) * 2.0
-    qw_z = (m10 - m01) / jnp.where(sz == 0, 1, sz)
-    qx_z = (m02 + m20) / jnp.where(sz == 0, 1, sz)
-    qy_z = (m12 + m21) / jnp.where(sz == 0, 1, sz)
+    qw_z = (m10 - m01) / _sel(sz == 0.0, sz * 0.0 + 1.0, sz)
+    qx_z = (m02 + m20) / _sel(sz == 0.0, sz * 0.0 + 1.0, sz)
+    qy_z = (m12 + m21) / _sel(sz == 0.0, sz * 0.0 + 1.0, sz)
     qz_z = 0.25 * sz
 
     use_w = tr > 0
@@ -223,7 +242,7 @@ def from_matrix(m) -> Quaternion:
     use_y = ~use_w & ~use_x & (m11 > m22)
 
     def pick(w, x, y, z):
-        return jnp.where(use_w, w, jnp.where(use_x, x, jnp.where(use_y, y, z)))
+        return _sel(use_w, w, _sel(use_x, x, _sel(use_y, y, z)))
 
     return Quaternion(pick(qx_w, qx_x, qx_y, qx_z),
                       pick(qy_w, qy_x, qy_y, qy_z),
@@ -231,31 +250,41 @@ def from_matrix(m) -> Quaternion:
                       pick(qw_w, qw_x, qw_y, qw_z))
 
 
-def euler_angles(q: Quaternion):
-    """Quaternion -> (roll, pitch, yaw) Tait-Bryan angles (quaternion.h:197)."""
+def euler_angles(q: Quaternion, impl="native"):
+    """Quaternion -> (roll, pitch, yaw) Tait-Bryan angles
+    (quaternion.h:197). Backend-generic via the routed ops surface."""
+    from ..ops.router import select as _sel, abs_ as _abs, safe_asin
+
     sinr_cosp = 2.0 * (q.w * q.x + q.y * q.z)
     cosr_cosp = 1.0 - 2.0 * (q.x * q.x + q.y * q.y)
-    roll = jnp.arctan2(sinr_cosp, cosr_cosp)
+    roll = M.atan2(sinr_cosp, cosr_cosp, impl)
     sinp = 2.0 * (q.w * q.y - q.z * q.x)
-    pitch = jnp.where(jnp.abs(sinp) >= 1.0,
-                      mulsign(jnp.asarray(jnp.pi / 2, sinp.dtype), sinp),
-                      jnp.arcsin(jnp.clip(sinp, -1.0, 1.0)))
+    pitch = _sel(_abs(sinp) >= 1.0,
+                 mulsign(sinp * 0.0 + jnp.pi / 2, sinp),
+                 safe_asin(sinp))
     siny_cosp = 2.0 * (q.w * q.z + q.x * q.y)
     cosy_cosp = 1.0 - 2.0 * (q.y * q.y + q.z * q.z)
-    yaw = jnp.arctan2(siny_cosp, cosy_cosp)
+    yaw = M.atan2(siny_cosp, cosy_cosp, impl)
     return roll, pitch, yaw
 
 
 def slerp(a: Quaternion, b: Quaternion, t, impl="native") -> Quaternion:
-    """Spherical linear interpolation (quaternion.h:308), shortest arc."""
+    """Spherical linear interpolation (quaternion.h:308), shortest arc.
+    Backend-generic via the routed ops surface (quaternions of
+    LazyArrays slerp inside the fused trace program)."""
+    from ..ops.router import select as _sel, abs_ as _abs
+
     d = dot(a, b)
-    b = Quaternion(jnp.where(d < 0, -b.x, b.x), jnp.where(d < 0, -b.y, b.y),
-                   jnp.where(d < 0, -b.z, b.z), jnp.where(d < 0, -b.w, b.w))
-    d = jnp.abs(d)
+    flip = d < 0
+    b = Quaternion(_sel(flip, -b.x, b.x), _sel(flip, -b.y, b.y),
+                   _sel(flip, -b.z, b.z), _sel(flip, -b.w, b.w))
+    d = _abs(d)
     theta = safe_acos(d)
     s = M.sin(theta, impl)
     near = s < 1e-6
-    w0 = jnp.where(near, 1.0 - t, M.sin(theta * (1.0 - t), impl) / jnp.where(near, 1.0, s))
-    w1 = jnp.where(near, t, M.sin(theta * t, impl) / jnp.where(near, 1.0, s))
+    safe_s = _sel(near, s * 0.0 + 1.0, s)
+    w0 = _sel(near, theta * 0.0 + (1.0 - t),
+              M.sin(theta * (1.0 - t), impl) / safe_s)
+    w1 = _sel(near, theta * 0.0 + t, M.sin(theta * t, impl) / safe_s)
     return Quaternion(a.x * w0 + b.x * w1, a.y * w0 + b.y * w1,
                       a.z * w0 + b.z * w1, a.w * w0 + b.w * w1)

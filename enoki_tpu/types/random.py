@@ -40,7 +40,6 @@ PCG32_DEFAULT_STATE = 0x853C49E6748FEA9B
 PCG32_DEFAULT_STREAM = 0xDA3E39CB94B95BDB
 PCG32_MULT = 0x5851F42D4C957F2D
 
-_MULT = None  # materialized lazily per shape
 
 
 class PCG32(NamedTuple):
@@ -298,8 +297,25 @@ def _u64_mod_const(value: U.U64, bound: int) -> U.U64:
 
 
 def uniform(gen: PCG32, shape=None, dtype=jnp.float32):
-    """Convenience: draw a [0,1) array (one draw per lane)."""
-    del shape
+    """Convenience: draw a [0,1) array -- ONE draw per generator lane
+    (the PCG32 lane model; unlike jax.random.uniform, the output shape
+    IS the generator's shape). A mismatched ``shape`` raises instead of
+    silently returning the lane count; 2-byte float dtypes are drawn at
+    f32 precision and cast."""
+    if shape is not None:
+        want = (tuple(shape) if isinstance(shape, (tuple, list))
+                else (int(shape),))
+        have = (gen.shape if isinstance(gen.shape, tuple)
+                else (gen.shape,))
+        if want != have:
+            raise ValueError(
+                f"uniform: shape {want} != generator lanes {have}; "
+                "PCG32 draws one sample per lane -- size the generator "
+                "(PCG32(size=...)) instead of the draw")
     if dtype == jnp.float64:
         return gen.next_float64()
-    return gen.next_float32()
+    val, gen2 = gen.next_float32()
+    if dtype not in (jnp.float32, None):
+        val = (val.cast(dtype) if hasattr(val, "cast")
+               else val.astype(dtype))
+    return val, gen2

@@ -50,9 +50,12 @@ def sh_eval(x, y, z, order: int):
         lift = lambda v: v if B.is_lazy(v) else ref * 0.0 + v
         x, y, z = lift(x), lift(y), lift(z)
     else:
+        # one promotion decision for ALL THREE components (casting only
+        # z to x's dtype would mix precisions across bands: m=0 bands
+        # see the downcast z, m!=0 bands promote through y)
         x = jnp.asarray(x)
-        y = jnp.asarray(y)
-        z = jnp.asarray(z, x.dtype)
+        dt = jnp.result_type(x, y, z)
+        x, y, z = x.astype(dt), jnp.asarray(y, dt), jnp.asarray(z, dt)
 
     n = (order + 1) ** 2
     out = [None] * n

@@ -174,3 +174,18 @@ def test_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state),
                     jax.tree_util.tree_leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_wrap_multi_output():
+    # r4 audit: multi-output f crashed in forward (to_torch of a tuple)
+    import torch
+
+    fn = torch_wrap(lambda a, b: (a + b, a * b))
+    ta = torch.tensor([1.0, 2.0], requires_grad=True)
+    tb = torch.tensor([3.0, 4.0], requires_grad=True)
+    s, p = fn(ta, tb)
+    assert torch.allclose(s, torch.tensor([4.0, 6.0]))
+    assert torch.allclose(p, torch.tensor([3.0, 8.0]))
+    (s.sum() + p.sum()).backward()
+    assert torch.allclose(ta.grad, torch.tensor([4.0, 5.0]))  # 1 + b
+    assert torch.allclose(tb.grad, torch.tensor([2.0, 3.0]))  # 1 + a

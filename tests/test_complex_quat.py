@@ -120,3 +120,70 @@ def test_quat_grad_flows():
 
     g = jax.grad(f)(jnp.float32(0.3))
     assert np.isclose(float(g), np.cos(0.3), atol=1e-5)
+
+
+def test_quaternion_lazy_backend_generic():
+    # r4 audit: slerp/euler/axis-angle/to_matrix/from_matrix crashed on
+    # quaternions of LazyArrays despite the module's backend-generic
+    # contract
+    import enoki_tpu.trace as tr
+    from enoki_tpu.trace import LazyArray
+    from enoki_tpu.types import quaternion as Q
+
+    tr.reset()
+    ax = np.array([0.0, 0.0], np.float32)
+    az = np.array([1.0, 1.0], np.float32)
+    ang = np.array([0.3, 1.1], np.float32)
+
+    def lazy_q(axx, ayy, azz, a):
+        return Q.from_axis_angle(LazyArray(axx), LazyArray(ayy),
+                                 LazyArray(azz), LazyArray(a))
+
+    qe = Q.from_axis_angle(ax, ax, az, ang)
+    ql = lazy_q(ax, ax, az, ang)
+    for c in "xyzw":
+        np.testing.assert_allclose(getattr(ql, c).numpy(),
+                                   np.asarray(getattr(qe, c)), rtol=1e-6)
+
+    # slerp lazy == slerp eager
+    qe2 = Q.from_axis_angle(ax, ax, az, ang + 0.5)
+    ql2 = lazy_q(ax, ax, az, ang + 0.5)
+    se = Q.slerp(qe, qe2, 0.25)
+    sl = Q.slerp(ql, ql2, 0.25)
+    for c in "xyzw":
+        np.testing.assert_allclose(getattr(sl, c).numpy(),
+                                   np.asarray(getattr(se, c)), rtol=1e-5,
+                                   atol=1e-6)
+
+    # euler lazy == eager
+    ee = Q.euler_angles(qe)
+    el = Q.euler_angles(ql)
+    for a, b in zip(el, ee):
+        np.testing.assert_allclose(a.numpy(), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+    # to_matrix (SoA for lazy) -> from_matrix roundtrip
+    m = Q.to_matrix(ql)
+    qr = Q.from_matrix(m)
+    for c in "xyzw":
+        np.testing.assert_allclose(np.abs(getattr(qr, c).numpy()),
+                                   np.abs(np.asarray(getattr(qe, c))),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_quaternion_sqrt_negative_real_is_nan():
+    # r4 audit: sqrt of a pure-negative-real quaternion has an undefined
+    # imaginary direction; (0,0,0,0) (whose square is 0) was returned
+    from enoki_tpu.types import quaternion as Q
+
+    z = np.zeros(1, np.float32)
+    q = Q.Quaternion(jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+                     jnp.asarray(z - 1.0))
+    r = Q.sqrt(q)
+    assert np.isnan(np.asarray(r.x)).all()
+    # positive real still fine: sqrt(1) = 1
+    qp = Q.Quaternion(jnp.asarray(z), jnp.asarray(z), jnp.asarray(z),
+                      jnp.asarray(z + 1.0))
+    rp = Q.sqrt(qp)
+    np.testing.assert_allclose(np.asarray(rp.w), 1.0)
+    np.testing.assert_allclose(np.asarray(rp.x), 0.0)

@@ -204,3 +204,29 @@ def test_masked_proxy_on_lazy():
                                [1, 2, 0, 0])
     np.testing.assert_allclose(masked(x, m).min(3.5).numpy(),
                                [1, 2, 3, 3.5])
+
+
+def test_concat_and_set_slice_struct_lazy():
+    # r4 audit: concat_structs crashed on LazyArray leaves;
+    # set_slice_struct corrupted wide ints through a float() detour
+    from enoki_tpu.struct.pytree import concat_structs, set_slice_struct
+
+    a = {"v": LazyArray(np.array([1.0, 2.0], np.float32))}
+    b = {"v": LazyArray(np.array([3.0, 4.0, 5.0], np.float32))}
+    c = concat_structs(a, b)
+    assert isinstance(c["v"], LazyArray)
+    np.testing.assert_array_equal(c["v"].numpy(), [1, 2, 3, 4, 5])
+
+    import jax
+    if jax.config.jax_enable_x64:  # 64-bit leaves need x64
+        big = (1 << 60) + 1
+        s = {"k": LazyArray(np.zeros(2, np.uint64))}
+        s["k"].numpy()
+        s2 = set_slice_struct(s, 0, {"k": big})
+        assert int(s2["k"].numpy()[0]) == big  # float() rounds off the +1
+    # int path must not take a float detour even at 32 bits: ints pass
+    # through literal() unconverted
+    s = {"k": LazyArray(np.zeros(2, np.int32))}
+    s["k"].numpy()
+    s2 = set_slice_struct(s, 0, {"k": 7})
+    assert int(s2["k"].numpy()[0]) == 7 and s2["k"].dtype == jnp.int32

@@ -150,3 +150,17 @@ def test_u64_primitives():
         assert np.array_equal(u64.to_py(u64.shr(A, 27)), a >> np.uint64(27))
         assert np.array_equal(u64.to_py(u64.shl(A, 20)), a << np.uint64(20))
         assert np.array_equal(u64.to_py(u64.shr(A, 59)), a >> np.uint64(59))
+
+
+def test_uniform_shape_contract():
+    # r4 audit: uniform() silently discarded the shape argument
+    import pytest
+    from enoki_tpu.types.random import PCG32, uniform
+
+    gen = PCG32.create(size=64)
+    u, _ = uniform(gen)
+    assert np.asarray(u).shape == (64,)
+    with pytest.raises(ValueError):
+        uniform(PCG32.create(size=64), (128,))
+    ub, _ = uniform(PCG32.create(size=64), dtype=jnp.bfloat16)
+    assert np.asarray(ub).dtype == jnp.bfloat16
