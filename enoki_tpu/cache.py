@@ -45,12 +45,14 @@ def cache_root() -> str:
     return os.path.join(base, "enoki_tpu")
 
 
-# Revision of the trace's on-disk naming scheme: export artifacts are
+# Revision of the trace's on-disk artifact scheme: export artifacts are
 # named by the C++ structural hash, so ANY change to the hash algorithm
-# (trace.cpp et_schedule) must bump this, or artifacts written under the
-# old scheme become unreachable dead weight that still counts against
-# the LRU bound. h2 = the splitmix64 word mixer (r4; h1 was FNV-1a).
-_TRACE_FORMAT = "h2"
+# (trace.cpp et_schedule) OR to an opcode's jnp lowering (the artifact
+# embeds the compiled program) must bump this -- stale artifacts would
+# otherwise be unreachable dead weight or, worse, replay the OLD
+# semantics. h2 = splitmix64 word mixer (r4; h1 was FNV-1a); h3 = the
+# clamping GATHER lowering (r4).
+_TRACE_FORMAT = "h3"
 
 
 def version_tag() -> str:

@@ -41,6 +41,17 @@ def make_mesh(n_devices: Optional[int] = None,
     a, b = _factor2(len(devs))
     import numpy as np
 
+    if n_devices is None or n_devices == len(jax.devices()):
+        # topology-aware layout on real hardware: create_device_mesh
+        # orders devices along ICI links (raw enumeration order need
+        # not follow torus coordinates on a pod slice, and a psum along
+        # a mis-ordered axis hops non-adjacent chips)
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh((a, b)), axis_names)
+        except Exception:
+            pass  # fall back to enumeration order (CPU, exotic configs)
     return Mesh(np.asarray(devs).reshape(a, b), axis_names)
 
 

@@ -36,9 +36,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..render.sphere import SphereScene, combined
-from ..render.sdf import SDFScene, shade_implicit
-from ..render.vec import Vec2, Vec3
-from ..render.sphere import make_rays
+from ..render.vec import Vec2
 from .mesh import image_sharding, replicated
 
 

@@ -140,6 +140,11 @@ def _hist_impl(index, bins, weights, impl, rows: int = 8):
         pb = ((pb + _LANES - 1) // _LANES) * _LANES
     tile = rows * _LANES
     pad = (-n) % tile
+    if n == 0:
+        # an empty grid runs ZERO kernel instances, so the pl.when(i==0)
+        # zeroing never executes and the output is uninitialized memory;
+        # one all-dropped dummy tile makes the kernel write the zeros
+        pad = tile
     if pad:
         index = jnp.concatenate([index, jnp.full(pad, -1, jnp.int32)])
         w = jnp.concatenate([w, jnp.zeros(pad, jnp.float32)])

@@ -36,7 +36,13 @@ def implicit_t_vjp(f, args, t, t_bar, hit, guard: float = 1e-6):
     Returns the cotangent pytree for ``args``.
     """
     df_dt = jax.grad(lambda tv: jnp.sum(f(args, tv)))(t)
-    df_dt = jnp.where(jnp.abs(df_dt) > guard, df_dt, 1.0)
+    # the grazing clamp must PRESERVE THE SLOPE'S SIGN: at a front-facing
+    # SDF hit d sdf/dt = n.d < 0, so replacing a tiny negative slope with
+    # +1 would flip the cotangent's direction on every clamped lane and
+    # push grazing-silhouette gradients the wrong way. Exact zeros take
+    # the entering-hit convention (negative slope).
+    sgn = jnp.where(df_dt == 0.0, -1.0, jnp.sign(df_dt))
+    df_dt = jnp.where(jnp.abs(df_dt) > guard, df_dt, sgn)
     w = jnp.where(hit, -t_bar / df_dt, 0.0)
     _, vjp_fn = jax.vjp(lambda a: f(a, t), args)
     (d_args,) = vjp_fn(w)

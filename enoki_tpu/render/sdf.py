@@ -154,8 +154,15 @@ def normal_at(p: Vec3, scene: SDFScene) -> Vec3:
 
 
 def _vgrad(f, p: Vec3):
-    g = jax.vmap(jax.grad(f, argnums=(0, 1, 2)))(p.x, p.y, p.z)
-    return g
+    # vmap maps ONE axis over jax.grad's scalar contract -- flatten any
+    # >=2-D pixel block (the dist/ renderers feed (n, n) and sharded
+    # tiles) and restore the shape on the gradients
+    shp = p.x.shape
+    if p.x.ndim > 1:
+        px, py, pz = (v.reshape(-1) for v in (p.x, p.y, p.z))
+        g = jax.vmap(jax.grad(f, argnums=(0, 1, 2)))(px, py, pz)
+        return tuple(c.reshape(shp) for c in g)
+    return jax.vmap(jax.grad(f, argnums=(0, 1, 2)))(p.x, p.y, p.z)
 
 
 def shade(ray: Ray, scene: SDFScene, n_steps: int = 64):

@@ -137,10 +137,8 @@ def render_staged(scene: SphereScene, n: int = 1024):
     buffers, reproducing the staged-kernels cost the reference measures.
     """
     rays = jax.lax.optimization_barrier(make_rays(pixel_grid(n)))
-    hits = jax.lax.optimization_barrier(intersect_rays(rays,
-                                                       SphereScene.reference()))
-    del scene  # staged variant is only defined for the reference scene
-    return shade_hits(hits, SphereScene.reference())
+    hits = jax.lax.optimization_barrier(intersect_rays(rays, scene))
+    return shade_hits(hits, scene)
 
 
 # ---------------------------------------------------------------------------

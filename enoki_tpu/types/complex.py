@@ -130,11 +130,18 @@ def rcp(z: Complex) -> Complex:
 
 
 def sqrt(z: Complex) -> Complex:
-    """Principal square root (complex.h sqrt)."""
-    g = B.math_ns(z.re)
+    """Principal square root (complex.h sqrt).
+
+    Uses safe_sqrt (custom-JVP, zero slope at 0): on the real axis one
+    of the two branches is sqrt(exactly 0), whose native derivative is
+    inf -- the zero cotangent flowing into it would turn the OTHER
+    branch's perfectly finite gradient into NaN via 0 * inf."""
+    from ..ops.router import safe_sqrt as _ss
+
     r = abs_(z)
-    re = g.sqrt(0.5 * (r + z.re))
-    im_mag = g.sqrt(g.maximum(0.5 * (r - z.re), 0.0))
+    g = B.math_ns(z.re)
+    re = _ss(0.5 * (r + z.re))
+    im_mag = _ss(0.5 * (r - z.re))
     im = g.select(z.im < 0, -im_mag, im_mag)
     return Complex(re, im)
 

@@ -33,7 +33,12 @@ def scale(v):
 def rotate(axis, angle, impl="native"):
     """Rotation about a unit axis by ``angle`` radians (transform.h:38),
     Rodrigues form, returned as a 4x4."""
+    # promote to float BEFORE touching the angle: an int axis (e.g. the
+    # idiomatic [0, 0, 1]) would otherwise truncate the angle to 0 and
+    # force an integer rotation matrix -- returning the exact identity
+    # with no error
     axis = jnp.asarray(axis)
+    axis = axis.astype(jnp.result_type(axis, 1.0))
     angle = jnp.asarray(angle, axis.dtype)
     s, c = M.sincos(angle, impl)
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
@@ -49,9 +54,10 @@ def rotate(axis, angle, impl="native"):
 
 
 def perspective(fov, near, far, aspect=1.0):
-    """Perspective projection, fov in radians (transform.h:60). Matches the
-    reference: maps the view frustum to the unit cube with z in [0, 1]
-    (after the perspective divide), looking down +z."""
+    """Perspective projection, fov in radians (transform.h:60-76,
+    matched term-for-term). GL convention: the camera looks down -z and
+    the frustum maps to clip z' in [-1, 1] after the perspective divide
+    (z' = -1 at z = -near, +1 at z = -far; w = -z)."""
     recip = 1.0 / (near - far)
     c = 1.0 / jnp.tan(0.5 * jnp.asarray(fov))
     m = jnp.zeros((4, 4), jnp.result_type(fov, 1.0))

@@ -119,3 +119,12 @@ def test_ops_histogram_lazy_float_index_casts():
         np.testing.assert_array_equal(l, [1, 2, 1, 0])
     finally:
         tr.reset()
+
+
+def test_histogram_empty_pallas_is_zeros():
+    # r4 audit: an empty index array ran a zero-instance grid, leaving
+    # the pallas output uninitialized
+    from enoki_tpu.ops.pallas_hist import histogram
+
+    out = histogram(jnp.zeros((0,), jnp.int32), 64, impl="pallas")
+    np.testing.assert_array_equal(np.asarray(out), np.zeros(64))

@@ -100,3 +100,27 @@ def test_matvec_grad():
 
     g = jax.grad(f)(jnp.ones(3))
     assert np.allclose(g, [2, 2, 2])
+
+
+def test_rotate_int_axis_promotes():
+    # r4 audit: an int axis truncated the angle to 0 and returned the
+    # exact identity with no error
+    from enoki_tpu.types.transform import rotate
+
+    m = rotate([0, 0, 1], np.pi / 4)
+    assert jnp.issubdtype(m.dtype, jnp.floating)
+    np.testing.assert_allclose(np.asarray(m)[0, 0], np.cos(np.pi / 4),
+                               rtol=1e-6)
+
+
+def test_complex_sqrt_real_axis_grad():
+    # r4 audit: native sqrt at exactly 0 gave NaN grads on the real axis
+    import jax
+    from enoki_tpu.types import complex as C
+
+    g = jax.grad(lambda x: C.sqrt(C.Complex(x, x * 0.0)).re)(
+        jnp.float32(4.0))
+    np.testing.assert_allclose(np.asarray(g), 0.25, rtol=1e-6)
+    g2 = jax.grad(lambda x: C.sqrt(C.Complex(x, x * 0.0)).im)(
+        jnp.float32(-4.0))
+    assert np.isfinite(np.asarray(g2))

@@ -64,3 +64,41 @@ def test_sdf_radius_gradient_matches_fd():
           - float(masked_loss(jnp.float32(1.0 - eps)))) / (2 * eps)
     # march quantization makes FD noisy; 10% tolerance
     assert np.isclose(ad, fd, rtol=0.10), (ad, fd)
+
+
+def test_implicit_grazing_clamp_preserves_slope_sign():
+    # r4 audit: the grazing guard replaced a tiny NEGATIVE slope with
+    # +1.0, flipping the cotangent on every clamped lane
+    import jax
+    from enoki_tpu.render.implicit import implicit_t_vjp
+
+    # f(args, t) = -eps*t + args: slope -eps is under the guard; the
+    # implicit derivative dt/da = -1/f_t = +1/eps -> regularized sign
+    # must stay POSITIVE under t_bar = 1 with slope clamped to -1
+    t = jnp.zeros(4)
+    t_bar = jnp.ones(4)
+    hit = jnp.ones(4, bool)
+    d = implicit_t_vjp(lambda a, tv: -1e-8 * tv + a, jnp.zeros(4),
+                       t, t_bar, hit)
+    # w = -t_bar / clamp(-1e-8) = -1/-1 = +1; d f/d a = 1 -> +1
+    np.testing.assert_allclose(np.asarray(d), 1.0)
+
+
+def test_normal_at_2d_blocks():
+    # r4 audit: _vgrad crashed on >= 2-D pixel blocks (the dist/ tile
+    # shape); flattening must give the same normals as 1-D
+    from enoki_tpu.render.sdf import SDFScene, normal_at
+    from enoki_tpu.render.vec import Vec3
+
+    scene = SDFScene.reference()
+    xs = np.linspace(-0.5, 0.5, 16).astype(np.float32)
+    px, py = np.meshgrid(xs, xs)
+    pz = np.full_like(px, -0.2)
+    n2 = normal_at(Vec3(jnp.asarray(px), jnp.asarray(py),
+                        jnp.asarray(pz)), scene)
+    n1 = normal_at(Vec3(jnp.asarray(px.ravel()), jnp.asarray(py.ravel()),
+                        jnp.asarray(pz.ravel())), scene)
+    np.testing.assert_allclose(np.asarray(n2.x).ravel(),
+                               np.asarray(n1.x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(n2.z).ravel(),
+                               np.asarray(n1.z), rtol=1e-6)
