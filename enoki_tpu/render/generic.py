@@ -40,19 +40,20 @@ from .pallas_kernels import _tile_pixels, _march_tile
 
 AMBIENT, GAIN, LIGHT = 0, 1, slice(2, 5)
 
-def _cone_t0_generic(sdf_fn, params, n, n_steps, extent, s, eps, t_max,
-                     margin=1e-3):
+def _cone_t0_generic(sdf_fn, ray_fn, params, n, n_steps, extent, s, eps,
+                     t_max, margin=1e-3):
     """Cone-march prepass for the generic factory: the shared engine
     (pallas_kernels.cone_t0 -- ONE implementation of the deflation
-    radius / margin invariant) over the user SDF along orthographic
-    rays (parallel rays keep the block's transverse offset constant in
-    t, which is what makes the deflated march conservative)."""
+    radius / margin invariant) over the user SDF along THE CALLER'S
+    ``ray_fn`` rays (the gate in fwd_call asserts they are the parallel
+    orthographic camera; building the prepass from the same function --
+    not a hardcoded copy of its convention -- keeps the no-ray-crosses-
+    the-surface proof tied to the rays the fine kernel actually
+    marches)."""
     from .pallas_kernels import cone_t0
 
     def dist_factory(px, py):
-        o = Vec3(px, py, jnp.full_like(px, -1.0))
-        dd = Vec3(jnp.zeros_like(px), jnp.zeros_like(px),
-                  jnp.ones_like(px))
+        o, dd = ray_fn(px, py, params)
         return lambda t: sdf_fn(o + dd * t, params)
 
     return cone_t0(dist_factory, n, n_steps, extent, s, eps, t_max,
@@ -249,7 +250,8 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             assert ray_fn is ortho_camera, \
                 "the cone prepass is only conservative for parallel " \
                 "(orthographic) rays; pass coarse=0 for custom cameras"
-            t0 = _cone_t0_generic(sdf_fn, params.astype(jnp.float32), n,
+            t0 = _cone_t0_generic(sdf_fn, ray_fn,
+                                  params.astype(jnp.float32), n,
                                   n_steps, extent, coarse, eps, t_max)
         else:
             t0 = jnp.zeros((n, n), jnp.float32)
@@ -341,18 +343,16 @@ def make_sdf_renderer(sdf_fn, n_params: int, eps: float = 1e-4,
             pv, t, hit = res
             t_bar, _ = ct
 
+            # the SHARED implicit backward (render/implicit.py): its
+            # grazing clamp preserves the slope's sign -- an inline
+            # jnp.where(|df_dt| > guard, df_dt, +1.0) copy once flipped
+            # the cotangent on grazing lanes in THIS path only, making
+            # the parity baseline itself the buggy side (r4 review)
             def f(pv_, tv):
                 o, dd = ray_fn(px, py, pv_)
-                return jnp.sum(sdf_fn(o + dd * tv, pv_))
+                return sdf_fn(o + dd * tv, pv_)
 
-            df_dt = jax.grad(f, argnums=1)(pv, t)
-            df_dt = jnp.where(jnp.abs(df_dt) > 1e-6, df_dt, 1.0)
-            w = jnp.where(hit, -t_bar / df_dt, 0.0)
-            def fw(pv_):
-                o, dd = ray_fn(px, py, pv_)
-                return jnp.sum(sdf_fn(o + dd * t, pv_) * w)
-
-            dpv = jax.grad(fw)(pv)
+            dpv = implicit_t_vjp(f, pv, t, t_bar, hit)
             return (dpv,)
 
         march_implicit.defvjp(mi_fwd, mi_bwd)

@@ -17,7 +17,6 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .pytree import width
 
 
 def _check_sizes(args):
@@ -32,16 +31,34 @@ def _check_sizes(args):
         raise ValueError(f"vectorize(): incompatible input sizes {sorted(big)}")
 
 
+_JIT_CACHE: "weakref.WeakKeyDictionary" = None
+
+
 def vectorize(f: Callable, *args, jit: bool = True):
     """Run ``f`` over wide inputs as one fused kernel.
 
     Matches the reference's contract: sizes must be equal or 1
-    (broadcast); returns f's outputs. With jit=True (default) the call is
-    compiled+cached -- the analog of enoki's packet loop being compiled
-    once per type.
+    (broadcast); returns f's outputs. With jit=True (default) the call
+    is compiled+cached -- the jit wrapper is cached PER FUNCTION OBJECT
+    (a fresh jax.jit each call would re-trace every time, forfeiting
+    the compile-once packet-loop analogy; note a lambda recreated
+    inside a loop is a new function object each iteration -- hoist it).
     """
+    global _JIT_CACHE
     _check_sizes(args)
-    fn = jax.jit(f) if jit else f
+    if not jit:
+        return f(*args)
+    if _JIT_CACHE is None:
+        import weakref
+
+        _JIT_CACHE = weakref.WeakKeyDictionary()
+    try:
+        fn = _JIT_CACHE.get(f)
+        if fn is None:
+            fn = jax.jit(f)
+            _JIT_CACHE[f] = fn
+    except TypeError:  # unhashable/un-weakref-able callable
+        fn = jax.jit(f)
     return fn(*args)
 
 
@@ -53,5 +70,28 @@ def vectorize_safe(f: Callable, *args, jit: bool = True):
 
 
 def vectorize_wrapper(f: Callable) -> Callable:
-    """Adapt a per-lane (packet) function to wide arrays: jax.vmap."""
-    return jax.vmap(f)
+    """Adapt a per-lane (packet) function to wide arrays: jax.vmap,
+    with the reference wrapper's mixed wide/scalar contract
+    (dynamic.h:1105): scalar and size-1 arguments broadcast instead of
+    being mapped (bare vmap would reject them with an axis error)."""
+
+    def _axis(a):
+        sizes = [jnp.shape(l)[0]
+                 for l in jax.tree_util.tree_leaves(a) if jnp.shape(l)]
+        return 0 if any(s != 1 for s in sizes) else None
+
+    def _squeeze1(a):  # drop a broadcast arg's leading size-1 axis
+        return jax.tree_util.tree_map(
+            lambda l: jnp.reshape(l, jnp.shape(l)[1:])
+            if jnp.shape(l) else l, a)
+
+    def wide(*args):
+        _check_sizes(args)
+        axes = tuple(_axis(a) for a in args)
+        if not any(ax == 0 for ax in axes):
+            return f(*args)  # all scalars: nothing to map
+        squeezed = tuple(a if ax == 0 else _squeeze1(a)
+                         for a, ax in zip(args, axes))
+        return jax.vmap(f, in_axes=axes)(*squeezed)
+
+    return wide

@@ -43,11 +43,23 @@ def build_library() -> str:
     out = os.path.join(_build_dir(), f"libenoki_trace_{tag}.so")
     if os.path.exists(out):
         return out
-    tmp = out + ".tmp"
+    # per-process temp name: two cold-cache processes building
+    # concurrently must not interleave writes into one .tmp (os.replace
+    # of a half-written file would publish a corrupt .so under the
+    # hash name, which would then never be rebuilt)
+    tmp = f"{out}.{os.getpid()}.tmp"
     inc = sysconfig.get_paths()["include"]
     cmd = ["g++", "-std=c++17", "-O2", "-fPIC", "-shared",
            f"-I{inc}", _SRC, _PYMOD_SRC, "-o", tmp]
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:
+        # surface the compiler diagnostics -- a bare CalledProcessError
+        # makes the trace runtime's cold-start failure undiagnosable
+        raise RuntimeError(
+            "native trace runtime build failed:\n"
+            f"  {' '.join(cmd)}\n{e.stderr.decode(errors='replace')}"
+        ) from e
     os.replace(tmp, out)
     return out
 

@@ -19,3 +19,4 @@ from .morton import morton_encode, morton_decode  # noqa: F401
 from .random import PCG32, PCG32_DEFAULT_STATE, PCG32_DEFAULT_STREAM, PCG32_MULT  # noqa: F401
 from .idiv import DivisorU32, DivisorI32, divisor  # noqa: F401
 from . import half  # noqa: F401
+from . import enum_array  # noqa: F401

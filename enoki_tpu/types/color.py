@@ -14,7 +14,6 @@ import jax.numpy as jnp
 
 from ..ops import backend as B
 
-from ..ops import math as M
 
 
 def linear_to_srgb(x, impl="native"):

@@ -13,13 +13,34 @@ from typing import Type
 import jax.numpy as jnp
 
 
+def _storage_dtype(vals):
+    """Smallest lane dtype that holds every value losslessly (the
+    array_enum.h 'underlying integer type' contract; int32 alone would
+    overflow e.g. a 1 << 31 flag)."""
+    lo = min(vals, default=0)
+    hi = max(vals, default=0)
+    if -(1 << 31) <= lo and hi < (1 << 31):
+        return jnp.int32
+    if 0 <= lo and hi < (1 << 32):
+        return jnp.uint32
+    import jax
+
+    if not jax.config.jax_enable_x64:
+        raise OverflowError(
+            f"enum values span [{lo}, {hi}], which needs a 64-bit lane "
+            "dtype -- enable jax_enable_x64")
+    return jnp.int64 if lo < 0 else jnp.uint64
+
+
 def enum_array(values, enum_cls: Type[enum.IntEnum]) -> jnp.ndarray:
-    """Build an int32 lane array from enum members / ints."""
-    return jnp.asarray([int(v) for v in values], jnp.int32)
+    """Build a lane array from enum members / ints (lossless storage)."""
+    vals = [int(v) for v in values]
+    return jnp.asarray(vals, _storage_dtype(vals))
 
 
 def enum_full(value: enum.IntEnum, shape) -> jnp.ndarray:
-    return jnp.full(shape, int(value), jnp.int32)
+    v = int(value)
+    return jnp.full(shape, v, _storage_dtype([v]))
 
 
 def enum_eq(arr, value: enum.IntEnum):

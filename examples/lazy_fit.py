@@ -29,8 +29,10 @@ from enoki_tpu.trace import LazyArray
 
 
 def _render(cx, cy, radius, n, extent=1.2):
-    """Sphere render against the unified ops surface; backend follows
-    the parameter types (tests/sphere.cpp:58-88 math)."""
+    """Sphere render against the unified ops surface, recorded on the
+    lazy trace (the pixel grid is built with LazyArray.arange, so the
+    whole pipeline is a trace program regardless of the parameter
+    types; tests/sphere.cpp:58-88 math)."""
     idx = LazyArray.arange(n * n)
     col = (idx % n).cast(np.float32)
     row = (idx / n).cast(np.int32).cast(np.float32)

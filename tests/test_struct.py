@@ -248,3 +248,32 @@ def test_dispatch_auto_picks_by_instance_count(monkeypatch):
     small.dispatch("eval", jnp.zeros(4, jnp.int32), x[:4],
                    strategy="partition")
     assert picked[-1] == "partition"
+
+
+def test_vectorize_wrapper_mixed_scalar_args():
+    # r4 audit: bare vmap rejected the reference wrapper's mixed
+    # wide/scalar contract (dynamic.h:1105)
+    from enoki_tpu.struct import vectorize_wrapper
+
+    wide = vectorize_wrapper(lambda a, b: a + b)
+    out = wide(jnp.arange(3.0), 2.0)
+    np.testing.assert_allclose(np.asarray(out), [2.0, 3.0, 4.0])
+    # size-1 broadcasts as a scalar (not a (1,)-shaped packet)
+    out = wide(jnp.arange(3.0), jnp.ones(1))
+    np.testing.assert_allclose(np.asarray(out), [1.0, 2.0, 3.0])
+    # all-scalar call degrades to a plain invocation
+    assert float(wide(1.0, 2.0)) == 3.0
+
+
+def test_enum_array_wide_values():
+    # r4 audit: int32 hardcode overflowed on 1 << 31 flags
+    import enum
+    from enoki_tpu.types.enum_array import enum_array, to_enum_list
+
+    class Flags(enum.IntEnum):
+        LOW = 1
+        HIGH = 1 << 31
+
+    arr = enum_array([Flags.HIGH, Flags.LOW], Flags)
+    assert arr.dtype == jnp.uint32
+    assert to_enum_list(arr, Flags) == [Flags.HIGH, Flags.LOW]
