@@ -198,6 +198,16 @@ def main():
         jax.value_and_grad(lambda s: sdf_loss_implicit(s, N, STEPS)),
         scene, perturb_scene, k_lo=K_LO, k_hi=K_HI, windows=WINDOWS)
 
+    # forward-only row for cross-round comparability: r1-r3 numbers were
+    # fwd-only by accident (the DCE'd backward, see benchmarks.md); this
+    # keeps a directly comparable figure next to the honest fwd+bwd one.
+    # A fn wrapped as value_and_grad of loss-only is the fwd program.
+    t_fwd, _ = _bench_scan(
+        lambda pv: (losses[chosen](pv), pv * 0.0), v,
+        lambda v0, loss, k: v0 + loss * 1e-12
+        + 1e-6 * k.astype(jnp.float32),
+        k_lo=K_LO, k_hi=K_HI, windows=max(WINDOWS // 2, 1))
+
     rays_pallas = rays / t_pallas
     rays_xla = rays / t_xla
 
@@ -210,6 +220,9 @@ def main():
         "windows": WINDOWS,
         "config": {"coarse": coarse, "bands": bands, "relax": relax,
                    "unimodal": unimodal},
+        # r1-r3 rows were forward-only by accident (DCE'd backward,
+        # docs/benchmarks.md); this keeps a directly comparable figure
+        "fwd_only_rays_per_s": round(rays / t_fwd, 1),
     }))
     return 0
 
