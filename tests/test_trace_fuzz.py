@@ -325,3 +325,41 @@ def test_fuzz_vcall_dispatch(seed):
             want[m] = ref_callee(chains[i], x_np.astype(np.float64),
                                  y_np.astype(np.float64))[m]
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_random_dag_edge_values(seed):
+    """Edge-value rounds (r4): NaN / +-inf / +-0 injected into the
+    leaves must flow through the lazy backend exactly as through the
+    f64 numpy reference -- the corners where r4's audit found the
+    backends diverging (NaN laundered by selects, signed-zero
+    handling). equal_nan compares the NaN lanes."""
+    rng = np.random.default_rng(10_000 + seed)
+    n = int(rng.integers(8, 33))
+    n_leaves = int(rng.integers(2, 5))
+    edges = np.array([np.nan, np.inf, -np.inf, 0.0, -0.0], np.float64)
+    leaves = []
+    for _ in range(n_leaves):
+        l = rng.uniform(-2, 2, n)
+        k = int(rng.integers(1, max(2, n // 4)))
+        pos = rng.choice(n, size=k, replace=False)
+        l[pos] = rng.choice(edges, size=k)
+        leaves.append(l)
+    depth = int(rng.integers(5, 30))
+    recipe = []
+    pool_size = n_leaves
+    for _ in range(depth):
+        op_idx = int(rng.integers(len(OPS)))
+        arity = OPS[op_idx][1]
+        slots = tuple(int(rng.integers(pool_size)) for _ in range(arity))
+        recipe.append((op_idx, slots))
+        pool_size += 1
+
+    lazy_out = _build(recipe, leaves, lazy=True)
+    # reference in f32 (same working precision -- an f64 reference would
+    # disagree on overflow-to-inf boundaries, not on edge semantics)
+    want = _build(recipe, [l.astype(np.float32) for l in leaves],
+                  lazy=False)
+    got = lazy_out.numpy().astype(np.float64)
+    np.testing.assert_allclose(got, want.astype(np.float64), rtol=2e-5,
+                               atol=1e-6, equal_nan=True)
