@@ -147,6 +147,8 @@ class _EagerMath:
     round = staticmethod(jnp.round)
     floor = staticmethod(jnp.floor)
     copysign = staticmethod(jnp.copysign)
+    isinf = staticmethod(jnp.isinf)
+    isnan = staticmethod(jnp.isnan)
     exp_native = staticmethod(jnp.exp)
     log_native = staticmethod(jnp.log)
     sin_native = staticmethod(jnp.sin)
@@ -288,7 +290,10 @@ class _TraceMath:
         mn = tr.minimum(aa, bb)
         zero = mx == 0.0
         t = mn / tr.select(zero, mx * 0.0 + 1.0, mx)
-        return tr.select(zero, mx * 0.0, mx * tr.sqrt(t * t + 1.0))
+        r = tr.select(zero, mx * 0.0, mx * tr.sqrt(t * t + 1.0))
+        # IEEE: +inf whenever either argument is infinite (inf/inf = NaN
+        # in the scaled form) -- matches the eager twin
+        return tr.select(tr.isinf(mx), mx, r)
 
 
 _TRACE_MATH = _TraceMath()

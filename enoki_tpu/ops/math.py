@@ -828,4 +828,7 @@ def hypot(a, b):
     mx = ns.maximum(a, b)
     mn = ns.minimum(a, b)
     t = mn / ns.where(mx == 0.0, 1.0, mx)
-    return ns.where(mx == 0.0, 0.0, mx * ns.sqrt(1.0 + t * t))
+    r = ns.where(mx == 0.0, 0.0, mx * ns.sqrt(1.0 + t * t))
+    # IEEE: hypot is +inf whenever EITHER argument is infinite (the
+    # scaled form computes inf/inf = NaN for hypot(inf, inf))
+    return ns.where(ns.isinf(mx), mx, r)

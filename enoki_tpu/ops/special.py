@@ -26,14 +26,10 @@ Numerische Mathematik 33 (1979).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.scipy import special as jsp
 
 from . import polys as P
-from . import math as M
-from .router import mulsign as _mulsign
 
 _NATIVE = "native"
 _POLY = "poly"
@@ -314,7 +310,9 @@ def _erf64(ns, x):
     a = ns.abs(x)
     r = ns.select(a <= 1.0, a * P.horner(a * a, _ERF64_SMALL),
                   1.0 - _erfc64_pos(ns, a))
-    return ns.select(x < 0.0, -r, r)
+    # mulsign, not select(x < 0): erf is odd INCLUDING the zero sign
+    # (erf(-0.0) = -0.0, the scipy/IEEE convention; x < 0.0 misses -0.0)
+    return ns.mulsign(r, x)
 
 
 def erf(x, impl=_NATIVE):
@@ -324,8 +322,11 @@ def erf(x, impl=_NATIVE):
     if x.dtype == jnp.float64:
         return _erf64(ns, x)
     a = ns.abs(x)
-    # |x| < 1: direct series erf(x) = x * poly(x^2)
-    z = x * x
+    # |x| < 1: direct series erf(x) = x * poly(x^2). z is clamped so the
+    # untaken branch stays finite for huge |x| (mask discipline: an inf
+    # in the unselected polynomial turns jnp.where's transpose into
+    # 0 * inf = NaN gradients)
+    z = ns.minimum(x * x, 1.0)
     small = x * P.horner(z, list(reversed(_ERF_SMALL_F32)))
     return ns.select(a < 1.0, small, 1.0 - _erfc_tail(ns, x))
 
@@ -351,7 +352,12 @@ def _erfc_tail(ns, x):
     p_mid = P.horner(y, list(_ERFC_MID_F32))
     p_big = P.horner(y, list(_ERFC_BIG_F32))
     p = ns.select(a > 2.0, p_big, p_mid)
-    zexp = ns.exp(-a * a)
+    # the exp argument is clamped at the underflow guard's own bound:
+    # beyond it the select zeroes the value anyway, and an unclamped
+    # -a*a reaching -inf makes the exp's derivative 0 * -inf = NaN
+    # (grad discipline for the masked lanes)
+    ac = ns.minimum(a, 10.06)
+    zexp = ns.exp(-ac * ac)
     r = zexp * q * p
     r = ns.select(a > 10.06, r * 0.0, r)  # exp underflow guard (f32)
     return ns.select(x < 0.0, 2.0 - r, r)
@@ -465,7 +471,10 @@ def i0e(x, impl=_NATIVE):
         t_b = (2.0 * q - 0.125) / 0.125
         big = _chebeval(t_b, _I0E64_B) * ns.rsqrt(ns.maximum(a, 8.0))
         return ns.select(a > 8.0, big, small)
-    small = _chbevl(a * 0.5 - 2.0, _I0E_A)
+    # clamp the untaken small-branch argument exactly like the f64 path:
+    # _chbevl of an unclamped huge a overflows in the masked lanes and
+    # poisons gradients through the where (0 * inf = NaN)
+    small = _chbevl(ns.minimum(a, 8.0) * 0.5 - 2.0, _I0E_A)
     big = _chbevl(32.0 / ns.maximum(a, 8.0) - 2.0, _I0E_B) * ns.rsqrt(ns.maximum(a, 8.0))
     return ns.select(a > 8.0, big, small)
 
@@ -508,10 +517,17 @@ def dawson(x, impl=_POLY):
     ns, x = _dispatch(x, impl)
     if x.dtype == jnp.float64:
         return _dawson64(ns, x)
-    x2 = x * x
+    # the rational form's x2^7 term overflows f32 past |x| ~ 566
+    # (returning 0, then NaN, and NaN at +-inf); switch to the exact
+    # asymptote 1/(2x) + 1/(4x^3) where its truncation error is already
+    # below the fit's 8.4e-7 (|x| > 30), and clamp the masked branch so
+    # no inf enters the where (NaN-grad discipline)
+    x2 = ns.minimum(x * x, 900.0)
     num = P.poly6(x2, *_DAWSON_P)
     den = P.poly7(x2, *_DAWSON_Q)
-    return num / den * x
+    rat = num / den * x
+    tail = (0.5 + 0.25 / ns.maximum(x * x, 900.0)) / x
+    return ns.select(x * x > 900.0, tail, rat)
 
 
 def erfi(x, impl=_POLY):
@@ -533,6 +549,10 @@ def erfi(x, impl=_POLY):
         half = ns.exp_native(0.5 * hi * hi)
         r = ((two_over_sqrt_pi * _dawson64(ns, a) * ns.exp_native(m))
              * half) * half
+        # a = +inf: hi = inf and m = (inf-inf)*inf = NaN -- but
+        # erfi(+-inf) = +-inf (scipy convention); the overflow boundary
+        # a ~ 26.71 makes the select exact in value
+        r = ns.select(a > 26.71, ns.full_like(a, float("inf")), r)
         return ns.mulsign(r, x)
     e = ns.exp_native(x * x) if impl == _NATIVE else ns.exp(x * x)
     return two_over_sqrt_pi * dawson(x, impl) * e
@@ -640,7 +660,10 @@ def _lgamma64(ns, x):
     refl = (jnp.log(jnp.pi)
             - ns.log_native(sinpix) - _lgamma64_pos(ns, xa))
     refl = ns.select(sinpix == 0.0, jnp.inf, refl)  # poles at -n
-    return ns.select(x > 0.0, pos, refl)
+    out = ns.select(x > 0.0, pos, refl)
+    # +-inf: both Stirling (inf - inf) and the reflection (inf - round)
+    # produce NaN, but lgamma(+-inf) = +inf (scipy gammaln convention)
+    return ns.select(ns.isinf(x), ns.full_like(x, jnp.inf), out)
 
 
 def lgamma(x, impl=_NATIVE):
@@ -653,14 +676,22 @@ def lgamma(x, impl=_NATIVE):
         return _lgamma64(ns, x)
     reflect = x < 0.5
     # both branches evaluated on safe inputs, then selected (mask
-    # discipline: no NaN from the untaken branch)
-    pos = _lgamma_pos(ns, ns.select(reflect, 1.0 - x, x))
-    # Reflection: lgamma(x) = log|pi / sin(pi x)| - lgamma(1 - x)
-    sin_px = ns.sin(jnp.pi * ns.select(reflect, x, x * 0.0 + 0.5))
+    # discipline: no NaN from the untaken branch). The reflection's
+    # argument is clamped so 1 - (-inf) cannot reach the Lanczos tail.
+    pos = _lgamma_pos(ns, ns.minimum(ns.select(reflect, 1.0 - x, x),
+                                     3.4e38))
+    # Reflection: lgamma(x) = log|pi / sin(pi x)| - lgamma(1 - x), with
+    # the sin argument reduced EXACTLY first (|sin(pi x)| is 1-periodic;
+    # pi*x alone has ~1 ulp of argument noise per unit of |x| in f32 --
+    # for large negative x the raw form returns garbage or a spurious
+    # pole; mirrors the f64 path's x - round(x))
+    xr = x - ns.round(x)
+    sin_px = ns.sin(jnp.pi * ns.select(reflect, xr, x * 0.0 + 0.5))
     refl_val = ns.log(ns.abs(jnp.pi / sin_px)) - pos
     result = ns.select(reflect, refl_val, pos)
     result = ns.select(reflect & (x == ns.round(x)), jnp.inf, result)
-    return result
+    # +-inf: the tails compute inf - inf; gammaln(+-inf) = +inf
+    return ns.select(ns.isinf(x), ns.full_like(x, jnp.inf), result)
 
 
 def tgamma(x, impl=_NATIVE):
@@ -678,7 +709,10 @@ def tgamma(x, impl=_NATIVE):
     g = ns.exp_native(lg) if impl == _NATIVE else ns.exp(lg)
     # Gamma is negative on (-1,0), (-3,-2), ... : odd floor(x) intervals
     neg = (x < 0.0) & (ns.floor(x) % 2.0 == 1.0)
-    return ns.select(neg, -g, g)
+    g = ns.select(neg, -g, g)
+    # the x = 0 pole is signed: Gamma(+0) = +inf, Gamma(-0.0) = -inf
+    # (1/x behavior; x < 0.0 cannot see the sign bit of -0.0)
+    return ns.select(x == 0.0, ns.mulsign(g, x), g)
 
 
 # ---------------------------------------------------------------------------
@@ -764,7 +798,10 @@ def carlson_rd(x, y, z):
     ec = ea - eb
     ed = ea - 6.0 * eb
     ee = ed + 2.0 * ec
-    p = (ed * (-(3.0 / 14.0) + (9.0 / 88.0) * ed - 0.25 * Z * ee)
+    # C6 = 1.5 * C4 = 9/52 (Carlson 1979; carlson_rj below uses the same
+    # constant -- an earlier 0.25 here cost ~2 ulp at the duplication
+    # loop's exit threshold)
+    p = (ed * (-(3.0 / 14.0) + (9.0 / 88.0) * ed - (9.0 / 52.0) * Z * ee)
          + Z * ((1.0 / 6.0) * ee + Z * (-(9.0 / 22.0) * ec + Z * (3.0 / 26.0) * ea)))
     return 3.0 * s + num * mu_inv * ns.sqrt(mu_inv) * (1.0 + p)
 
@@ -906,6 +943,6 @@ def ellint_3(phi, k, nu):
                           carlson_rj(cp * cp, 1.0 - k2 * sp2, one, 1.0 + nu * sp2))
 
 
-# Gauss error function quantile, convenience (matches torch.special.ndtri use)
 def gamma(x, impl=_NATIVE):
+    """Alias of tgamma (the reference exposes both names, special.h:312)."""
     return tgamma(x, impl)

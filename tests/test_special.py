@@ -345,3 +345,66 @@ def test_lgamma_f64_poly_factored_zeros():
         assert (np.abs(got - want)
                 / np.maximum(np.abs(want), 1.0)).max() < 1e-14
         assert np.isposinf(S.lgamma(jnp.float64(-3.0), POLY))
+
+
+def test_special_values_at_infinity_and_signed_zero():
+    """r4 audit: poly-path special values at the line's ends must match
+    scipy conventions (the tails computed inf - inf -> NaN)."""
+    import pytest
+    import scipy.special as sp
+    from enoki_tpu.ops import special as S
+    from enoki_tpu.ops import math as M
+
+    inf32 = jnp.float32(np.inf)
+    # dawson: f32 rational used to overflow past |x| ~ 566 (0, then NaN)
+    for xv, want in ((2000.0, float(sp.dawsn(2000.0))),
+                     (-2000.0, float(sp.dawsn(-2000.0)))):
+        got = float(np.asarray(S.dawson(jnp.float32(xv))))
+        assert got == pytest.approx(want, rel=2e-5), (xv, got, want)
+    assert float(np.asarray(S.dawson(inf32))) == 0.0
+    assert float(np.asarray(S.dawson(-inf32))) == 0.0
+
+    # erfi(+-inf) = +-inf (f64 path, gated on x64)
+    import jax
+    if jax.config.jax_enable_x64:
+        assert np.isposinf(np.asarray(S.erfi(jnp.float64(np.inf))))
+        assert np.isneginf(np.asarray(S.erfi(jnp.float64(-np.inf))))
+
+    # lgamma poly at +-inf = +inf like gammaln
+    assert np.isposinf(np.asarray(S.lgamma(inf32, "poly")))
+    assert np.isposinf(np.asarray(S.lgamma(-inf32, "poly")))
+    # tgamma zero poles are signed: Gamma(+0) = +inf, Gamma(-0.0) = -inf
+    assert np.isposinf(np.asarray(S.tgamma(jnp.float32(0.0), "poly")))
+    assert np.isneginf(np.asarray(S.tgamma(jnp.float32(-0.0), "poly")))
+
+    # erf preserves the sign of zero on every path
+    assert np.signbit(np.asarray(S.erf(jnp.float32(-0.0), "poly")))
+    if jax.config.jax_enable_x64:
+        assert np.signbit(np.asarray(S.erf(jnp.float64(-0.0), "poly")))
+
+    # hypot: +inf whenever either argument is infinite (both backends)
+    assert np.isposinf(np.asarray(M.hypot(inf32, inf32)))
+    import enoki_tpu.trace as tr
+    from enoki_tpu.trace import LazyArray
+    tr.reset()
+    lv = M.hypot(LazyArray(np.array([np.inf], np.float32)),
+                 LazyArray(np.array([np.inf], np.float32)))
+    assert np.isposinf(lv.numpy()).all()
+
+    # f32 lgamma reflection reduces the sin argument exactly
+    x = np.float32(-2999999.25)
+    got = float(np.asarray(S.lgamma(jnp.float32(x), "poly")))
+    want = float(sp.gammaln(np.float64(x)))
+    assert got == pytest.approx(want, rel=3e-6), (got, want)
+
+
+def test_masked_branch_gradients_finite():
+    """r4 audit: the untaken polynomial branch must not poison grads
+    through the where (0 * inf = NaN) for huge arguments."""
+    import jax
+    from enoki_tpu.ops import special as S
+
+    for fn in (lambda v: S.i0e(v, "poly"), lambda v: S.erf(v, "poly"),
+               lambda v: S.dawson(v)):
+        g = jax.grad(lambda v: jnp.sum(fn(v)))(jnp.float32(1e20))
+        assert np.isfinite(np.asarray(g)), fn
