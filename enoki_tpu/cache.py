@@ -91,20 +91,28 @@ _PRUNED = False
 
 
 def _prune_stale_exports(parent: str, keep: str) -> None:
-    """Remove version-tagged export dirs other than the live one (once
-    per process).  Artifacts under an old enoki_tpu/jax/platform tag can
-    never be loaded again, but each dir would otherwise retain up to
-    ``cache_max_bytes`` forever after an upgrade."""
+    """Remove STALE version-tagged export dirs (once per process):
+    same-platform siblings under an old enoki_tpu/jax/format tag can
+    never be loaded again and would each retain up to
+    ``cache_max_bytes`` forever after an upgrade.  Dirs of OTHER
+    platforms are live caches of the cpu<->tpu workflow this repo
+    documents -- deleting them would force perpetual cold caches on
+    every platform switch (and could yank a concurrent other-platform
+    process's dir mid-write)."""
     global _PRUNED
     if _PRUNED:
         return
     _PRUNED = True
     import shutil
 
+    # tag format: v<ver>-jax<ver>-<platform>-<fmt>; platform/fmt tokens
+    # never contain dashes
+    plat = os.path.basename(keep).split("-")[-2:-1]
     try:
         for name in os.listdir(parent):
             p = os.path.join(parent, name)
-            if p != keep and os.path.isdir(p):
+            if (p != keep and os.path.isdir(p)
+                    and name.split("-")[-2:-1] == plat):
                 shutil.rmtree(p, ignore_errors=True)
     except OSError:
         pass

@@ -526,7 +526,11 @@ def dawson(x, impl=_POLY):
     num = P.poly6(x2, *_DAWSON_P)
     den = P.poly7(x2, *_DAWSON_Q)
     rat = num / den * x
-    tail = (0.5 + 0.25 / ns.maximum(x * x, 900.0)) / x
+    # the tail's divisor is sign-preservingly clamped away from 0: the
+    # untaken branch at x = 0 would otherwise be 0.5/0 = inf and poison
+    # the gradient through the select (0 * inf = NaN)
+    xt = ns.mulsign(ns.maximum(ns.abs(x), 30.0), x)
+    tail = (0.5 + 0.25 / ns.maximum(x * x, 900.0)) / xt
     return ns.select(x * x > 900.0, tail, rat)
 
 

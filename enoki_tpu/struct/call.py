@@ -106,12 +106,11 @@ def dispatch_switch(funcs: Sequence[Callable], uniform_id, *args):
     Callee signature is ``f(mask, *args)`` -- the SAME contract as every
     other dispatcher (dispatch_masked/dispatch_partition and the lazy
     trace dispatcher), so a method written for one strategy works under
-    all of them; the uniform path passes an all-true mask sized by the
-    first array argument (scalar True when there are none)."""
-    leaves = [a for a in jax.tree_util.tree_leaves(args)
-              if getattr(a, "ndim", 0) >= 1]
-    mask = (jnp.ones(leaves[0].shape[0], bool) if leaves
-            else jnp.bool_(True))
+    all of them. The uniform path passes a SCALAR all-true mask: it
+    broadcasts against any lane shape, whereas sizing it from one
+    argument's leading axis would guess wrong whenever a non-lane array
+    (a parameter table) comes first."""
+    mask = jnp.bool_(True)
     return jax.lax.switch(jnp.asarray(uniform_id, jnp.int32),
                           [lambda a, f=f: f(mask, *a) for f in funcs],
                           args)

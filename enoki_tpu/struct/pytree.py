@@ -142,15 +142,21 @@ def concat_structs(*xs: T) -> T:
     def c(*ls):
         if any(_is_lazy(l) for l in ls):
             # lazy concat: scatter each piece into a fresh output at its
-            # offset (stays on the trace; no CONCAT opcode needed)
+            # offset (stays on the trace; no CONCAT opcode needed). The
+            # output dtype PROMOTES across the pieces exactly like the
+            # eager jnp.concatenate -- taking the first piece's dtype
+            # would silently truncate later float pieces into an int
+            # output.
             from ..trace import LazyArray
 
             n = sum(len(l) for l in ls)
-            first = next(l for l in ls if _is_lazy(l))
-            out = LazyArray.zeros(n, first.dtype)
+            dt = jnp.result_type(*(l.dtype for l in ls))
+            out = LazyArray.zeros(n, dt)
             off = 0
             for l in ls:
                 l = l if _is_lazy(l) else LazyArray(jnp.asarray(l))
+                if l.dtype != dt:
+                    l = l.cast(dt)
                 out.scatter(LazyArray.arange(len(l)) + off, l)
                 off += len(l)
             return out

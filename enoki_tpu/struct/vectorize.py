@@ -31,7 +31,13 @@ def _check_sizes(args):
         raise ValueError(f"vectorize(): incompatible input sizes {sorted(big)}")
 
 
-_JIT_CACHE: "weakref.WeakKeyDictionary" = None
+# per-function jit wrappers, LRU-bounded. NOT a WeakKeyDictionary: the
+# stored jax.jit wrapper strongly references its function, so weak keys
+# would never die and every per-loop lambda (plus its closure and trace
+# cache) would be pinned forever. A small LRU keeps hot functions
+# compiled-once while letting churned lambdas age out and be collected.
+_JIT_CACHE: dict = {}
+_JIT_CACHE_MAX = 128
 
 
 def vectorize(f: Callable, *args, jit: bool = True):
@@ -40,24 +46,19 @@ def vectorize(f: Callable, *args, jit: bool = True):
     Matches the reference's contract: sizes must be equal or 1
     (broadcast); returns f's outputs. With jit=True (default) the call
     is compiled+cached -- the jit wrapper is cached PER FUNCTION OBJECT
-    (a fresh jax.jit each call would re-trace every time, forfeiting
-    the compile-once packet-loop analogy; note a lambda recreated
-    inside a loop is a new function object each iteration -- hoist it).
-    """
-    global _JIT_CACHE
+    (a lambda recreated inside a loop is a new function object each
+    iteration and re-traces -- hoist it)."""
     _check_sizes(args)
     if not jit:
         return f(*args)
-    if _JIT_CACHE is None:
-        import weakref
-
-        _JIT_CACHE = weakref.WeakKeyDictionary()
     try:
-        fn = _JIT_CACHE.get(f)
+        fn = _JIT_CACHE.pop(f, None)  # re-insert on hit = LRU recency
         if fn is None:
             fn = jax.jit(f)
-            _JIT_CACHE[f] = fn
-    except TypeError:  # unhashable/un-weakref-able callable
+        _JIT_CACHE[f] = fn
+        while len(_JIT_CACHE) > _JIT_CACHE_MAX:
+            _JIT_CACHE.pop(next(iter(_JIT_CACHE)))
+    except TypeError:  # unhashable callable
         fn = jax.jit(f)
     return fn(*args)
 

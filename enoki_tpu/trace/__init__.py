@@ -1176,7 +1176,7 @@ class LazyArray(_nat.VarBase):
             # a scatter invalidates any cached partition of the target
             # NOW -- the dirty flag alone is insufficient, since an
             # unrelated eval clears it before the next partition()
-            callmod._PARTITION_CACHE.pop(self.index, None)
+            callmod._cache_pop(self.index)
         index = self._coerce(index)
         value = self._coerce(value)
         from ..config import config

@@ -45,15 +45,26 @@ from . import LazyArray, _lib, maximum as _maximum, select as _select
 _PARTITION_CACHE: dict = {}
 _PARTITION_CACHE_MAX = 256
 _PARTITION_CACHE_MAX_BYTES = 64 << 20
+_CACHE_BYTES = 0  # running total (a per-miss full scan would be O(n^2))
+
+
+def _parts_bytes(parts) -> int:
+    return sum(int(p.size) * p.dtype.itemsize for _, p in parts)
+
+
+def _cache_pop(vid) -> None:
+    """Remove one entry, keeping the byte total consistent -- the ONLY
+    sanctioned way to remove entries (scatter invalidation included)."""
+    global _CACHE_BYTES
+    parts = _PARTITION_CACHE.pop(vid, None)
+    if parts is not None:
+        _CACHE_BYTES -= _parts_bytes(parts)
 
 
 def clear_partition_cache():
+    global _CACHE_BYTES
     _PARTITION_CACHE.clear()
-
-
-def _cache_bytes() -> int:
-    return sum(int(p.size) * p.dtype.itemsize
-               for parts in _PARTITION_CACHE.values() for _, p in parts)
+    _CACHE_BYTES = 0
 
 
 def partition(ids: LazyArray):
@@ -66,8 +77,9 @@ def partition(ids: LazyArray):
     cuda_eval) and caches the result on the array until a scatter
     dirties it.
     """
+    global _CACHE_BYTES
     if _lib.et_is_dirty(ids.index):
-        _PARTITION_CACHE.pop(ids.index, None)
+        _cache_pop(ids.index)
     parts = _PARTITION_CACHE.get(ids.index)
     if parts is not None:
         # LRU: re-insert on hit so a hot array's partition survives any
@@ -78,8 +90,8 @@ def partition(ids: LazyArray):
     if parts is None:
         while _PARTITION_CACHE and (
                 len(_PARTITION_CACHE) >= _PARTITION_CACHE_MAX
-                or _cache_bytes() >= _PARTITION_CACHE_MAX_BYTES):
-            _PARTITION_CACHE.pop(next(iter(_PARTITION_CACHE)))
+                or _CACHE_BYTES >= _PARTITION_CACHE_MAX_BYTES):
+            _cache_pop(next(iter(_PARTITION_CACHE)))
         vals = np.asarray(ids.numpy(), np.int64)
         order = np.argsort(vals, kind="stable").astype(np.int32)
         sv = vals[order]
@@ -88,6 +100,7 @@ def partition(ids: LazyArray):
         parts = tuple((int(sv[b]), jnp.asarray(order[b:e]))
                       for b, e in zip(starts, ends))
         _PARTITION_CACHE[ids.index] = parts
+        _CACHE_BYTES += _parts_bytes(parts)
     return parts
 
 

@@ -230,3 +230,15 @@ def test_concat_and_set_slice_struct_lazy():
     s["k"].numpy()
     s2 = set_slice_struct(s, 0, {"k": 7})
     assert int(s2["k"].numpy()[0]) == 7 and s2["k"].dtype == jnp.int32
+
+
+def test_concat_structs_lazy_promotes_dtype():
+    # r4 second-pass review: the lazy concat coerced to the FIRST
+    # piece's dtype, truncating later float pieces into an int output
+    from enoki_tpu.struct.pytree import concat_structs
+
+    a = {"v": LazyArray(np.array([1, 2, 3], np.int32))}
+    b = {"v": jnp.array([0.5, 1.5], jnp.float32)}
+    c = concat_structs(a, b)
+    assert c["v"].dtype == jnp.float32
+    np.testing.assert_allclose(c["v"].numpy(), [1, 2, 3, 0.5, 1.5])

@@ -408,3 +408,14 @@ def test_masked_branch_gradients_finite():
                lambda v: S.dawson(v)):
         g = jax.grad(lambda v: jnp.sum(fn(v)))(jnp.float32(1e20))
         assert np.isfinite(np.asarray(g)), fn
+
+
+def test_dawson_gradient_at_zero():
+    # r4 second-pass review: the new f32 tail divided by x unguarded --
+    # the untaken branch at x = 0 was inf and poisoned the gradient
+    import jax
+    import pytest
+    from enoki_tpu.ops import special as S
+
+    g = jax.grad(lambda v: S.dawson(v))(jnp.float32(0.0))
+    assert float(np.asarray(g)) == pytest.approx(1.0, rel=1e-5)
