@@ -28,9 +28,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true",
                     help="3 windows, shorter chains (sweep mode)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny shapes + 1-step windows: validates every "
+                         "config's plumbing (compiles, runs, parity) "
+                         "without meaningful timing -- run it in "
+                         "interpret mode on CPU before spending chip "
+                         "time on the real sweep")
     ap.add_argument("--n", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=64)
     args = ap.parse_args()
+    if args.smoke:
+        args.n, args.steps = min(args.n, 256), min(args.steps, 8)
 
     from enoki_tpu.render.sdf import SDFScene
     from enoki_tpu.render.pallas_kernels import (scene_to_vec,
@@ -72,8 +80,16 @@ def main():
     configs.append(dict(tile=128, tile_c=128, coarse=0, chunk=16, bands=1,
                         dtype="f32", relax=1.6, unimodal=True))
 
-    kw = dict(k_lo=50, k_hi=200, windows=3) if args.quick else \
-        dict(k_lo=100, k_hi=400, windows=5)
+    if args.smoke:
+        kw = dict(k_lo=2, k_hi=5, windows=1)
+        # smoke shapes: drop configs whose tile does not divide the
+        # shrunken n (they are exercised by the real sweep's shapes)
+        configs = [c for c in configs
+                   if args.n % c["tile"] == 0 and args.n % c["tile_c"] == 0]
+    elif args.quick:
+        kw = dict(k_lo=50, k_hi=200, windows=3)
+    else:
+        kw = dict(k_lo=100, k_hi=400, windows=5)
 
     # parity oracle (same gates as bench.py)
     from enoki_tpu.render.sdf import sdf_loss_implicit
