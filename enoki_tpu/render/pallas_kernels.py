@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 from .implicit import implicit_t_vjp
 from .vec import Vec2, Vec3, dot3
 from .sphere import SphereScene, combined
-from .sdf import SDFScene, sdf, sdf_ortho_dist as _sdf_ortho_dist
+from .sdf import (SDFScene, sdf, sdf_ortho_dist as _sdf_ortho_dist,
+                  sdf_ortho_parts as _sdf_ortho_parts)
 
 # Flat parameter-vector layout (padded to 16 for SMEM friendliness):
 # [cx, cy, cz, radius, ambient, gain, lx, ly, lz, 0...]
@@ -53,14 +54,22 @@ def vec_to_scene(v, cls=SphereScene):
 
 
 def _tile_pixels(tile_r: int, tile_c: int, n: int, extent: float,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, row_off: int = 0, tile_r_full=None):
     """Pixel coordinates of the current grid tile. Matches
     linspace(-extent, extent, n) + meshgrid 'xy' reshaped to (n, n):
-    x varies along columns, y along rows (tests/sphere.cpp:130-131)."""
+    x varies along columns, y along rows (tests/sphere.cpp:130-131).
+
+    ``row_off``/``tile_r_full`` address a ROW BAND of the tile: the
+    iotas are generated at the (tile_r, tile_c) band shape directly
+    rather than sliced out of a tile-shaped iota -- Mosaic SIGABRTs
+    (``limits[i] <= dim(i)``) on a sublane-slice of a lane-direction
+    iota (the BENCH_r04 crash; minimal repro in
+    tools/repro_bands_abort.py / bisect_bands.py k3-nocols)."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     step = 2.0 * extent / (n - 1)
-    rows = lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 0) + i * tile_r
+    rows = (lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 0)
+            + i * (tile_r_full or tile_r) + row_off)
     cols = lax.broadcasted_iota(jnp.int32, (tile_r, tile_c), 1) + j * tile_c
     py = (rows.astype(jnp.float32) * step - extent).astype(dtype)
     px = (cols.astype(jnp.float32) * step - extent).astype(dtype)
@@ -340,6 +349,75 @@ def _relax_step(dist_at, pos, stp, k, n_steps, eps, t_max, w, back,
     return new_pos, new_stp, alive | over
 
 
+def _march_sphere_tile(rxy2, z0, rad, n_steps: int, eps: float = 1e-4,
+                       t_max: float = 10.0, chunk: int = 16, t0=None):
+    """Specialized plain sphere march (flagship fast path, round 5).
+
+    Walks the SAME trajectory as ``_march_tile`` over
+    ``sdf_ortho_dist`` -- same freeze rules, same masked final advance,
+    same entry aliveness test, same chunked tile-level early exit --
+    with the loop carry moved from t to z = z0 + t and every
+    loop-invariant comparison constant folded:
+
+        s = sqrt(rxy2 + z^2)                      (= |p - c| of sdf())
+        alive   <=>  s >= rad + eps  AND  z + s <= t_max + z0 + rad
+        advance      z += s - rad
+
+    which drops the per-step op count from ~12+sqrt to ~9+sqrt (the
+    z0+t add, the d = s - rad subtraction feeding two consumers, and
+    the adv float-mast multiply all disappear into hoisted constants /
+    the bool mask AND). Rounding differs from the generic path by
+    ~1 ulp/step (folded constants), tolerance-gated against the XLA
+    oracle like every compiled variant. Returns (t, hit) with
+    t = z - z0 recovered once per tile.
+    """
+    z = z0 + (jnp.zeros_like(rxy2) if t0 is None else t0)
+
+    while n_steps % chunk:
+        chunk //= 2
+
+    s_hit = rad + eps
+    esc = t_max + z0 + rad
+
+    def dist_len(z):
+        # |p - c| as x * rsqrt(x): ~8% faster than sqrt on the v5e VPU
+        # (tools: /tmp micro_step r5); x >= 1e-12 by the rxy2 guard so
+        # the 0 * inf corner cannot occur. ~2 ulp vs sqrt,
+        # tolerance-gated like every compiled variant.
+        x = rxy2 + z * z
+        return x * lax.rsqrt(x)
+
+    def step_free(z):
+        # chunk-interior step: k + i < n_steps - 1 is structurally
+        # guaranteed (k <= n_steps - chunk), so the final-advance mask
+        # -- a vector AND per step in the naive form -- vanishes
+        s = dist_len(z)
+        alive = (s >= s_hit) & (z + s <= esc)
+        return jnp.where(alive, z + (s - rad), z)
+
+    def step_last(z, k):
+        s = dist_len(z)
+        alive = (s >= s_hit) & (z + s <= esc)
+        adv = alive & (k < n_steps - 1)
+        return jnp.where(adv, z + (s - rad), z), alive
+
+    def cond(c):
+        k, z, go = c
+        return (k < n_steps) & go
+
+    def body(c):
+        k, z, _ = c
+        for _ in range(chunk - 1):
+            z = step_free(z)
+        z, alive = step_last(z, k + chunk - 1)
+        return k + chunk, z, jnp.any(alive)
+
+    s0 = dist_len(z)
+    go0 = jnp.any((s0 >= s_hit) & (z + s0 <= esc))
+    _, z, _ = lax.while_loop(cond, body, (0, z, go0))
+    return z - z0, (dist_len(z) - rad) < eps
+
+
 def _sdf_shade_tile(px, py, t, hit, pvec):
     """Shade at fixed (t, hit) -- differentiable in pvec and t."""
     scene = vec_to_scene(pvec, SDFScene)
@@ -416,17 +494,9 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
                     n_steps, chunk, dtype=jnp.float32, bands=1,
                     relax=1.0, unimodal=False):
     tr, tc = out_ref.shape
-    px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
     scene = vec_to_scene(pvec, SDFScene)
-    # the loop-invariant hoisted form of sdf() (shared with the cone
-    # prepass and asserted equivalent to sdf() in tests): the xy part of
-    # the sphere distance is computed ONCE per tile, the inner march
-    # step costs ~5 flops + sqrt.
-    if dtype == jnp.float32:
-        px_m, py_m, scene_m = px, py, scene
-        t0_full = t0_ref[:, :]
-    else:
+    if dtype != jnp.float32:
         # bf16 march (config 4 "fp32 + bf16"): the march carry, SDF
         # evaluations and convergence test run in ``dtype``; shading,
         # the stored t residual and (in the bwd kernel) parameter-grad
@@ -435,14 +505,9 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         # image/grad deltas are in docs/benchmarks.md and gated by
         # tests/test_pallas.py::test_sdf_pallas_bf16_policy.
         scene_m = _read_scene(params_ref, dtype, SDFScene)
-        px_m, py_m = px.astype(dtype), py.astype(dtype)
-        # conservative downcast: round-to-nearest could round the cone
-        # prepass's start map UP by half an ulp (bf16: ~2e-3 rel), past
-        # the f32 margin that protects the no-ray-crosses-the-surface
-        # invariant; scaling down by one full ulp first guarantees the
-        # cast value never exceeds the f32 bound
         ulp = float(jnp.finfo(dtype).eps)
-        t0_full = (t0_ref[:, :] * (1.0 - ulp)).astype(dtype)
+    else:
+        scene_m = scene
     # convergence epsilon scales with the march format: bf16's spacing at
     # t ~ 1 is 3.9e-3, so the f32 eps=1e-4 would be unreachable and hit
     # lanes would freeze at d ~ one-ulp and misregister as misses
@@ -467,10 +532,39 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
     br = tr // nb
     for b in range(nb):
         sl = slice(b * br, (b + 1) * br)
-        dist_b = _sdf_ortho_dist(px_m[sl], py_m[sl], scene_m)
-        t_b, hit_b = _march_tile(dist_b, px_m[sl], n_steps, chunk=chunk,
-                                 t0=t0_full[sl], eps=eps, relax=relax,
-                                 unimodal=unimodal)
+        # band pixels are generated at the (br, tc) band shape (the
+        # loop-invariant hoisted form of sdf(), shared with the cone
+        # prepass: the xy part of the sphere distance is computed ONCE
+        # per band, the inner march step costs ~5 flops + sqrt). NOT
+        # sliced out of tile-shaped iotas: Mosaic SIGABRTs on a
+        # sublane-slice of a lane-direction iota (the BENCH_r04 crash
+        # -- see _tile_pixels).
+        px, py = _tile_pixels(br, tc, n, extent, row_off=b * br,
+                              tile_r_full=tr)
+        if dtype == jnp.float32:
+            px_m, py_m = px, py
+            t0_b = t0_ref[sl, :]
+        else:
+            px_m, py_m = px.astype(dtype), py.astype(dtype)
+            # conservative downcast: round-to-nearest could round the
+            # cone prepass's start map UP by half an ulp (bf16: ~2e-3
+            # rel), past the f32 margin that protects the
+            # no-ray-crosses-the-surface invariant; scaling down by one
+            # full ulp first guarantees the cast value never exceeds
+            # the f32 bound
+            t0_b = (t0_ref[sl, :] * (1.0 - ulp)).astype(dtype)
+        if relax == 1.0 and not unimodal:
+            # flagship fast path: z-carry march with folded constants
+            rxy2, z0b, radb = _sdf_ortho_parts(px_m, py_m, scene_m)
+            t_b, hit_b = _march_sphere_tile(rxy2, z0b, radb, n_steps,
+                                            eps=eps, chunk=chunk, t0=t0_b)
+        else:
+            # demoted variants (over-relaxation / divergence exit lose
+            # on chip, docs/benchmarks.md r5) keep the generic engine
+            dist_b = _sdf_ortho_dist(px_m, py_m, scene_m)
+            t_b, hit_b = _march_tile(dist_b, px_m, n_steps, chunk=chunk,
+                                     t0=t0_b, eps=eps, relax=relax,
+                                     unimodal=unimodal)
         t_b = t_b.astype(jnp.float32)
         # miss-band fast path (round 4, work elimination): a band with
         # no hit lane shades to EXACTLY scene.ambient everywhere -- the
@@ -483,9 +577,8 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         hit_any = jnp.any(hit_b)
 
         @pl.when(hit_any)
-        def _(t_b=t_b, hit_b=hit_b, sl=sl):
-            out_ref[sl, :] = _sdf_shade_tile(px[sl], py[sl], t_b, hit_b,
-                                             pvec)
+        def _(t_b=t_b, hit_b=hit_b, sl=sl, px=px, py=py):
+            out_ref[sl, :] = _sdf_shade_tile(px, py, t_b, hit_b, pvec)
 
         @pl.when(jnp.logical_not(hit_any))
         def _(sl=sl):
@@ -500,8 +593,105 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         t_ref[sl, :] = jnp.where(hit_b, t_b, -t_b - 1.0)
 
 
-def _sdf_bwd_kernel(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
-                    n_steps):
+def _sdf_bwd_kernel_analytic(params_ref, g_ref, t_ref, dp_ref, *, n,
+                             extent, n_steps):
+    """Hand-derived backward megakernel (round 5).
+
+    The autodiff formulation (``_sdf_bwd_kernel_ad`` below) runs
+    ``jax.vjp`` through ``_sdf_shade_tile`` -- whose normal is itself a
+    ``jax.grad`` of the SDF -- so Mosaic compiles a reverse-over-reverse
+    program with Hessian-vector products of the SDF: ~300 VPU
+    ops/pixel for what is analytically ~70. This kernel writes the
+    closed form of the same cotangents (profiled 78 -> ~35 us/frame at
+    1024^2). tests/test_pallas.py::test_sdf_bwd_analytic_matches_ad
+    pins it against the autodiff kernel lane-for-lane.
+
+    Derivation (u = (p - c) / |p - c| at the frozen root, L = light,
+    m = g * gain * [lambert > 0] * hit):
+
+      shade:  img = A + relu((u.L) * inv) * G,  inv = rsqrt(u.u + 1e-12)
+      dA  = sum(g)                 (both where() arms are A + ...)
+      dG  = sum(g * lambert * hit)
+      dL  = sum(m * inv * u)
+      v   = m * (inv * L - (u.L) * inv^3 * u)      (dlambert/du)
+      dd  = q * (v - u (u.v)),  q = rsqrt(|p-c|^2 + 1e-12)
+                                 (pullback of u = d * q; du/dd = q(I-uu^T))
+      dc_shade = -sum(dd);  t_bar = dd_z           (dp/dt = e_z)
+      implicit root sdf(ray(t*), theta) = eps (render/implicit.py):
+      w   = -t_bar / guard(u_z)  on hit lanes      (d sdf/dt = u_z)
+      dc += sum(-w * u);  dr = sum(-w)
+
+    guard(): |slope| <= 1e-6 is clamped to sign-preserving +-1, exact
+    zeros take the entering-hit convention (negative slope) -- the same
+    rule as implicit_t_vjp, kept in lockstep by the matches_ad test.
+    """
+    tr, tc = g_ref.shape
+    px, py = _tile_pixels(tr, tc, n, extent)
+    p = [params_ref[0, k] for k in range(9)]
+    cx, cy, cz, gain = p[0], p[1], p[2], p[5]
+    lx, ly, lz = p[6], p[7], p[8]
+
+    ts = t_ref[:, :]
+    hit = ts >= 0.0
+    t = jnp.where(hit, ts, -1.0 - ts)
+    g = g_ref[:, :]
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        for k in range(N_PARAMS):
+            dp_ref[0, k] = 0.0
+
+    hit_any = jnp.any(hit)
+
+    @pl.when(hit_any)
+    def _():
+        dx = px - cx
+        dy = py - cy
+        dz = (-1.0 + t) - cz
+        q = lax.rsqrt(dx * dx + dy * dy + dz * dz + 1e-12)
+        ux, uy, uz = dx * q, dy * q, dz * q
+        inv = lax.rsqrt(ux * ux + uy * uy + uz * uz + 1e-12)
+        s = ux * lx + uy * ly + uz * lz
+        y = s * inv
+        lam = jnp.maximum(y, 0.0)
+        hf = hit.astype(jnp.float32)
+        # subgradient at the relu kink: jnp.maximum splits ties 0.5/0.5
+        relu_g = jnp.where(y > 0.0, 1.0,
+                           jnp.where(y == 0.0, 0.5, 0.0))
+        m = g * gain * relu_g * hf
+        mi = m * inv
+        si2 = s * (inv * inv)
+        vx = mi * (lx - si2 * ux)
+        vy = mi * (ly - si2 * uy)
+        vz = mi * (lz - si2 * uz)
+        uv = ux * vx + uy * vy + uz * vz
+        ddx = q * (vx - ux * uv)
+        ddy = q * (vy - uy * uv)
+        ddz = q * (vz - uz * uv)
+        # implicit-root term through t* (same guard as implicit_t_vjp)
+        sgn = jnp.where(uz == 0.0, -1.0, jnp.sign(uz))
+        slope = jnp.where(jnp.abs(uz) > 1e-6, uz, sgn)
+        w = jnp.where(hit, -ddz / slope, 0.0)
+        dp_ref[0, 0] += jnp.sum(-ddx - w * ux)
+        dp_ref[0, 1] += jnp.sum(-ddy - w * uy)
+        dp_ref[0, 2] += jnp.sum(-ddz - w * uz)
+        dp_ref[0, 3] += jnp.sum(-w)
+        dp_ref[0, 4] += jnp.sum(g)
+        dp_ref[0, 5] += jnp.sum(g * lam * hf)
+        dp_ref[0, 6] += jnp.sum(mi * ux)
+        dp_ref[0, 7] += jnp.sum(mi * uy)
+        dp_ref[0, 8] += jnp.sum(mi * uz)
+
+    @pl.when(jnp.logical_not(hit_any))
+    def _():
+        # miss-tile fast path: every lane shades to scene.ambient
+        dp_ref[0, 4] += jnp.sum(g)
+
+
+def _sdf_bwd_kernel_ad(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
+                       n_steps):
     tr, tc = g_ref.shape
     px, py = _tile_pixels(tr, tc, n, extent)
     pvec = _read_params(params_ref)
@@ -612,15 +802,15 @@ def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk,
 
 
 def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, dtype,
-                 bands, relax, unimodal, res, g):
+                 bands, relax, unimodal, res, g, kernel=None):
     params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)
     tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM)
     dp = pl.pallas_call(
-        functools.partial(_sdf_bwd_kernel, n=n, extent=extent,
-                          n_steps=n_steps),
+        functools.partial(kernel or _sdf_bwd_kernel_analytic, n=n,
+                          extent=extent, n_steps=n_steps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),

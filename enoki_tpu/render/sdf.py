@@ -59,6 +59,20 @@ def sdf(p: Vec3, scene: SDFScene):
     return jnp.sqrt(dot3(d, d) + 1e-12) - scene.radius
 
 
+def sdf_ortho_parts(px, py, scene: SDFScene):
+    """The loop-invariant pieces of ``sdf`` along the orthographic ray
+    p = (px, py, -1 + t): returns (rxy2, z0, radius) with
+    sdf(ray(t)) = sqrt(rxy2 + (z0 + t)^2) - radius. Single source of
+    truth for ``sdf_ortho_dist`` (the generic-march closure) and the
+    megakernel's specialized z-carry march
+    (pallas_kernels._march_sphere_tile)."""
+    dx = px - scene.center.x
+    dy = py - scene.center.y
+    rxy2 = dx * dx + dy * dy + 1e-12
+    z0 = -1.0 - scene.center.z
+    return rxy2, z0, scene.radius
+
+
 def sdf_ortho_dist(px, py, scene: SDFScene):
     """Loop-invariant split of ``sdf`` for the orthographic ray
     p = (px, py, -1 + t): only the z term depends on t, so the xy part
@@ -70,11 +84,8 @@ def sdf_ortho_dist(px, py, scene: SDFScene):
     -- only the addition ORDER differs (~1 ulp); asserted equivalent in
     tests/test_pallas.py so the forward kernel and the sdf() the
     backward kernel differentiates cannot silently diverge."""
-    dx = px - scene.center.x
-    dy = py - scene.center.y
-    rxy2 = dx * dx + dy * dy + 1e-12
-    z0 = -1.0 - scene.center.z
-    return lambda t: jnp.sqrt(rxy2 + (z0 + t) * (z0 + t)) - scene.radius
+    rxy2, z0, rad = sdf_ortho_parts(px, py, scene)
+    return lambda t: jnp.sqrt(rxy2 + (z0 + t) * (z0 + t)) - rad
 
 
 def march(ray: Ray, scene: SDFScene, n_steps: int = 64,

@@ -318,25 +318,97 @@ def test_sdf_pallas_bands_non_dividing_falls_back():
     np.testing.assert_array_equal(img1, img7)
 
 
+def test_sdf_march_sphere_tile_matches_generic():
+    """Round-5 specialized z-carry march (_march_sphere_tile, the
+    flagship fast path) vs the generic engine (_march_tile over
+    sdf_ortho_dist): same freeze rules and trajectory up to
+    folded-constant rounding (~1 ulp/step), so hit-set flips are
+    confined to grazing silhouette rays and shared hits agree on t to
+    the eps band."""
+    from enoki_tpu.render.pallas_kernels import (_march_tile,
+                                                 _march_sphere_tile,
+                                                 _cone_t0)
+    from enoki_tpu.render.sdf import sdf_ortho_dist, sdf_ortho_parts
+    v = scene_to_vec(SDFScene.reference())
+    scene = vec_to_scene(v, SDFScene)
+    n_steps, extent = 48, 1.2
+    step = 2.0 * extent / (N - 1)
+    coords = jnp.arange(N, dtype=jnp.float32) * step - extent
+    px = jnp.broadcast_to(coords[None, :], (N, N))
+    py = jnp.broadcast_to(coords[:, None], (N, N))
+    for t0 in (None, _cone_t0(v, N, n_steps, extent, 8)):
+        dist = sdf_ortho_dist(px, py, scene)
+        t_g, h_g = _march_tile(dist, px, n_steps, chunk=16, t0=t0)
+        rxy2, z0, rad = sdf_ortho_parts(px, py, scene)
+        t_s, h_s = _march_sphere_tile(rxy2, z0, rad, n_steps, chunk=16,
+                                      t0=t0)
+        hg, hs = np.asarray(h_g), np.asarray(h_s)
+        assert (hg != hs).mean() < 0.01
+        both = hg & hs
+        dt = np.abs(np.asarray(t_g)[both] - np.asarray(t_s)[both])
+        assert dt.max() < 5e-4, dt.max()
+
+
+def test_sdf_bwd_analytic_matches_ad():
+    """Round-5 analytic backward megakernel (_sdf_bwd_kernel_analytic,
+    the default) vs the autodiff formulation (_sdf_bwd_kernel_ad, kept
+    as the oracle): identical parameter cotangents for a random
+    upstream image cotangent, on the mixed hit/miss reference scene AND
+    an all-miss scene (exercising the miss-tile fast path where only
+    d/d ambient survives). The analytic kernel writes the closed form
+    of the shade-VJP + implicit-root term; agreement is to FMA
+    reassociation noise over the 16k-pixel reduction."""
+    from enoki_tpu.render.pallas_kernels import (
+        _sdf_fwd_call, _sdf_vjp_bwd, _sdf_bwd_kernel_ad)
+    v = scene_to_vec(SDFScene.reference())
+    rng = np.random.default_rng(7)
+    for shift in (0.0, 10.0):  # mixed scene / all-miss scene
+        vv = v.at[0].add(shift)
+        _, ts = _sdf_fwd_call(vv, N, 48, 1.2, TILE)
+        g = jnp.asarray(rng.standard_normal((N, N)), jnp.float32)
+        nd = (N, 48, 1.2, TILE, None, 8, 16, jnp.float32, 1, 1.0, False)
+        (dp_an,) = _sdf_vjp_bwd(*nd, (vv, ts), g)
+        (dp_ad,) = _sdf_vjp_bwd(*nd, (vv, ts), g,
+                                kernel=_sdf_bwd_kernel_ad)
+        dp_an, dp_ad = np.asarray(dp_an), np.asarray(dp_ad)
+        scale = max(1.0, np.abs(dp_ad).max())
+        np.testing.assert_allclose(dp_an, dp_ad, rtol=2e-4,
+                                    atol=2e-4 * scale)
+
+
 def test_sdf_relax_unimodal_w1_bitexact():
     """Convex-scene divergence exit (round 4, _march_tile unimodal=True)
     at relax=1.0: every HIT lane's trajectory is unchanged (a hit ray's
     sampled distance decreases monotonically, so the divergence test
     never fires on it) and miss lanes shade to ambient regardless of
-    where their march froze -- image AND parameter gradients must be
-    bit-identical to the plain march."""
+    where their march froze. Round 5 routes the PLAIN config through the
+    specialized z-carry march (_march_sphere_tile, ~1 ulp/step rounding
+    difference), so the bit-exactness claim is pinned on the GENERIC
+    engine against itself; the compiled image is tolerance-gated against
+    the fast path."""
+    from enoki_tpu.render.pallas_kernels import _march_tile
+    from enoki_tpu.render.sdf import sdf_ortho_dist
     scene = SDFScene.reference()
     v = scene_to_vec(scene)
+    n_steps, extent = 48, 1.2
+    step = 2.0 * extent / (N - 1)
+    coords = jnp.arange(N, dtype=jnp.float32) * step - extent
+    px = jnp.broadcast_to(coords[None, :], (N, N))
+    py = jnp.broadcast_to(coords[:, None], (N, N))
+    dist = sdf_ortho_dist(px, py, vec_to_scene(v, SDFScene))
+    t0, h0 = _march_tile(dist, px, n_steps, chunk=16)
+    t1, h1 = _march_tile(dist, px, n_steps, chunk=16, unimodal=True)
+    hp = np.asarray(h0)
+    np.testing.assert_array_equal(np.asarray(h1), hp)
+    np.testing.assert_array_equal(np.asarray(t1)[hp], np.asarray(t0)[hp])
+    # compiled image: generic-engine unimodal config vs the z-carry fast
+    # path -- same trajectory up to folded-constant rounding, so only
+    # near-silhouette shading wiggle, never hit/miss flips (a flip would
+    # show as an O(gain) jump and blow the atol)
     img0 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE))
     img1 = np.asarray(render_sdf_pallas(v, N, 48, 1.2, TILE, None, 8, 16,
                                         jnp.float32, 1, 1.0, True))
-    np.testing.assert_array_equal(img0, img1)
-    g0 = np.asarray(jax.grad(lambda p: jnp.mean(
-        render_sdf_pallas(p, N, 48, 1.2, TILE)))(v))
-    g1 = np.asarray(jax.grad(lambda p: jnp.mean(
-        render_sdf_pallas(p, N, 48, 1.2, TILE, None, 8, 16,
-                          jnp.float32, 1, 1.0, True)))(v))
-    np.testing.assert_array_equal(g0, g1)
+    np.testing.assert_allclose(img1, img0, rtol=1e-2, atol=5e-2)
 
 
 def test_sdf_relax_march_hits_stay_on_surface():
