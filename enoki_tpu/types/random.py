@@ -21,8 +21,10 @@ Backend-generic core: the generator also instantiates over lazy
 ``trace.LazyArray`` lanes (the reference's PCG32<UInt64C> over
 CUDAArray, random.h over cuda.h) -- ``PCG32.create_lazy(n)`` /
 next_uint32/next_uint64/next_float32 record into the trace and fuse
-with their consumers. The while_loop-based methods (bounded sampling,
-advance, shuffle) are eager-only: they need host-visible convergence.
+with their consumers, and ``advance`` (a static squaring chain over a
+host-known delta, random.h:265) records as plain trace ops. The
+while_loop-based methods (bounded sampling, shuffle) are eager-only:
+they need host-visible convergence.
 """
 
 from __future__ import annotations
@@ -190,12 +192,19 @@ class PCG32(NamedTuple):
 
     def advance(self, delta: int) -> "PCG32":
         """Jump-ahead/back, Brown's fast-exponentiation method
-        (random.h:265-285). ``delta`` may be negative (goes the long way)."""
+        (random.h:265-285). ``delta`` may be negative (goes the long
+        way). Backend-generic: ``delta`` is a host-known python int, so
+        the squaring chain is a STATIC unroll -- on lazy lanes it
+        records plain trace ops (popcount(delta)+1 u64 mul/add pairs)
+        and fuses with its consumers; no control flow reaches the
+        device."""
         delta &= (1 << 64) - 1
-        cur_mult = U.from_py(PCG32_MULT, self.shape)
+        lk = self.state.lo  # eager: ignored; lazy: literal carrier
+        cur_mult = U.from_py(PCG32_MULT, self.shape, like=lk)
         cur_plus = self.inc
-        acc_mult = U.from_py(1, self.shape)
-        acc_plus = U.from_py(0, self.shape)
+        acc_mult = U.from_py(1, self.shape, like=lk)
+        acc_plus = U.from_py(0, self.shape, like=lk)
+        one = U.from_py(1, self.shape, like=lk)
         # static 64-iteration unroll driven by the python int's bits
         state = self.state
         for bit in range(64):
@@ -204,7 +213,6 @@ class PCG32(NamedTuple):
             if delta & 1:
                 acc_mult = U.mul(acc_mult, cur_mult)
                 acc_plus = U.add(U.mul(acc_plus, cur_mult), cur_plus)
-            one = U.from_py(1, self.shape)
             cur_plus = U.mul(U.add(cur_mult, one), cur_plus)
             cur_mult = U.mul(cur_mult, cur_mult)
             delta >>= 1

@@ -149,6 +149,26 @@ def test_pcg32_lazy_bit_exact():
     np.testing.assert_array_equal(ul2.numpy(), np.asarray(ue2))
 
 
+def test_pcg32_lazy_advance_bit_exact():
+    # advance on lazy lanes (round 5): the host-known delta drives a
+    # STATIC squaring chain of trace ops (random.h:265 parity) -- same
+    # states as the eager generator, still one fused program
+    from enoki_tpu.types.random import PCG32
+
+    for delta in (100, -100, 12345678901234, 1 << 63):
+        gl = PCG32.create_lazy(8).advance(delta)
+        ge = PCG32.create(8).advance(delta)
+        assert not gl.state.lo.materialized
+        np.testing.assert_array_equal(gl.state.hi.numpy(),
+                                      np.asarray(ge.state.hi))
+        np.testing.assert_array_equal(gl.state.lo.numpy(),
+                                      np.asarray(ge.state.lo))
+        # the advanced generator keeps drawing identically
+        ul, _ = gl.next_uint32()
+        ue, _ = ge.next_uint32()
+        np.testing.assert_array_equal(ul.numpy(), np.asarray(ue))
+
+
 def test_pcg32_lazy_feeds_pipeline():
     # the reference idiom: RNG -> transform -> histogram, all lazy
     from enoki_tpu.types.random import PCG32
