@@ -201,27 +201,26 @@ ENTRY %main (a: f32[2]) -> f32[] {
     assert "f" in ar[2]
 
 
-def test_measured_weak_scaling_refusal_or_rows():
-    """The measured branch (VERDICT r3 #3): on a host with >= 2 cores a
-    2-virtual-device run must produce real rows; on a 1-core host the
-    refusal must NAME the core count (never print garbage)."""
-    import os
-
+def test_measured_weak_scaling_rows_and_square_policy(capsys):
+    """The measured branch (VERDICT r3 #3, reworked r5): counts must be
+    perfect squares -- the (s, s) mesh is the only shape with constant
+    per-device work -- so 2 is SKIPPED with a note naming the policy,
+    never a garbage row; square counts produce real rows whose
+    timeshare-normalized efficiency is a sane ratio on any core count
+    (the serialized-core normalization N*T(1)/T(N) exists precisely so
+    a 1-core host still yields an honest figure)."""
     from enoki_tpu.dist import bench_scaling as bs
 
-    cores = os.cpu_count() or 1
-    if cores >= 2:
-        rows = bs.measured_weak_scaling(device_counts=(1, 2), tile=32,
-                                        iters=2)
-        assert len(rows) == 2
-        nd, n, rps, eff = rows[1]
-        assert nd == 2 and rps > 0 and 0 < eff <= 1.5
-    else:
-        import pytest
-
-        with pytest.raises(RuntimeError, match=str(cores)):
-            bs.measured_weak_scaling(device_counts=(1, 2), tile=32,
-                                     iters=2)
+    rows = bs.measured_weak_scaling(device_counts=(1, 2, 4), tile=32,
+                                    iters=2, timeshare=True)
+    err = capsys.readouterr().err
+    assert "skipping n_devices=2" in err and "square" in err
+    assert [r[0] for r in rows] == [1, 4]
+    nd, n, rps, eff = rows[1]
+    assert nd == 4 and n == 64 and rps > 0
+    # raw ratio: >1 means fixed dispatch amortized, but a 4-device SPMD
+    # step slower than 6x the serialized ideal would be a real bug
+    assert 0.15 < eff < 6.0, eff
 
 
 def test_allreduce_shapes_async_and_tiled_layouts():
