@@ -350,7 +350,8 @@ def _relax_step(dist_at, pos, stp, k, n_steps, eps, t_max, w, back,
 
 
 def _march_sphere_tile(rxy2, z0, rad, n_steps: int, eps: float = 1e-4,
-                       t_max: float = 10.0, chunk: int = 16, t0=None):
+                       t_max: float = 10.0, chunk: int = 16, t0=None,
+                       z_init=None, return_z=False):
     """Specialized plain sphere march (flagship fast path, round 5).
 
     Walks the SAME trajectory as ``_march_tile`` over
@@ -370,8 +371,17 @@ def _march_sphere_tile(rxy2, z0, rad, n_steps: int, eps: float = 1e-4,
     ~1 ulp/step (folded constants), tolerance-gated against the XLA
     oracle like every compiled variant. Returns (t, hit) with
     t = z - z0 recovered once per tile.
+
+    ``z_init``/``return_z`` let the two-pass split kernels hand the
+    EXACT carry across the pallas_call boundary: the z - z0 -> z0 + t
+    roundtrip loses ~1 ulp, which is invisible to the tolerance gates
+    but breaks the split path's bit-exactness contract against the
+    one-pass march.
     """
-    z = z0 + (jnp.zeros_like(rxy2) if t0 is None else t0)
+    if z_init is not None:
+        z = z_init
+    else:
+        z = z0 + (jnp.zeros_like(rxy2) if t0 is None else t0)
 
     while n_steps % chunk:
         chunk //= 2
@@ -415,7 +425,8 @@ def _march_sphere_tile(rxy2, z0, rad, n_steps: int, eps: float = 1e-4,
     s0 = dist_len(z)
     go0 = jnp.any((s0 >= s_hit) & (z + s0 <= esc))
     _, z, _ = lax.while_loop(cond, body, (0, z, go0))
-    return z - z0, (dist_len(z) - rad) < eps
+    hit = (dist_len(z) - rad) < eps
+    return (z if return_z else z - z0), hit
 
 
 def _sdf_shade_tile(px, py, t, hit, pvec):
@@ -593,6 +604,171 @@ def _sdf_fwd_kernel(params_ref, t0_ref, out_ref, t_ref, *, n, extent,
         t_ref[sl, :] = jnp.where(hit_b, t_b, -t_b - 1.0)
 
 
+def _sdf_fwd_kernel_split(params_ref, t0_ref, out_ref, t_ref, cont_ref,
+                          *, n, extent, n_steps, chunk):
+    """Pass 1 of the two-pass compacted march (round 5, the silhouette
+    divergence experiment of docs/render.md): the plain z-carry march
+    CAPPED at ``n_steps`` (= the split point), plus a third output that
+    flags survivors.
+
+    The cost model behind the split (tools: /tmp/stepmodel r5): at
+    1024^2/64 the tile-exit protocol executes 3.5x the per-lane ideal
+    ray-steps and 28 of 64 tiles run to the 64-step cap, driven by the
+    <4% of lanes that crawl along the silhouette -- a tile-granularity
+    padding problem no in-tile knob fixed (bands serialize, relax /
+    unimodal lose on chip). Splitting at 16 caps EVERY tile at 16
+    steps, then the caller compacts the ~15% surviving lanes into a
+    dense array whose tail march wastes nothing on frozen neighbors.
+
+    Trajectory parity: the march is memoryless in z, so the masked
+    final advance at eval ``n_steps``-1 is replayed by the tail
+    kernel's first inline step at the identical z -- the (eval,
+    advance) sequence of the unsplit 64-eval loop is reproduced
+    exactly (one extra eval per survivor, values unchanged).
+
+    ``cont`` encodes survivor state in one f32/lane: the march carry z
+    ITSELF for lanes still alive at the cap, -1e9 for frozen lanes
+    (z >= z0 > -2 always). Carrying z exactly -- not t -- is what
+    makes the split bit-exact: a z - z0 -> z0 + t roundtrip would cost
+    ~1 ulp per boundary. f32-only, plain-march-only: the split exists
+    to beat the shipped fast path, so it composes with the cone
+    prepass (t0) but not with the demoted knobs.
+    """
+    tr, tc = out_ref.shape
+    pvec = _read_params(params_ref)
+    scene = vec_to_scene(pvec, SDFScene)
+    px, py = _tile_pixels(tr, tc, n, extent)
+    rxy2, z0, rad = _sdf_ortho_parts(px, py, scene)
+    z_f, hit_b = _march_sphere_tile(rxy2, z0, rad, n_steps,
+                                    chunk=chunk, t0=t0_ref[:, :],
+                                    return_z=True)
+    t_b = z_f - z0
+    # survivor test: same freeze rule as the march (s_hit/esc constants
+    # of _march_sphere_tile with its default eps/t_max)
+    x = rxy2 + z_f * z_f
+    s = x * lax.rsqrt(x)
+    alive = (s >= rad + 1e-4) & (z_f + s <= 10.0 + z0 + rad)
+    cont_ref[:, :] = jnp.where(alive, z_f, -1e9)
+
+    hit_any = jnp.any(hit_b)
+
+    @pl.when(hit_any)
+    def _():
+        out_ref[:, :] = _sdf_shade_tile(px, py, t_b, hit_b, pvec)
+
+    @pl.when(jnp.logical_not(hit_any))
+    def _():
+        out_ref[:, :] = jnp.broadcast_to(pvec[4], (tr, tc))
+
+    t_ref[:, :] = jnp.where(hit_b, t_b, -t_b - 1.0)
+
+
+def _sdf_tail_kernel(params_ref, idx_ref, tin_ref, img_ref, ts_ref, *,
+                     n, extent, n_steps, split, chunk):
+    """Pass 2: dense tail march over the compacted survivor worklist.
+
+    ``idx`` is each lane's flat pixel index (padded slots carry n*n and
+    are scattered with mode="drop" by the caller); ``tin`` is the
+    pass-1 ``cont`` encoding. Pixel coordinates are recomputed from
+    idx (cheaper than gathering them), the masked eval ``split``-1
+    advance is replayed inline, then the remaining
+    ``n_steps - split`` evals run through the same z-carry march as
+    pass 1 -- per-grid-block early exit included, and since survivors
+    are silhouette-clustered in row-major order, blocks of the
+    compacted array exit independently. Lanes that arrive frozen
+    (padded slots whose clip-gathered ``tin`` is 0) are parked at an
+    escaped z so they never march."""
+    pvec = _read_params(params_ref)
+    scene = vec_to_scene(pvec, SDFScene)
+    idx = idx_ref[:, :]
+    row = idx // n
+    col = idx - row * n
+    step = 2.0 * extent / (n - 1)
+    py = row.astype(jnp.float32) * step - extent
+    px = col.astype(jnp.float32) * step - extent
+    rxy2, z0, rad = _sdf_ortho_parts(px, py, scene)
+    tin = tin_ref[:, :]
+    live = tin > -1e8  # cont sentinel for frozen lanes is -1e9
+    # park dead lanes at an escaped z (z + s > esc for any s >= 0)
+    z = jnp.where(live, tin, 11.0 + z0 + rad)
+    # replay the advance that pass 1's final-eval mask skipped
+    x = rxy2 + z * z
+    s = x * lax.rsqrt(x)
+    alive = live & (s >= rad + 1e-4) & (z + s <= 10.0 + z0 + rad)
+    z = jnp.where(alive, z + (s - rad), z)
+    z_f, hit_b = _march_sphere_tile(rxy2, z0, rad, n_steps - split,
+                                    chunk=chunk, z_init=z,
+                                    return_z=True)
+    t_b = z_f - z0
+    img_ref[:, :] = _sdf_shade_tile(px, py, t_b, hit_b, pvec)
+    ts_ref[:, :] = jnp.where(hit_b, t_b, -t_b - 1.0)
+
+
+def _sdf_split_call(params, n, n_steps, extent, tile, tile_c, coarse,
+                    chunk, split):
+    """Two-pass compacted forward: capped P1 megakernel -> XLA
+    compaction of survivors -> dense P2 tail megakernel -> scatter.
+    Returns (img, ts) with ts identical in meaning to the one-pass
+    kernel's residual, so the analytic backward is untouched."""
+    tile_c = tile_c or tile
+    grid = (n // tile, n // tile_c)
+    tile_spec = pl.BlockSpec((tile, tile_c), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM)
+    pvec = params.reshape(1, N_PARAMS)
+    if coarse:
+        t0 = _cone_t0(params, n, n_steps, extent, coarse)
+    else:
+        t0 = jnp.zeros((n, n), jnp.float32)
+    img1, ts1, cont = pl.pallas_call(
+        functools.partial(_sdf_fwd_kernel_split, n=n, extent=extent,
+                          n_steps=split, chunk=chunk),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i, j: (0, 0),
+                               memory_space=pltpu.SMEM), tile_spec],
+        out_specs=(tile_spec, tile_spec, tile_spec),
+        out_shape=(jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((n, n), jnp.float32),
+                   jax.ShapeDtypeStruct((n, n), jnp.float32)),
+    )(pvec, t0)
+
+    nn = n * n
+    # worklist capacity: the measured survivor fraction at the bench
+    # scene is 15.3% at split=16 and 3.6% at split=32 (stepmodel r5);
+    # 1/4 resp. 1/16 give ~1.7-4x headroom. Overflow beyond capacity
+    # leaves those lanes at their P1 state -- the parity gate (and any
+    # eager comparison) catches it, and the knob simply loses the
+    # tuning race on scenes where the fraction is higher.
+    kdiv = 4 if split <= 16 else 16
+    kpad = max(nn // kdiv, 256)
+    cols = min(1024, kpad)
+    kr = kpad // cols
+    p2r = min(32, kr)
+    while kr % p2r:
+        p2r //= 2
+    flat = cont.reshape(nn)
+    (idx,) = jnp.where(flat > -1e8, size=kpad, fill_value=nn)
+    idx = idx.astype(jnp.int32)
+    tin = jnp.take(flat, idx, mode="clip")
+    wl_spec = pl.BlockSpec((p2r, cols), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    img_c, ts_c = pl.pallas_call(
+        functools.partial(_sdf_tail_kernel, n=n, extent=extent,
+                          n_steps=n_steps, split=split, chunk=chunk),
+        grid=(kr // p2r,),
+        in_specs=[pl.BlockSpec((1, N_PARAMS), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+                  wl_spec, wl_spec],
+        out_specs=(wl_spec, wl_spec),
+        out_shape=(jax.ShapeDtypeStruct((kr, cols), jnp.float32),
+                   jax.ShapeDtypeStruct((kr, cols), jnp.float32)),
+    )(pvec, idx.reshape(kr, cols), tin.reshape(kr, cols))
+    img = (img1.reshape(nn).at[idx].set(img_c.reshape(-1), mode="drop")
+           .reshape(n, n))
+    ts = (ts1.reshape(nn).at[idx].set(ts_c.reshape(-1), mode="drop")
+          .reshape(n, n))
+    return img, ts
+
+
 def _sdf_bwd_kernel_analytic(params_ref, g_ref, t_ref, dp_ref, *, n,
                              extent, n_steps):
     """Hand-derived backward megakernel (round 5).
@@ -737,13 +913,15 @@ def _sdf_bwd_kernel_ad(params_ref, g_ref, t_ref, dp_ref, *, n, extent,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                    12))
 def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
                       n_steps: int = 64, extent: float = 1.2,
                       tile: int = 64, tile_c: int = None,
                       coarse: int = 8, chunk: int = 16,
                       dtype=jnp.float32, bands: int = 1,
-                      relax: float = 1.0, unimodal: bool = False):
+                      relax: float = 1.0, unimodal: bool = False,
+                      split: int = 0):
     """Fused SDF ray-march megakernel -> (n, n) image (config 4).
 
     ``tile`` x ``tile_c`` is the VMEM pixel block (rows x cols; tile_c
@@ -760,14 +938,29 @@ def render_sdf_pallas(params: jnp.ndarray, n: int = 1024,
     the convex-scene divergence exit (see _march_tile; unimodal is only
     valid when every ray's distance function is unimodal, e.g. a convex
     scene such as the benchmark sphere).
+
+    ``split`` > 0 selects the two-pass compacted march (round 5,
+    docs/render.md): pass 1 caps every tile at ``split`` steps, the
+    surviving lanes are compacted by XLA into a dense worklist, and a
+    second megakernel marches only them for the remaining steps --
+    trajectory-identical to the one-pass march (see
+    _sdf_fwd_kernel_split). f32 + plain march only; composes with the
+    cone prepass.
     """
     return _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                         coarse, chunk, dtype, bands, relax, unimodal)[0]
+                         coarse, chunk, dtype, bands, relax, unimodal,
+                         split)[0]
 
 
 def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
                   coarse=8, chunk=16, dtype=jnp.float32, bands=1,
-                  relax=1.0, unimodal=False):
+                  relax=1.0, unimodal=False, split=0):
+    if split:
+        assert dtype == jnp.float32 and bands == 1 and relax == 1.0 \
+            and not unimodal, "split composes only with the plain march"
+        assert 0 < split < n_steps and (n_steps - split) % 2 == 0
+        return _sdf_split_call(params, n, n_steps, extent, tile, tile_c,
+                               coarse, chunk, split)
     tile_c = tile_c or tile
     assert n % tile == 0 and n % tile_c == 0, \
         "image size must be divisible by the tile size"
@@ -795,14 +988,15 @@ def _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c=None,
 
 
 def _sdf_vjp_fwd(params, n, n_steps, extent, tile, tile_c, coarse, chunk,
-                 dtype, bands, relax, unimodal):
+                 dtype, bands, relax, unimodal, split=0):
     img, ts = _sdf_fwd_call(params, n, n_steps, extent, tile, tile_c,
-                            coarse, chunk, dtype, bands, relax, unimodal)
+                            coarse, chunk, dtype, bands, relax, unimodal,
+                            split)
     return img, (params, ts)
 
 
 def _sdf_vjp_bwd(n, n_steps, extent, tile, tile_c, coarse, chunk, dtype,
-                 bands, relax, unimodal, res, g, kernel=None):
+                 bands, relax, unimodal, split, res, g, kernel=None):
     params, ts = res
     tile_c = tile_c or tile
     grid = (n // tile, n // tile_c)

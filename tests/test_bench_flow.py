@@ -41,7 +41,7 @@ def test_bench_flow_end_to_end(capsys):
     assert j["metric"] == "rays_per_s_per_chip_fwd_bwd"
     assert j["value"] > 0 and j["vs_baseline"] > 0
     assert "config" in j and set(j["config"]) == {
-        "coarse", "bands", "relax", "unimodal"}
+        "coarse", "bands", "relax", "unimodal", "split"}
 
 
 def test_bench_candidate_failure_falls_back(capsys, monkeypatch):
@@ -52,18 +52,18 @@ def test_bench_candidate_failure_falls_back(capsys, monkeypatch):
 
     def flaky(params, n=1024, n_steps=64, extent=1.2, tile=64, tile_c=None,
               coarse=8, chunk=16, dtype=jnp.float32, bands=1, relax=1.0,
-              unimodal=False):
-        if coarse != 0 or bands != 1 or relax != 1.0 or unimodal:
+              unimodal=False, split=0):
+        if coarse != 0 or bands != 1 or relax != 1.0 or unimodal or split:
             raise RuntimeError("synthetic Mosaic lowering failure")
         return real(params, n, n_steps, extent, tile, tile_c, coarse,
-                    chunk, dtype, bands, relax, unimodal)
+                    chunk, dtype, bands, relax, unimodal, split)
 
     monkeypatch.setattr(pk, "render_sdf_pallas", flaky)
     rc, j = _run(capsys)
     assert rc == 0
     assert j["value"] > 0 and j["vs_baseline"] > 0
     assert j["config"] == {"coarse": 0, "bands": 1, "relax": 1.0,
-                           "unimodal": False}
+                           "unimodal": False, "split": 0}
 
 
 def test_bench_all_candidates_failing_reports_zero(capsys, monkeypatch):

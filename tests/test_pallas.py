@@ -366,7 +366,8 @@ def test_sdf_bwd_analytic_matches_ad():
         vv = v.at[0].add(shift)
         _, ts = _sdf_fwd_call(vv, N, 48, 1.2, TILE)
         g = jnp.asarray(rng.standard_normal((N, N)), jnp.float32)
-        nd = (N, 48, 1.2, TILE, None, 8, 16, jnp.float32, 1, 1.0, False)
+        nd = (N, 48, 1.2, TILE, None, 8, 16, jnp.float32, 1, 1.0, False,
+              0)
         (dp_an,) = _sdf_vjp_bwd(*nd, (vv, ts), g)
         (dp_ad,) = _sdf_vjp_bwd(*nd, (vv, ts), g,
                                 kernel=_sdf_bwd_kernel_ad)
@@ -474,3 +475,56 @@ def test_sdf_relax_compiled_render_parity():
     sig = np.abs(g0) > 1e-3 * np.abs(g0).max()
     rel = np.abs(g1 - g0)[sig] / np.abs(g0)[sig]
     assert rel.max() < 0.5, (rel, g0, g1)
+
+
+def test_sdf_pallas_split_twopass_parity():
+    """Two-pass compacted march (round 5, split > 0): the capped pass-1
+    + compacted tail replays the same (eval, advance) sequence as the
+    one-pass march -- the masked final advance of pass 1 is
+    re-evaluated at the identical z (carried exactly, see
+    _sdf_fwd_kernel_split) by the tail kernel. The residual difference
+    is cross-kernel FMA contraction on the tail kernel's idx-decoded
+    pixel coordinates (~1 ulp on rxy2, the same noise class the band
+    variants documented), so the gate is the tight compiled-variant
+    tolerance + zero hit/miss flips, not bit equality. Non-survivor
+    pixels never enter the tail kernel and DO match bit-for-bit."""
+    v = scene_to_vec(SDFScene.reference())
+
+    def run(split, coarse=0):
+        img = render_sdf_pallas(v, N, 48, 1.2, TILE, None, coarse, 16,
+                                jnp.float32, 1, 1.0, False, split)
+        return np.asarray(img)
+
+    ref = run(0)
+    for split, coarse in ((16, 0), (32, 0), (16, 8)):
+        got = run(split, coarse)
+        r = run(0, coarse)
+        d = np.abs(got - r)
+        flips = d > 1.0  # hit/miss flip (ambient 0.2 vs lit ~2..220)
+        assert not flips.any(), (split, coarse, flips.sum())
+        assert d.max() < 2e-4, (split, coarse, d.max())
+        # most pixels are frozen by pass 1 and bit-exact
+        assert (d == 0).mean() > 0.9, (split, coarse, (d == 0).mean())
+
+    # gradients ride the same ts residual through the same analytic
+    # backward; diffs are the survivors' ~1 ulp t jitter
+    def loss(pv, split):
+        return jnp.mean(render_sdf_pallas(pv, N, 48, 1.2, TILE, None, 0,
+                                          16, jnp.float32, 1, 1.0, False,
+                                          split))
+
+    g0 = np.asarray(jax.grad(loss)(v, 0))[:9]
+    g1 = np.asarray(jax.grad(loss)(v, 16))[:9]
+    np.testing.assert_allclose(g1, g0, rtol=1e-4,
+                               atol=1e-5 * max(1.0, np.abs(g0).max()))
+
+
+def test_sdf_pallas_split_rejects_bad_compositions():
+    v = scene_to_vec(SDFScene.reference())
+    for kw in (dict(dtype=jnp.bfloat16), dict(bands=8), dict(relax=1.6),
+               dict(unimodal=True)):
+        with pytest.raises(AssertionError):
+            render_sdf_pallas(v, N, 48, 1.2, TILE, None, 0, 16,
+                              kw.get("dtype", jnp.float32), kw.get("bands", 1),
+                              kw.get("relax", 1.0), kw.get("unimodal", False),
+                              16)

@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--bands", type=int, default=1)
     ap.add_argument("--relax", type=float, default=1.0)
     ap.add_argument("--unimodal", action="store_true")
+    ap.add_argument("--split", type=int, default=0)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--klo", type=int, default=100)
     ap.add_argument("--khi", type=int, default=400)
@@ -46,14 +47,16 @@ def main():
     scene = SDFScene.reference()
     v = scene_to_vec(scene)
     kw = dict(k_lo=args.klo, k_hi=args.khi, windows=args.windows)
-    cfg = (args.coarse, args.bands, args.relax, args.unimodal)
+    cfg = (args.coarse, args.bands, args.relax, args.unimodal,
+           args.split)
     perturb = (lambda v0, loss, k: v0 + loss * 1e-12
                + 1e-6 * k.astype(jnp.float32))
 
     def loss(pv):
         return jnp.mean(render_sdf_pallas(pv, N, STEPS, 1.2, TILE, TILE,
                                           cfg[0], 16, jnp.float32,
-                                          cfg[1], cfg[2], cfg[3]))
+                                          cfg[1], cfg[2], cfg[3],
+                                          cfg[4]))
 
     rows = {}
 
@@ -64,12 +67,12 @@ def main():
     # bwd only: fixed cotangent + residual, chained on dp
     img, ts = jax.jit(lambda pv: _sdf_fwd_call(
         pv, N, STEPS, 1.2, TILE, TILE, cfg[0], 16, jnp.float32,
-        cfg[1], cfg[2], cfg[3]))(v)
+        cfg[1], cfg[2], cfg[3], cfg[4]))(v)
     g = jnp.full((N, N), 1.0 / rays, jnp.float32)
 
     def bwd_only(pv):
         (dp,) = _sdf_vjp_bwd(N, STEPS, 1.2, TILE, TILE, cfg[0], 16,
-                             jnp.float32, cfg[1], cfg[2], cfg[3],
+                             jnp.float32, cfg[1], cfg[2], cfg[3], 0,
                              (pv, ts), g)
         s = jnp.sum(dp)
         return s, pv * 0.0 + s * 0.0
@@ -94,7 +97,7 @@ def main():
     rows["xla_pair"] = (t, sp)
 
     print(f"config coarse={cfg[0]} bands={cfg[1]} relax={cfg[2]} "
-          f"unimodal={cfg[3]}  n={N} steps={STEPS}")
+          f"unimodal={cfg[3]} split={cfg[4]}  n={N} steps={STEPS}")
     for name, (t, sp) in rows.items():
         print(f"{name:9s} {t*1e6:9.1f} us/step  {rays/t/1e9:6.2f} G rays/s"
               f"  spread {100*sp:5.1f}%")
